@@ -1,0 +1,426 @@
+package graft.kernel
+
+import java.io.ByteArrayOutputStream
+import java.nio.charset.StandardCharsets.ISO_8859_1
+import java.util.zip.Inflater
+
+/** Hand-built PDF layout parser + page chunker.
+  *
+  * Re-implements from scratch the per-chunk text-extraction contract of the
+  * reference (`/root/reference/app/services/ocr.py:31-77`: PDF bytes →
+  * `{text, pages[{page_number, dimensions{width,height},
+  * layout{confidence}}]}`) and the ≤10-page PDF splitter
+  * (`/root/reference/app/services/pdf_splitter.py:46-129`,
+  * `max_pages_per_chunk=10` at `pdf_splitter.py:12`).
+  *
+  * Supported PDF subset (documented scope, classic-PDF):
+  *  - xref-table files; objects located by a full body scan (robust to
+  *    stale xref offsets), trailer `/Root` → page-tree walk in Kids order
+  *    with MediaBox inheritance;
+  *  - streams with direct or indirect `/Length`, `/Filter /FlateDecode`
+  *    or none;
+  *  - content-stream text operators `BT ET Tf Td TD T* Tm Tj TJ ' "`;
+  *    literal strings (escapes, octal, nested parens) and hex strings.
+  *
+  * === Text normalization spec (FROZEN — byte-identity contract) ===
+  *  - Every `Td / TD / T* / Tm` after text has been shown in the current BT block
+  *    emits exactly one '\n'; `'` and `"` emit '\n' before their string.
+  *  - `TJ` concatenates its strings; kerning numbers are ignored.
+  *  - Page text always ends with a single '\n', so chunk text is the plain
+  *    concatenation of page texts and document text is the plain
+  *    concatenation of chunk texts in chunk order (associative — the merge
+  *    order contract of `/root/reference/app/services/document_saver.py:76-81`).
+  *  - String bytes decode as Latin-1 (writer emits ASCII).
+  */
+object Pdf {
+
+  // ------------------------------------------------------------ object model
+  sealed trait PObj
+  final case class PNum(v: Double) extends PObj
+  final case class PName(v: String) extends PObj
+  final case class PStr(bytes: Array[Byte]) extends PObj
+  final case class PArr(items: Vector[PObj]) extends PObj
+  final case class PDict(m: Map[String, PObj]) extends PObj
+  final case class PRef(num: Int) extends PObj
+  final case class PBool(v: Boolean) extends PObj
+  case object PNull extends PObj
+  final case class PStream(dict: PDict, raw: Array[Byte]) extends PObj
+
+  final class ParseError(msg: String) extends RuntimeException(msg)
+
+  // ------------------------------------------------------------------ lexer
+  /** Positional parser over the PDF bytes viewed as Latin-1 (1:1 bytes). */
+  private final class Lexer(val s: String) {
+    var pos = 0
+    def eof: Boolean = pos >= s.length
+    private def isWs(c: Char) = c == ' ' || c == '\n' || c == '\r' || c == '\t' || c == '\u0000' || c == '\f'
+    private def isDelim(c: Char) = "()<>[]{}/%".indexOf(c) >= 0
+    def skipWs(): Unit = {
+      var go = true
+      while (go && !eof) {
+        val c = s.charAt(pos)
+        if (isWs(c)) pos += 1
+        else if (c == '%') { while (!eof && s.charAt(pos) != '\n' && s.charAt(pos) != '\r') pos += 1 }
+        else go = false
+      }
+    }
+    def peek: Char = if (eof) ' ' else s.charAt(pos)
+    def startsWith(lit: String): Boolean = s.regionMatches(pos, lit, 0, lit.length)
+
+    def parseObj(): PObj = {
+      skipWs()
+      if (eof) throw new ParseError("eof")
+      val c = peek
+      if (c == '/') { // name
+        pos += 1
+        val b = pos
+        while (!eof && !isWs(s.charAt(pos)) && !isDelim(s.charAt(pos))) pos += 1
+        PName(s.substring(b, pos))
+      } else if (startsWith("<<")) {
+        pos += 2
+        val m = Map.newBuilder[String, PObj]
+        var go = true
+        while (go) {
+          skipWs()
+          if (startsWith(">>")) { pos += 2; go = false }
+          else if (eof) go = false
+          else parseObj() match {
+            case PName(k) => m += k -> parseObj()
+            case _        => throw new ParseError(s"dict key not a name @$pos")
+          }
+        }
+        PDict(m.result())
+      } else if (c == '<') { // hex string
+        pos += 1
+        val b = new ByteArrayOutputStream()
+        var hi = -1
+        while (!eof && peek != '>') {
+          val h = Character.digit(peek, 16)
+          if (h >= 0) { if (hi < 0) hi = h else { b.write(hi * 16 + h); hi = -1 } }
+          pos += 1
+        }
+        if (hi >= 0) b.write(hi * 16)
+        if (!eof) pos += 1
+        PStr(b.toByteArray)
+      } else if (c == '(') { // literal string
+        pos += 1
+        val b = new ByteArrayOutputStream()
+        var depth = 1
+        while (!eof && depth > 0) {
+          val ch = s.charAt(pos)
+          if (ch == '\\' && pos + 1 < s.length) {
+            val e = s.charAt(pos + 1)
+            pos += 2
+            e match {
+              case 'n' => b.write('\n'); case 'r' => b.write('\r'); case 't' => b.write('\t')
+              case 'b' => b.write('\b'); case 'f' => b.write('\f')
+              case '(' => b.write('('); case ')' => b.write(')'); case '\\' => b.write('\\')
+              case '\n' => // line continuation
+              case '\r' => if (!eof && peek == '\n') pos += 1
+              case d if d >= '0' && d <= '7' =>
+                var v = d - '0'; var k = 0
+                while (k < 2 && !eof && peek >= '0' && peek <= '7') { v = v * 8 + (peek - '0'); pos += 1; k += 1 }
+                b.write(v & 0xff)
+              case other => b.write(other)
+            }
+          } else {
+            if (ch == '(') depth += 1
+            else if (ch == ')') depth -= 1
+            if (depth > 0) b.write(ch)
+            pos += 1
+          }
+        }
+        PStr(b.toByteArray)
+      } else if (c == '[') {
+        pos += 1
+        val items = Vector.newBuilder[PObj]
+        var go = true
+        while (go) {
+          skipWs()
+          if (peek == ']') { pos += 1; go = false }
+          else if (eof) go = false
+          else items += parseObj()
+        }
+        PArr(items.result())
+      } else if (c == ']' || c == '}') { pos += 1; PNull }
+      else if (startsWith("true")) { pos += 4; PBool(true) }
+      else if (startsWith("false")) { pos += 5; PBool(false) }
+      else if (startsWith("null")) { pos += 4; PNull }
+      else if (c.isDigit || c == '+' || c == '-' || c == '.') {
+        // number, or "N G R" reference
+        val save = pos
+        val n1 = parseNumber()
+        val save2 = pos
+        skipWs()
+        if (!eof && peek.isDigit && n1 == n1.floor && n1 >= 0) {
+          val gPos = pos
+          try {
+            parseNumber()
+            skipWs()
+            if (!eof && peek == 'R' &&
+                (pos + 1 >= s.length || isWs(s.charAt(pos + 1)) || isDelim(s.charAt(pos + 1)))) {
+              pos += 1
+              return PRef(n1.toInt)
+            }
+          } catch { case _: ParseError => }
+          pos = save2
+          val _ = gPos; val __ = save
+          PNum(n1)
+        } else { pos = save2; PNum(n1) }
+      } else throw new ParseError(s"unexpected char '$c' @$pos")
+    }
+
+    def parseNumber(): Double = {
+      skipWs()
+      val b = pos
+      if (!eof && (peek == '+' || peek == '-')) pos += 1
+      while (!eof && (peek.isDigit || peek == '.')) pos += 1
+      if (pos == b) throw new ParseError(s"not a number @$pos")
+      s.substring(b, pos).toDouble
+    }
+  }
+
+  // ------------------------------------------------------------- doc parsing
+  final case class PdfDoc(objects: Map[Int, PObj], trailer: PDict) {
+    def resolve(o: PObj): PObj = o match {
+      case PRef(n) => objects.getOrElse(n, PNull)
+      case other   => other
+    }
+    def dictOf(o: PObj): PDict = resolve(o) match {
+      case d: PDict       => d
+      case PStream(d, _)  => d
+      case _              => PDict(Map.empty)
+    }
+  }
+
+  def inflate(data: Array[Byte]): Array[Byte] = {
+    val inf = new Inflater()
+    inf.setInput(data)
+    val out = new ByteArrayOutputStream(data.length * 4 + 64)
+    val buf = new Array[Byte](8192)
+    while (!inf.finished() && !inf.needsDictionary()) {
+      val k = inf.inflate(buf)
+      if (k == 0 && inf.needsInput()) throw new ParseError("truncated flate stream")
+      out.write(buf, 0, k)
+    }
+    inf.end()
+    out.toByteArray
+  }
+
+  /** Parse all `N G obj … endobj` bodies by scanning the file (robust to
+    * stale xref tables), plus the last trailer dictionary.
+    */
+  def parseDoc(bytes: Array[Byte]): PdfDoc = {
+    val s = new String(bytes, ISO_8859_1)
+    if (!s.startsWith("%PDF-")) throw new ParseError("missing %PDF- header")
+    val objs = Map.newBuilder[Int, PObj]
+    var i = 0
+    while ({ i = s.indexOf(" obj", i); i >= 0 }) {
+      // walk back over "N G " to find the object number
+      var k = i - 1
+      while (k >= 0 && s.charAt(k).isDigit) k -= 1 // gen
+      if (k > 0 && s.charAt(k) == ' ') {
+        var e = k; k -= 1
+        while (k >= 0 && s.charAt(k).isDigit) k -= 1
+        if (e - 1 > k) {
+          val num = s.substring(k + 1, e).toInt
+          val lex = new Lexer(s)
+          lex.pos = i + 4
+          try {
+            val body = lex.parseObj()
+            lex.skipWs()
+            val obj = body match {
+              case d: PDict if lex.startsWith("stream") =>
+                var p = lex.pos + 6
+                if (p < s.length && s.charAt(p) == '\r') p += 1
+                if (p < s.length && s.charAt(p) == '\n') p += 1
+                val len = d.m.get("Length") match {
+                  case Some(PNum(v)) => v.toInt
+                  case Some(PRef(n)) =>
+                    // indirect length: fall back to scanning for endstream
+                    val _ = n
+                    val e2 = s.indexOf("endstream", p)
+                    if (e2 < 0) throw new ParseError("no endstream") else {
+                      var q = e2
+                      if (q > p && s.charAt(q - 1) == '\n') q -= 1
+                      if (q > p && s.charAt(q - 1) == '\r') q -= 1
+                      q - p
+                    }
+                  case _ => throw new ParseError("stream without Length")
+                }
+                val raw = bytes.slice(p, p + len)
+                PStream(d, raw)
+              case other => other
+            }
+            objs += num -> obj
+          } catch { case _: ParseError => } // skip unparsable object
+        }
+      }
+      i += 4
+    }
+    val tIdx = s.lastIndexOf("trailer")
+    val trailer =
+      if (tIdx < 0) PDict(Map.empty)
+      else {
+        val lex = new Lexer(s); lex.pos = tIdx + 7
+        lex.parseObj() match { case d: PDict => d; case _ => PDict(Map.empty) }
+      }
+    PdfDoc(objs.result(), trailer)
+  }
+
+  // ------------------------------------------------------------- page model
+  final case class PdfPage(content: Array[Byte], width: Double, height: Double)
+
+  /** Walk the page tree in Kids order, inheriting MediaBox; returns the
+    * decoded (de-flated) content bytes per page.
+    */
+  def pages(doc: PdfDoc): Vector[PdfPage] = {
+    val root = doc.dictOf(doc.trailer.m.getOrElse("Root", PNull))
+    val pagesRoot = root.m.getOrElse("Pages", PNull)
+    val out = Vector.newBuilder[PdfPage]
+
+    def mediaBox(d: PDict, inherited: Option[(Double, Double)]): Option[(Double, Double)] =
+      doc.resolve(d.m.getOrElse("MediaBox", PNull)) match {
+        case PArr(Vector(a, b, c, dd)) =>
+          (doc.resolve(a), doc.resolve(b), doc.resolve(c), doc.resolve(dd)) match {
+            case (PNum(x0), PNum(y0), PNum(x1), PNum(y1)) => Some((x1 - x0, y1 - y0))
+            case _ => inherited
+          }
+        case _ => inherited
+      }
+
+    def contentBytes(o: PObj): Array[Byte] = doc.resolve(o) match {
+      case PStream(d, raw) =>
+        doc.resolve(d.m.getOrElse("Filter", PNull)) match {
+          case PName("FlateDecode")                      => inflate(raw)
+          case PArr(Vector(PName("FlateDecode")))        => inflate(raw)
+          case PNull                                     => raw
+          case other => throw new ParseError(s"unsupported filter $other")
+        }
+      case PArr(items) =>
+        val b = new ByteArrayOutputStream()
+        items.foreach { it => b.write(contentBytes(it)); b.write('\n') }
+        b.toByteArray
+      case _ => Array.emptyByteArray
+    }
+
+    def walk(o: PObj, inherited: Option[(Double, Double)]): Unit = doc.resolve(o) match {
+      case d: PDict =>
+        val mb = mediaBox(d, inherited)
+        doc.resolve(d.m.getOrElse("Type", PNull)) match {
+          case PName("Pages") =>
+            doc.resolve(d.m.getOrElse("Kids", PNull)) match {
+              case PArr(kids) => kids.foreach(walk(_, mb))
+              case _          =>
+            }
+          case PName("Page") =>
+            val (w, h) = mb.getOrElse((612.0, 792.0))
+            out += PdfPage(contentBytes(d.m.getOrElse("Contents", PNull)), w, h)
+          case _ =>
+        }
+      case _ =>
+    }
+    walk(pagesRoot, None)
+    out.result()
+  }
+
+  // ------------------------------------------------------- text extraction
+  /** Extract text from one decoded content stream per the frozen spec. */
+  def pageText(content: Array[Byte]): String = {
+    val lex = new Lexer(new String(content, ISO_8859_1))
+    val sb = new java.lang.StringBuilder
+    val operands = scala.collection.mutable.ArrayBuffer.empty[PObj]
+    var textShown = false
+
+    def strOf(o: PObj): String = o match {
+      case PStr(b) => new String(b, ISO_8859_1)
+      case _       => ""
+    }
+    def newlineIfShown(): Unit = if (textShown) sb.append('\n')
+
+    while (!lex.eof) {
+      lex.skipWs()
+      if (!lex.eof) {
+        val c = lex.peek
+        if (c == '/' || c == '<' || c == '(' || c == '[' || c.isDigit || c == '+' || c == '-' || c == '.') {
+          try operands += lex.parseObj()
+          catch { case _: ParseError => lex.pos += 1 }
+        } else {
+          // operator token
+          val b = lex.pos
+          while (!lex.eof && {
+            val ch = lex.peek
+            !(ch == ' ' || ch == '\n' || ch == '\r' || ch == '\t' || ch == '\f' || ch == '\u0000' ||
+              "()<>[]{}/%".indexOf(ch) >= 0)
+          }) lex.pos += 1
+          val op = lex.s.substring(b, lex.pos)
+          if (lex.pos == b) lex.pos += 1
+          op match {
+            case "BT" => textShown = false
+            case "ET" =>
+            case "Tj" => if (operands.nonEmpty) { sb.append(strOf(operands.last)); textShown = true }
+            case "TJ" => operands.lastOption match {
+              case Some(PArr(items)) =>
+                items.foreach { case p: PStr => sb.append(strOf(p)); case _ => }
+                textShown = true
+              case _ =>
+            }
+            case "'" =>
+              newlineIfShown()
+              if (operands.nonEmpty) { sb.append(strOf(operands.last)); textShown = true }
+            case "\"" =>
+              newlineIfShown()
+              if (operands.nonEmpty) { sb.append(strOf(operands.last)); textShown = true }
+            case "Td" | "TD" | "T*" | "Tm" => newlineIfShown(); textShown = false
+            case _ => // Tf, colors, graphics — ignored
+          }
+          operands.clear()
+        }
+      }
+    }
+    sb.append('\n')
+    sb.toString
+  }
+
+  // --------------------------------------------------------------- chunking
+  /** Pages per chunk — the reference's `max_pages_per_chunk`
+    * (`pdf_splitter.py:12`, `ocr.py:97`). A chunk boundary is extraction
+    * semantics (it fixes the text-concat unit), so it is preserved exactly.
+    */
+  val MaxPagesPerChunk = 10
+
+  /** Split a PDF into consecutive ≤10-page sub-PDFs, re-serialized
+    * deterministically (uncompressed) so identical source payloads yield
+    * byte-identical chunks — the property the content-hash memoization
+    * (`cache_manager.py:23-25`) relies on.
+    */
+  def chunkBytes(pdf: Array[Byte]): Vector[Array[Byte]] = {
+    val ps = pages(parseDoc(pdf))
+    if (ps.isEmpty) Vector(pdf)
+    else ps.grouped(MaxPagesPerChunk).map { grp =>
+      PdfWriter.buildRaw(grp.map(_.content), compress = false,
+        grp.map(p => (p.width, p.height)))
+    }.toVector
+  }
+
+  // ------------------------------------------------------------- chunk result
+  final case class PageMeta(page_number: Int, width: Double, height: Double, confidence: Double)
+  final case class ChunkResult(text: String, pages: Vector[PageMeta])
+
+  /** bytes(pdf chunk) → ChunkResult — the reference's per-chunk extraction
+    * contract (`ocr.py:56-69`): page_number restarts at 1 per chunk, and
+    * confidence is rounded to 4 decimals (`ocr.py:65`; deterministic 1.0
+    * here — no probabilistic OCR backend exists in this engine).
+    */
+  def extractChunk(chunk: Array[Byte]): ChunkResult = {
+    val ps = pages(parseDoc(chunk))
+    val sb = new java.lang.StringBuilder
+    val metas = Vector.newBuilder[PageMeta]
+    ps.zipWithIndex.foreach { case (p, i) =>
+      sb.append(pageText(p.content))
+      metas += PageMeta(i + 1, p.width, p.height,
+        math.rint(1.0 * 10000) / 10000)
+    }
+    ChunkResult(sb.toString, metas.result())
+  }
+}
