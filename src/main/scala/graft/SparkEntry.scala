@@ -1,13 +1,240 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.fixtures.PageGen
+import graft.pipeline.{Checkpoint, Extraction}
+
+/** Driver contract — one `queries` entry per operator family from
+  * SURVEY.md §2, plus the extraction pipeline itself over the
+  * deterministic synthetic page table (FIXTURES.md).
+  *
+  * Oracle-checked entries (`oracleSql`) run over the driver's
+  * `/root/testdata/<sf>/` Parquet tables and are cross-checked against
+  * DuckDB; every aggregate/computed column is aliased identically on both
+  * sides. Sums over doubles are expressed as exact BIGINT sums
+  * (quantities are integral; prices are summed in cents) so the compare
+  * is FP-noise-free. Pipeline entries (`pipe*`) exercise the extraction
+  * kernels over [[PageGen]] fixtures — not SQL-expressible, so they get
+  * the driver's rows-only check and are byte-verified by `sbt test`
+  * goldens instead.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** Fixture scale used by Verify-time pipeline queries (deterministic). */
+  private val FixtureN = 400
+
+  private def fixturePages(s: SparkSession): DataFrame = {
+    import s.implicits._
+    s.createDataset(PageGen.pages(FixtureN)).toDF()
+  }
+
+  /** Flagship: full extraction pipeline on the synthetic page table.
+    * Driver smoke-checks rows > 0 on sf0.001.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Extraction.extractAll(fixturePages(spark))
+      .select(col("url"), col("source_type"), col("document_type"),
+        col("language"), length(col("extracted_text")).as("text_len"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ------------------------------------------------ B. aggregations
+    "q01_agg_partial_final" -> ((s, dir) => {
+      t(s, dir, "lineitem").groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity").cast("bigint")).as("sum_qty"),
+          sum(round(col("l_extendedprice") * 100, 0).cast("bigint")).as("sum_price_cents"),
+          count(lit(1)).as("cnt"))
+    }),
+    "q02_count_distinct" -> ((s, dir) => {
+      t(s, dir, "events").groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("users"), count(lit(1)).as("cnt"))
+    }),
+    "q16_rollup" -> ((s, dir) => {
+      t(s, dir, "lineitem").rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("cnt"), sum(col("l_quantity").cast("bigint")).as("sum_qty"))
+    }),
+    // ------------------------------------- F. sorts / limits / top-k
+    "q03_topk" -> ((s, dir) => {
+      t(s, dir, "documents").orderBy(desc("n_chars"), asc("doc_id"))
+        .limit(10).select(col("doc_id"), col("n_chars"))
+    }),
+    "q17_point_lookup" -> ((s, dir) => {
+      t(s, dir, "events").where(col("event_id") === 42)
+        .select(col("event_id"), col("user_id"), col("event_type"))
+    }),
+    // ------------------------------------------------ G. windows
+    "q04_window_first" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+        .select(col("user_id"), col("event_id"), col("event_type"))
+    }),
+    // ------------------------------------------------ E. joins
+    "q05_join_agg" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val c = broadcast(t(s, dir, "customer"))
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("orders_cnt"),
+          sum(round(col("o_totalprice") * 100, 0).cast("bigint")).as("total_cents"))
+    }),
+    "q06_anti_join" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val big = t(s, dir, "orders").where(col("o_totalprice") > 400000)
+      c.join(big, c("c_custkey") === big("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey")).agg(count(lit(1)).as("lonely"))
+    }),
+    "q07_semi_join" -> ((s, dir) => {
+      val p = t(s, dir, "part")
+      val l = t(s, dir, "lineitem")
+      p.join(l, p("p_partkey") === l("l_partkey"), "left_semi")
+        .groupBy(col("p_brand")).agg(count(lit(1)).as("used_parts"))
+    }),
+    // ------------------------------------ B1/F1: ordered merge analog
+    "q08_ordered_merge" -> ((s, dir) => {
+      t(s, dir, "events").groupBy(col("user_id"))
+        .agg(sort_array(collect_list(struct(col("ts"), col("event_id"), col("event_type")))).as("sorted"),
+          count(lit(1)).as("cnt"))
+        .select(col("user_id"),
+          array_join(expr("transform(sorted, c -> c.event_type)"), ",").as("event_seq"),
+          col("cnt"))
+    }),
+    // ---------------------------------------- B5/C11: dedup + hashing
+    "q09_dedup_exact" -> ((s, dir) => {
+      t(s, dir, "documents").groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(sha2(col("text"), 256)).as("n_unique"))
+    }),
+    "q11_content_hash" -> ((s, dir) => {
+      t(s, dir, "documents").orderBy(asc("doc_id")).limit(50)
+        .select(col("doc_id"), sha2(col("text"), 256).as("content_hash"))
+    }),
+    // ------------------------------------------- C6: TTL predicate
+    "q10_ttl_filter" -> ((s, dir) => {
+      t(s, dir, "events")
+        .where(col("ts") + expr("INTERVAL 24 HOURS") >
+          lit(java.sql.Timestamp.valueOf("2024-01-30 00:00:00")))
+        .groupBy(col("event_type")).agg(count(lit(1)).as("live_cnt"))
+    }),
+    // -------------------------------------- C3: keyword classification
+    "q12_label_classifier" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .withColumn("document_type",
+          when(lower(col("text")).rlike("window|stream"), "matched").otherwise("unknown"))
+        .groupBy(col("document_type")).agg(count(lit(1)).as("cnt"))
+    }),
+    // ---------------------------------------- text analysis operators
+    "q13_token_count" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("lang"), size(split(trim(col("text")), "\\s+")).as("toks"))
+        .groupBy(col("lang"))
+        .agg(sum(col("toks")).as("total_tokens"), count(lit(1)).as("cnt"))
+    }),
+    "q14_quality_stats" -> ((s, dir) => {
+      t(s, dir, "documents").groupBy(col("source"))
+        .agg(sum(length(col("text"))).as("chars"),
+          sum(length(col("text")) - length(expr("replace(text, ' ', '')"))).as("spaces"),
+          max(col("n_chars")).as("max_chars"))
+    }),
+    // ------------------------------------------------ H. set ops
+    "q15_set_union" -> ((s, dir) => {
+      t(s, dir, "customer").select(col("c_nationkey").as("k"))
+        .union(t(s, dir, "supplier").select(col("s_nationkey").as("k")))
+        .distinct().agg(count(lit(1)).as("n"))
+    }),
+    // ------------------------------------- similarity / embeddings
+    "q18_embedding_norm" -> ((s, dir) => {
+      t(s, dir, "embeddings")
+        .select(col("vec_id"),
+          round(sqrt(expr(
+            "aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)")), 4).as("norm"))
+        .orderBy(asc("vec_id")).limit(100)
+    }),
+    "q19_knn_bruteforce" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.where(col("vec_id") === 7).select(col("embedding").as("qv"))
+      val dot = expr("aggregate(zip_with(embedding, qv, (a, b) -> CAST(a AS DOUBLE) * CAST(b AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)")
+      val nE = expr("sqrt(aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x))")
+      val nQ = expr("sqrt(aggregate(transform(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x))")
+      e.crossJoin(broadcast(q))
+        .select(col("vec_id"), round(dot / (nE * nQ), 6).as("sim"))
+        .orderBy(desc("sim"), asc("vec_id")).limit(10)
+    }),
+    // -------------------------- the extraction pipeline (rows-only)
+    "pipe01_extract_all" -> ((s, _) => {
+      Extraction.extractAll(fixturePages(s))
+        .select(col("url"), col("source_type"), col("extracted_text"),
+          col("document_type"), col("language"), col("chunks_processed"),
+          col("total_chunks"), col("content_blocks"), col("boiler_blocks"), col("ok"))
+    }),
+    "pipe02_html_branch" -> ((s, _) => {
+      import s.implicits._
+      val pages = fixturePages(s).as[graft.pipeline.Page]
+      Extraction.htmlDocs(pages.where(!Extraction.isPdf(col("html")))).toDF()
+        .select(col("url"), col("title"), col("extracted_text"), col("language"),
+          col("content_blocks"), col("boiler_blocks"), col("ok"))
+    }),
+    "pipe03_pdf_chunks" -> ((s, _) => {
+      import s.implicits._
+      val pages = fixturePages(s).as[graft.pipeline.Page]
+      Extraction.pdfChunks(pages.where(Extraction.isPdf(col("html"))))
+        .withColumn("content_hash", sha2(col("payload"), 256))
+        .select(col("url"), col("chunk_idx"), col("total_chunks"), col("content_hash"))
+    }),
+    "pipe04_pdf_merge" -> ((s, _) => {
+      import s.implicits._
+      val pages = fixturePages(s).as[graft.pipeline.Page]
+      Extraction.mergePdfDocs(Extraction.extractChunks(
+          Extraction.pdfChunks(pages.where(Extraction.isPdf(col("html"))))))
+        .select(col("url"), col("extracted_text"), col("chunks_processed"),
+          col("total_chunks"), col("ok"))
+    }),
+    "pipe05_resume_antijoin" -> ((s, _) => {
+      import s.implicits._
+      val pages = Checkpoint.withPartitionCols(fixturePages(s))
+      // seed manifest = the even buckets; the anti-join must return the odd ones
+      val manifest = pages.select(col("ts_day"), col("url_bucket")).distinct()
+        .where(pmod(col("url_bucket"), lit(2)) === 0)
+      Checkpoint.resume(fixturePages(s), manifest)
+        .select(col("url"), col("ts_day"), col("url_bucket"))
+    }),
+    "pipe06_metrics" -> ((s, _) => {
+      val pages = Checkpoint.withPartitionCols(fixturePages(s))
+      val docs = Extraction.extractAll(fixturePages(s))
+      Checkpoint.metrics(pages, docs, "verify-run")
+    }),
+    "pipe07_summary" -> ((s, _) => {
+      Extraction.summary(Extraction.extractAll(fixturePages(s)))
+    }),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_agg_partial_final" -> "SELECT l_returnflag, l_linestatus, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty, CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS sum_price_cents, count(*) AS cnt FROM lineitem GROUP BY l_returnflag, l_linestatus",
+    "q02_count_distinct" -> "SELECT event_type, count(DISTINCT user_id) AS users, count(*) AS cnt FROM events GROUP BY event_type",
+    "q03_topk" -> "SELECT doc_id, n_chars FROM documents ORDER BY n_chars DESC, doc_id LIMIT 10",
+    "q04_window_first" -> "SELECT user_id, event_id, event_type FROM (SELECT user_id, event_id, event_type, row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn FROM events) t WHERE rn = 1",
+    "q05_join_agg" -> "SELECT c.c_mktsegment, count(*) AS orders_cnt, CAST(sum(CAST(round(o.o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS total_cents FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey GROUP BY c.c_mktsegment",
+    "q06_anti_join" -> "SELECT c.c_nationkey, count(*) AS lonely FROM customer c WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000) GROUP BY c.c_nationkey",
+    "q07_semi_join" -> "SELECT p.p_brand, count(*) AS used_parts FROM part p WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey) GROUP BY p.p_brand",
+    "q08_ordered_merge" -> "SELECT user_id, string_agg(event_type, ',' ORDER BY ts, event_id) AS event_seq, count(*) AS cnt FROM events GROUP BY user_id",
+    "q09_dedup_exact" -> "SELECT lang, count(*) AS n_docs, count(DISTINCT sha256(text)) AS n_unique FROM documents GROUP BY lang",
+    "q10_ttl_filter" -> "SELECT event_type, count(*) AS live_cnt FROM events WHERE ts + INTERVAL 24 HOUR > TIMESTAMP '2024-01-30 00:00:00' GROUP BY event_type",
+    "q11_content_hash" -> "SELECT doc_id, sha256(text) AS content_hash FROM documents ORDER BY doc_id LIMIT 50",
+    "q12_label_classifier" -> "SELECT CASE WHEN regexp_matches(lower(text), 'window|stream') THEN 'matched' ELSE 'unknown' END AS document_type, count(*) AS cnt FROM documents GROUP BY 1",
+    "q13_token_count" -> "SELECT lang, CAST(sum(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT) AS total_tokens, count(*) AS cnt FROM documents GROUP BY lang",
+    "q14_quality_stats" -> "SELECT source, CAST(sum(length(text)) AS BIGINT) AS chars, CAST(sum(length(text) - length(replace(text, ' ', ''))) AS BIGINT) AS spaces, max(n_chars) AS max_chars FROM documents GROUP BY source",
+    "q15_set_union" -> "SELECT count(*) AS n FROM (SELECT c_nationkey AS k FROM customer UNION SELECT s_nationkey FROM supplier) t",
+    "q16_rollup" -> "SELECT l_returnflag, l_linestatus, count(*) AS cnt, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)",
+    "q17_point_lookup" -> "SELECT event_id, user_id, event_type FROM events WHERE event_id = 42",
+    "q18_embedding_norm" -> "SELECT vec_id, round(sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS norm FROM embeddings ORDER BY vec_id LIMIT 100",
+    "q19_knn_bruteforce" -> ("SELECT e.vec_id, round(" +
+      "(SELECT sum(CAST(a.v AS DOUBLE) * CAST(b.v AS DOUBLE)) FROM (SELECT unnest(e.embedding) AS v, generate_subscripts(e.embedding, 1) AS i) a JOIN (SELECT unnest(q.embedding) AS v, generate_subscripts(q.embedding, 1) AS i FROM embeddings q WHERE q.vec_id = 7) b ON a.i = b.i) " +
+      "/ (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * (SELECT sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) FROM embeddings q WHERE q.vec_id = 7)), 6) AS sim " +
+      "FROM embeddings e ORDER BY sim DESC, vec_id LIMIT 10"),
+  )
 }

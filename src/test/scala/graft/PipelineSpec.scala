@@ -1,0 +1,166 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.fixtures.PageGen
+import graft.pipeline._
+import java.sql.Timestamp
+import java.nio.file.Files
+
+final case class CacheResult(text: String, pages: Seq[PageMeta],
+                             labels: Seq[Label], language: String)
+final case class CacheEntry(content_hash: String, committed_ts: Timestamp,
+                            result: CacheResult)
+
+class PipelineSpec extends AnyFunSuite with SparkSuite {
+  import spark.implicits._
+
+  private lazy val fixture = PageGen.pages(300)
+  private lazy val pagesDs = spark.createDataset(fixture)
+  private lazy val docs = Extraction.extractAll(pagesDs.toDF()).cache()
+
+  test("byte-identity: extracted text matches ground truth for every url") {
+    val got = docs.select($"url", $"extracted_text").as[(String, String)].collect().toMap
+    val truth = fixture.map(p => p.url -> p.text).toMap
+    assert(got.size === truth.size)
+    val mismatches = truth.collect {
+      case (url, t) if got(url) != t => url
+    }
+    assert(mismatches.isEmpty,
+      s"${mismatches.size} mismatches, first: ${mismatches.headOption
+        .map(u => s"$u\nGOT [${got(u).take(200)}]\nWANT[${truth(u).take(200)}]")}")
+  }
+
+  test("every output row is ok and one row per input url") {
+    assert(docs.where(!$"ok").count() === 0)
+    assert(docs.count() === fixture.size)
+  }
+
+  test("pdf branch: multi-chunk docs merged in order with page metadata") {
+    val pdfDocs = docs.where($"source_type" === "pdf")
+    assert(pdfDocs.count() > 0)
+    val multi = pdfDocs.where($"total_chunks" > 1)
+    assert(multi.count() > 0, "fixtures must include >10-page PDFs")
+    assert(multi.where($"chunks_processed" =!= $"total_chunks").count() === 0)
+    // page metadata present and confidence rounded to 4dp == 1.0
+    val badConf = pdfDocs.where(exists($"pages", p => p.getField("confidence") =!= 1.0))
+    assert(badConf.count() === 0)
+  }
+
+  test("dedup by sha2: duplicate payloads share hashes and results") {
+    // force byte-identical PDF payloads under distinct urls
+    val onePdf = fixture.find(p => new String(p.html.take(5)) == "%PDF-").get
+    val dupd = fixture ++ Seq(
+      onePdf.copy(url = "https://dup.example.com/a"),
+      onePdf.copy(url = "https://dup.example.com/b"))
+    val pdfPages = spark.createDataset(dupd).where(Extraction.isPdf($"html")).as[Page]
+    val chunks = Extraction.pdfChunks(pdfPages)
+    val hashed = chunks.withColumn("content_hash", sha2($"payload", 256))
+    val total = hashed.count()
+    val uniq = hashed.select("content_hash").distinct().count()
+    assert(uniq < total, s"expected duplicate chunks (uniq=$uniq total=$total)")
+    // rejoin restores exactly one result per (url, chunk_idx)
+    val res = Extraction.extractChunks(chunks)
+    assert(res.count() === total)
+    assert(res.groupBy("url", "chunk_idx").count().where($"count" > 1).count() === 0)
+  }
+
+  test("language prefix rule and html language detection") {
+    val langs = docs.select($"url", $"language").as[(String, String)].collect().toMap
+    val truthLang = fixture.map(p => p.url -> p.lang).toMap
+    val agree = truthLang.count { case (u, l) => langs(u) == l }
+    // heuristic: expect the vast majority to agree (mixed vocab rows may differ)
+    assert(agree.toDouble / truthLang.size > 0.9, s"lang agreement $agree/${truthLang.size}")
+  }
+
+  test("classifier: technical PDFs labelled technical_drawing, others unknown") {
+    val byType = docs.groupBy($"document_type").count().as[(String, Long)].collect().toMap
+    assert(byType.contains("technical_drawing"))
+    assert(byType("unknown") > byType("technical_drawing"))
+    // every technical_drawing doc really has a qualifying label
+    val bad = docs.where($"document_type" === "technical_drawing" &&
+      !exists($"labels", l => l.getField("score") > 0.8 &&
+        lower(l.getField("description")).rlike(Extraction.ClassifierRegex)))
+    assert(bad.count() === 0)
+  }
+
+  test("salt invariance: output independent of input partitioning") {
+    val repart = Extraction.extractAll(pagesDs.toDF().repartition(13, $"lang"))
+    val a = docs.select($"url", $"extracted_text").as[(String, String)].collect().toMap
+    val b = repart.select($"url", $"extracted_text").as[(String, String)].collect().toMap
+    assert(a === b)
+  }
+
+  test("result cache: fresh entries reused, stale (>24h) recomputed") {
+    val pdfPages = pagesDs.where(Extraction.isPdf($"html")).as[Page]
+    val chunks = Extraction.pdfChunks(pdfPages).cache()
+    val someHash = chunks.withColumn("h", sha2($"payload", 256))
+      .select($"h").as[String].head()
+    val asOf = new Timestamp(PageGen.EpochMs)
+    def cacheWith(ts: Timestamp) = spark.createDataset(Seq(
+      CacheEntry(someHash, ts, CacheResult("FROM_CACHE", Seq.empty, Seq.empty, "en")))).toDF()
+
+    val fresh = Extraction.extractChunks(chunks,
+      Some(cacheWith(new Timestamp(PageGen.EpochMs - 3600 * 1000))), Some(asOf))
+    assert(fresh.where($"content_hash" === someHash && $"text" === "FROM_CACHE").count() > 0)
+
+    val stale = Extraction.extractChunks(chunks,
+      Some(cacheWith(new Timestamp(PageGen.EpochMs - 25L * 3600 * 1000))), Some(asOf))
+    assert(stale.where($"text" === "FROM_CACHE").count() === 0)
+    chunks.unpersist()
+  }
+
+  test("summary projection has the 4-line reference format") {
+    val s = Extraction.summary(docs).as[(String, String)].head()._2
+    assert(s.startsWith("Document Analysis Summary\n"))
+    assert(s.contains("Filename: https://"))
+    assert(s.contains("Total pages: "))
+    assert(s.contains("Chunks processed: "))
+    assert(s.contains("characters\n"))
+  }
+
+  test("checkpointed run: idempotent resume via manifest anti-join") {
+    val tmp = Files.createTempDirectory("graft-run").toString
+    val (pagesDir, outDir, maniDir, metDir) =
+      (s"$tmp/pages", s"$tmp/docs", s"$tmp/manifest", s"$tmp/metrics")
+    Checkpoint.writePages(pagesDs.toDF(), pagesDir)
+
+    val t0 = new Timestamp(PageGen.EpochMs)
+    val n1 = Checkpoint.run(spark, pagesDir, outDir, maniDir, metDir, "run1", t0)
+    assert(n1 === fixture.size)
+    // second run: everything committed → nothing to do
+    val n2 = Checkpoint.run(spark, pagesDir, outDir, maniDir, metDir, "run2", t0)
+    assert(n2 === 0)
+
+    // outputs equal the direct pipeline, byte-for-byte
+    val persisted = spark.read.parquet(outDir)
+      .select($"url", $"extracted_text").as[(String, String)].collect().toMap
+    val direct = fixture.map(p => p.url -> p.text).toMap
+    assert(persisted === direct)
+
+    // metrics reconcile with the page table
+    val m = spark.read.parquet(metDir)
+    assert(m.agg(sum($"docs")).as[Long].head() === fixture.size.toLong)
+    assert(m.agg(sum($"failed")).as[Long].head() === 0L)
+    assert(m.where($"bytes_in" <= 0 || $"bytes_out" <= 0).count() === 0)
+
+    // partial-failure resume: drop the manifest rows of half the partitions
+    // and re-run — exactly the complement is re-processed
+    val mani = spark.read.parquet(maniDir)
+    val keep = mani.where(pmod($"url_bucket", lit(2)) === 0)
+    val tmp2 = s"$tmp/manifest2"
+    keep.write.parquet(tmp2)
+    val todo = Checkpoint.resume(spark.read.parquet(pagesDir), spark.read.parquet(tmp2))
+    val expected = Checkpoint.withPartitionCols(pagesDs.toDF())
+      .where(pmod($"url_bucket", lit(2)) === 1).count()
+    assert(todo.count() === expected)
+  }
+
+  test("manifest listing is newest-first") {
+    val mani = Seq(
+      (java.sql.Date.valueOf("2024-01-01"), 0, 5L, "r1", new Timestamp(1000), "p1"),
+      (java.sql.Date.valueOf("2024-01-02"), 1, 5L, "r2", new Timestamp(2000), "p2"))
+      .toDF("ts_day", "url_bucket", "docs", "run_id", "committed_ts", "path")
+    assert(Checkpoint.listing(mani).select($"path").as[String].collect().toSeq === Seq("p2", "p1"))
+  }
+}
