@@ -165,6 +165,55 @@ object SparkEntry {
         .select(col("vec_id"), round(dot / (nE * nQ), 6).as("sim"))
         .orderBy(desc("sim"), asc("vec_id")).limit(10)
     }),
+    // ------------------------------- dedup / similarity / text ops
+    "q20_jaccard_pairs" -> ((s, dir) => {
+      graft.ops.Dedup.wordJaccardPairs(t(s, dir, "documents"), "doc_id", "text", 0.9)
+        .withColumnRenamed("a_id", "a_id").withColumnRenamed("b_id", "b_id")
+    }),
+    "q21_cosine_neardup" -> ((s, dir) => {
+      graft.ops.Dedup.cosinePairsExact(t(s, dir, "embeddings"), "vec_id", "embedding", 0.4)
+    }),
+    "q22_lang_id" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(graft.ops.TextOps.langId(col("text")).as("lang_id"))
+        .groupBy(col("lang_id")).agg(count(lit(1)).as("cnt"))
+    }),
+    "q23_quality_score" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), graft.ops.TextOps.qualityScore(col("text")).as("q"))
+    }),
+    "q24_fingerprint" -> ((s, dir) => {
+      t(s, dir, "documents").orderBy(asc("doc_id")).limit(100)
+        .select(col("doc_id"), graft.ops.TextOps.fingerprint(col("text")).as("fp"))
+    }),
+    "pipe08_minhash_lsh" -> ((s, _) => {
+      graft.ops.Dedup.minhashNearDupPairs(
+        fixturePages(s).select(col("url"), col("text")), "url", "text",
+        shingleK = 3, numHashes = 32, numBands = 8, threshold = 0.8)
+    }),
+    "pipe09_simhash_pairs" -> ((s, _) => {
+      val withId = fixturePages(s)
+        .select(xxhash64(col("url")).as("id"), col("text"), col("url"))
+      graft.ops.Dedup.simHashPairs(withId.select(col("id"), col("text")), "id", "text", 3)
+    }),
+    "pipe10_ann_lsh" -> ((s, dir) => {
+      graft.ops.Similarity.annLshTopK(t(s, dir, "embeddings"),
+        "vec_id", "embedding", queryId = 7L, k = 10, tables = 10, planesPerTable = 5)
+    }),
+    "pipe11_media_features" -> ((s, _) => {
+      import s.implicits._
+      val media = s.createDataset(graft.fixtures.MediaGen.media(300))
+      graft.ops.Multimodal.featureStats(
+        graft.ops.Multimodal.extractFeatures(media).toDF())
+    }),
+    "pipe12_rolling_fingerprints" -> ((s, _) => {
+      import s.implicits._
+      fixturePages(s).select(col("url"), col("text")).as[(String, String)]
+        .mapPartitions(_.map { case (url, text) =>
+          (url, graft.kernel.TextStats.rollingFingerprints(
+            graft.kernel.TextStats.tokens(text), window = 5, k = 8).toSeq)
+        }).toDF("url", "fingerprints")
+    }),
     // -------------------------- the extraction pipeline (rows-only)
     "pipe01_extract_all" -> ((s, _) => {
       Extraction.extractAll(fixturePages(s))
@@ -213,7 +262,51 @@ object SparkEntry {
     }),
   )
 
-  def oracleSql: Map[String, String] = Map(
+  /** DuckDB rendition of the columnar lang-id / quality / dedup operators,
+    * generated from the same stopword profiles so the two sides can never
+    * drift.
+    */
+  private def opsOracleSql: Map[String, String] = {
+    def arr(ws: Iterable[String]) = ws.toSeq.sorted.map(w => s"'$w'").mkString("[", ", ", "]")
+    val hits = graft.kernel.Lang.profiles.map { case (l, ws) =>
+      l -> (s"len(list_filter(list_filter(regexp_split_to_array(lower(text), '[^\\pL]+'), " +
+        s"t -> t <> ''), t -> list_contains(${arr(ws)}, t)))")
+    }.toMap
+    val toks = "CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE)"
+    Map(
+      "q20_jaccard_pairs" ->
+        ("WITH tok AS (SELECT doc_id, unnest(list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+'))) AS w, " +
+          "len(list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+'))) AS nw FROM documents), " +
+          "inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_both, max(a.nw) AS na, max(b.nw) AS nb " +
+          "FROM tok a JOIN tok b ON a.w = b.w AND a.doc_id < b.doc_id GROUP BY a.doc_id, b.doc_id) " +
+          "SELECT a_id, b_id, round(CAST(n_both AS DOUBLE) / (na + nb - n_both), 4) AS jac " +
+          "FROM inter WHERE CAST(n_both AS DOUBLE) / (na + nb - n_both) >= 0.9"),
+      "q21_cosine_neardup" ->
+        ("WITH ex AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i, CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings), " +
+          "dots AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id, sum(a.v * b.v) AS dot FROM ex a JOIN ex b ON a.i = b.i AND a.vec_id < b.vec_id GROUP BY a.vec_id, b.vec_id), " +
+          "norms AS (SELECT vec_id, sqrt(sum(v * v)) AS n FROM ex GROUP BY vec_id) " +
+          "SELECT a_id, b_id, round(dot / (na.n * nb.n), 4) AS cos FROM dots " +
+          "JOIN norms na ON na.vec_id = a_id JOIN norms nb ON nb.vec_id = b_id " +
+          "WHERE round(dot / (na.n * nb.n), 4) >= 0.4"),
+      "q22_lang_id" ->
+        (s"WITH scored AS (SELECT ${hits("en")} AS en_h, ${hits("fr")} AS fr_h, ${hits("de")} AS de_h, ${hits("es")} AS es_h FROM documents) " +
+          "SELECT CASE WHEN en_h = 0 AND fr_h = 0 AND de_h = 0 AND es_h = 0 THEN 'und' " +
+          "WHEN en_h >= fr_h AND en_h >= de_h AND en_h >= es_h THEN 'en' " +
+          "WHEN fr_h >= de_h AND fr_h >= es_h THEN 'fr' " +
+          "WHEN de_h >= es_h THEN 'de' ELSE 'es' END AS lang_id, count(*) AS cnt " +
+          "FROM scored GROUP BY 1"),
+      "q23_quality_score" ->
+        (s"SELECT doc_id, round(least($toks / 100.0, 1.0) * " +
+          "(1.0 - CAST(length(regexp_replace(text, '[\\pL\\pN\\s]', '', 'g')) AS DOUBLE) / CAST(greatest(length(text), 1) AS DOUBLE)) * " +
+          s"(CASE WHEN CAST(length(text) AS DOUBLE) / greatest($toks, 1.0) BETWEEN 3 AND 12 THEN 1.0 ELSE 0.5 END), 4) AS q " +
+          "FROM documents"),
+      "q24_fingerprint" ->
+        ("SELECT doc_id, sha256(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp " +
+          "FROM documents ORDER BY doc_id LIMIT 100"),
+    )
+  }
+
+  def oracleSql: Map[String, String] = opsOracleSql ++ Map(
     "q01_agg_partial_final" -> "SELECT l_returnflag, l_linestatus, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty, CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS sum_price_cents, count(*) AS cnt FROM lineitem GROUP BY l_returnflag, l_linestatus",
     "q02_count_distinct" -> "SELECT event_type, count(DISTINCT user_id) AS users, count(*) AS cnt FROM events GROUP BY event_type",
     "q03_topk" -> "SELECT doc_id, n_chars FROM documents ORDER BY n_chars DESC, doc_id LIMIT 10",

@@ -1,0 +1,92 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: image/audio/video payloads ride as opaque
+  * `binary` columns with typed metadata; decode / feature-extraction /
+  * resize / frame-sampling run per-partition over the binary batches.
+  *
+  * The container has no codec libraries, so the byte-level decoders below
+  * parse a deterministic fixture container format (header + raw samples,
+  * see [[graft.fixtures.MediaGen]]) — they are **STUBs for real codecs**:
+  * swap `decodeImage`/`decodeAudio`/`decodeVideo` bodies for libjpeg/ffmpeg
+  * bindings and everything else (schema, typed Dataset plumbing,
+  * mapPartitions batch shape, partitioning) is production-shaped and
+  * tested.
+  */
+object Multimodal {
+
+  final case class Media(media_id: Long, doc_url: String, kind: String,
+                         payload: Array[Byte])
+  final case class MediaFeatures(media_id: Long, kind: String,
+                                 width: Int, height: Int, sample_rate: Int,
+                                 n_frames: Int, n_bytes: Long,
+                                 mean_level: Double, hist8: Seq[Long],
+                                 thumb_bytes: Int, sampled_frames: Int,
+                                 ok: Boolean, error: String)
+
+  private def be32(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
+      ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+
+  private def stats(b: Array[Byte], off: Int): (Double, Array[Long]) = {
+    val hist = new Array[Long](8)
+    var sum = 0L
+    var i = off
+    while (i < b.length) {
+      val v = b(i) & 0xff
+      sum += v
+      hist(v >>> 5) += 1
+      i += 1
+    }
+    val n = math.max(b.length - off, 1)
+    (math.rint(sum.toDouble / n * 10000) / 10000, hist)
+  }
+
+  /** STUB decode (real plumbing): parse the fixture container header,
+    * compute pixel/sample statistics, emit a ≤64-byte "thumbnail" by
+    * stride-subsampling (the resize stand-in) and sample every 5th frame
+    * (the frame-sample stand-in).
+    */
+  def decodeOne(m: Media): MediaFeatures = try {
+    val magic = new String(m.payload.take(4), java.nio.charset.StandardCharsets.ISO_8859_1)
+    val (w, h, rate, frames, dataOff) = magic match {
+      case "IMG1" => (be32(m.payload, 4), be32(m.payload, 8), 0, 1, 12)
+      case "AUD1" => (0, 0, be32(m.payload, 4), 1, 12)
+      case "VID1" => (be32(m.payload, 4), be32(m.payload, 8),
+        be32(m.payload, 12), be32(m.payload, 16), 20)
+      case other => throw new IllegalArgumentException(s"unknown container '$other'")
+    }
+    val (mean, hist) = stats(m.payload, dataOff)
+    val body = m.payload.length - dataOff
+    val thumb = math.min(64, body) // stride subsample length (resize stub)
+    val sampled = if (frames <= 1) frames else (frames + 4) / 5
+    MediaFeatures(m.media_id, m.kind, w, h, rate, frames, m.payload.length.toLong,
+      mean, hist.toSeq, thumb, sampled, ok = true, error = "")
+  } catch {
+    case e: Exception =>
+      MediaFeatures(m.media_id, m.kind, 0, 0, 0, 0,
+        Option(m.payload).map(_.length.toLong).getOrElse(0L),
+        0.0, Seq.fill(8)(0L), 0, 0, ok = false, error = String.valueOf(e.getMessage))
+  }
+
+  /** The typed batch stage: binary rows in, feature rows out, one kernel
+    * pass per partition (the Scala analog of a `mapInPandas` batch UDF:
+    * same schema-in/schema-out contract, iterator-based so payload bytes
+    * stream through without materializing the partition).
+    */
+  def extractFeatures(media: Dataset[Media]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map(decodeOne))
+  }
+
+  /** Per-kind feature rollup (bytes, levels, failure counts). */
+  def featureStats(features: DataFrame): DataFrame =
+    features.groupBy(col("kind")).agg(
+      count(lit(1)).as("n"),
+      sum(col("n_bytes")).as("total_bytes"),
+      round(avg(col("mean_level")), 4).as("avg_level"),
+      sum(col("sampled_frames")).as("frames_sampled"),
+      sum((!col("ok")).cast("long")).as("failed"))
+}

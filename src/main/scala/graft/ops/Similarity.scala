@@ -1,0 +1,83 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`Array[Float]`): brute-force cosine top-k as the exact baseline, and
+  * a multi-table random-hyperplane LSH variant as the scale path
+  * (Indyk–Motwani / Charikar SRP-LSH — public algorithms, built from
+  * scratch on Catalyst primitives: `zip_with`, `aggregate`, `transform`).
+  */
+object Similarity {
+
+  /** Sequential-fold dot product in double precision (deterministic:
+    * left-to-right over the array, same order every run/engine).
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def l2norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, x) => acc + x))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
+
+  /** Deterministic pseudo-random unit hyperplanes (seeded; no wall-clock). */
+  def randomPlanes(numPlanes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {
+    val r = new scala.util.Random(seed)
+    Seq.fill(numPlanes)(Seq.fill(dim)(r.nextGaussian()))
+  }
+
+  /** Sign signature of `vec` against `planes`, packed into one long:
+    * bit b = (vec · planes(b)) > 0. Columnar — each plane is a literal
+    * array, the dot is a codegen'd fold.
+    */
+  def hyperplaneSig(vec: Column, planes: Seq[Seq[Double]]): Column =
+    planes.zipWithIndex.map { case (p, b) =>
+      when(dot(vec, typedLit(p)) > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Exact brute-force cosine top-k for one query id: broadcast the single
+    * query row, score all, take k. The ranking key is the 6 dp-rounded
+    * similarity with id tie-break, so the cut is total and deterministic.
+    */
+  def bruteForceTopK(df: DataFrame, idCol: String, vecCol: String,
+                     queryId: Long, k: Int): DataFrame = {
+    val q = df.where(col(idCol) === queryId).select(col(vecCol).as("qv"))
+    df.crossJoin(broadcast(q))
+      .select(col(idCol), round(cosine(col(vecCol), col("qv")), 6).as("sim"))
+      .orderBy(desc("sim"), asc(idCol))
+      .limit(k)
+  }
+
+  /** ANN top-k via L independent hyperplane-LSH tables: a candidate is any
+    * row sharing the query's bucket in ≥1 table; candidates are scored
+    * exactly and cut to k. Collision probability per table for angle θ is
+    * (1−θ/π)^planesPerTable; L tables union to the target recall — tune
+    * (L, planesPerTable) to corpus size (more planes → smaller buckets →
+    * cheaper verify, lower per-table recall).
+    */
+  def annLshTopK(df: DataFrame, idCol: String, vecCol: String,
+                 queryId: Long, k: Int,
+                 tables: Int = 10, planesPerTable: Int = 5,
+                 dim: Int = 64, seed: Long = 42L): DataFrame = {
+    val allPlanes = (0 until tables).map(t =>
+      randomPlanes(planesPerTable, dim, seed + t))
+    // one signature column per table, exploded into (table_idx, bucket)
+    val sigs = array(allPlanes.zipWithIndex.map { case (p, t) =>
+      struct(lit(t).as("t"), hyperplaneSig(col(vecCol), p).as("bucket"))
+    }: _*)
+    val bucketed = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      explode(sigs).as("tb")).select(col("id"), col("vec"),
+      col("tb.t").as("t"), col("tb.bucket").as("bucket"))
+    val qb = bucketed.where(col("id") === queryId)
+      .select(col("t"), col("bucket"), col("vec").as("qv"))
+    bucketed.join(broadcast(qb), Seq("t", "bucket"))
+      .select(col("id"), col("vec"), col("qv")).dropDuplicates("id")
+      .select(col("id"), round(cosine(col("vec"), col("qv")), 6).as("sim"))
+      .orderBy(desc("sim"), asc("id"))
+      .limit(k)
+  }
+}

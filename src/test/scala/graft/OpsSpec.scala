@@ -1,0 +1,152 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.fixtures.{MediaGen, PageGen}
+import graft.kernel.{Lang, TextStats}
+import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
+
+class OpsSpec extends AnyFunSuite with SparkSuite {
+  import spark.implicits._
+
+  // corpus: fixture ground-truth texts + mutated near-duplicates
+  private lazy val corpus = {
+    val base = PageGen.pages(120).zipWithIndex.map { case (p, i) => (i.toLong, p.text) }
+    val muts = base.take(25).map { case (id, t) =>
+      val toks = t.split(' ')
+      (1000L + id, toks.patch(toks.length / 2, Nil, 1).mkString(" ")) // drop one word
+    }
+    val exactDups = base.slice(25, 35).map { case (id, t) => (2000L + id, t) }
+    base ++ muts ++ exactDups
+  }
+  private lazy val corpusDf = corpus.toDF("id", "text").cache()
+
+  test("exact dedup groups byte-identical texts") {
+    val d = Dedup.exact(corpusDf, "id", "text")
+    assert(d.agg(sum($"dup_count")).as[Long].head() === corpus.size.toLong)
+    assert(d.where($"dup_count" >= 2).count() >= 10)
+    assert(d.count() < corpus.size)
+  }
+
+  test("word-set jaccard pairs: handcrafted values exact") {
+    val df = Seq((1L, "a b c d"), (2L, "a b c e"), (3L, "x y z"), (4L, "a b c d"))
+      .toDF("id", "text")
+    val pairs = Dedup.wordJaccardPairs(df, "id", "text", 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(pairs === Set((1L, 2L, 0.6), (1L, 4L, 1.0), (2L, 4L, 0.6)))
+  }
+
+  test("minhash LSH: exact precision, high recall vs exact shingle jaccard") {
+    val k = 3
+    val sh = corpusDf.select($"id",
+      array_distinct(Dedup.shingles($"text", k)).as("sh"))
+    val jac = size(array_intersect($"a.sh", $"b.sh")).cast("double") /
+      size(array_union($"a.sh", $"b.sh")).cast("double")
+    val exact = sh.as("a").join(sh.as("b"), $"a.id" < $"b.id")
+      .where(jac >= 0.8)
+      .select($"a.id".as("a_id"), $"b.id".as("b_id"), round(jac, 4).as("jac"))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(exact.nonEmpty, "corpus must contain shingle near-dups")
+
+    val lsh = Dedup.minhashNearDupPairs(corpusDf, "id", "text",
+      shingleK = k, numHashes = 32, numBands = 8, threshold = 0.8)
+      .as[(Long, Long, Double)].collect().toSet
+
+    // precision is exact by construction (candidates verified with true jaccard)
+    assert(lsh.forall(p => exact.contains(p)), "LSH produced a pair exact search lacks")
+    val recall = lsh.size.toDouble / exact.size
+    info(s"minhash-LSH recall = ${lsh.size}/${exact.size} = $recall")
+    assert(recall >= 0.9, s"recall $recall below 0.9")
+  }
+
+  test("simhash: pigeonhole block join finds exactly the hamming<=3 pairs") {
+    val pairs = Dedup.simHashPairs(corpusDf, "id", "text", maxHamming = 3)
+      .as[(Long, Long, Int)].collect().toSet
+    // brute-force truth over collected signatures
+    val sigs = Dedup.simHashes(corpusDf, "id", "text").as[(Long, Long)].collect()
+    val truth = (for {
+      (ia, sa) <- sigs; (ib, sb) <- sigs
+      if ia < ib && TextStats.hamming64(sa, sb) <= 3
+    } yield (ia, ib, TextStats.hamming64(sa, sb))).toSet
+    assert(pairs === truth)
+    assert(truth.exists(_._3 === 0), "exact dups must collide at hamming 0")
+  }
+
+  private lazy val emb = spark.read
+    .parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+
+  test("embedding near-dup: LSH subset of exact, with measured recall") {
+    val exact = Dedup.cosinePairsExact(emb, "vec_id", "embedding", 0.4)
+      .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty)
+    val planes = Similarity.randomPlanes(6, 64)
+    val lsh = Dedup.cosineNearDupLsh(emb, "vec_id", "embedding", 0.4, planes)
+      .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(exact), "LSH precision must be exact (verified pairs)")
+    info(s"cosine-LSH recall = ${lsh.size}/${exact.size} (single table, 6 planes)")
+  }
+
+  test("ann: brute-force topk deterministic; LSH topk scores bounded by it") {
+    val bf = Similarity.bruteForceTopK(emb, "vec_id", "embedding", 7L, 10)
+      .as[(Long, Double)].collect()
+    assert(bf.head === ((7L, 1.0)))
+    assert(bf.length === 10)
+    val ann = Similarity.annLshTopK(emb, "vec_id", "embedding", 7L, 10,
+      tables = 10, planesPerTable = 5)
+      .as[(Long, Double)].collect()
+    assert(ann.head === ((7L, 1.0)))
+    assert(ann.map(_._2).max <= bf.map(_._2).max + 1e-9)
+    val overlap = ann.map(_._1).toSet.intersect(bf.map(_._1).toSet).size
+    info(s"ANN overlap@10 with brute force = $overlap/10")
+    assert(overlap >= 1)
+  }
+
+  test("columnar langId agrees with the kernel Lang.detect") {
+    val texts = PageGen.pages(150).map(_.text)
+    val got = texts.toDF("text").select(TextOps.langId($"text")).as[String].collect()
+    val want = texts.map(Lang.detect)
+    assert(got.toSeq === want.toSeq)
+  }
+
+  test("quality score in [0,1]; fingerprint equals normalized sha2") {
+    val df = corpusDf.select($"id", $"text",
+      TextOps.qualityScore($"text").as("q"), TextOps.fingerprint($"text").as("fp"))
+    assert(df.where($"q" < 0 || $"q" > 1).count() === 0)
+    val (t, fp) = df.select($"text", $"fp").as[(String, String)].head()
+    val norm = t.trim.toLowerCase.replaceAll("\\s+", " ")
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val want = md.digest(norm.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(fp === want)
+  }
+
+  test("multimodal: decode stub plumbing over binary batches") {
+    val media = spark.createDataset(MediaGen.media(200))
+    val feats = Multimodal.extractFeatures(media).cache()
+    assert(feats.count() === 200)
+    assert(feats.where(!$"ok").count() === 0)
+    assert(feats.select($"kind").distinct().count() === 3)
+    assert(feats.where($"kind" === "image" && ($"width" <= 0 || $"height" <= 0)).count() === 0)
+    assert(feats.where($"kind" === "audio" && $"sample_rate" <= 0).count() === 0)
+    // histogram mass == decoded body bytes
+    val bad = feats.where($"kind" === "image" &&
+      expr("aggregate(hist8, 0L, (a, x) -> a + x)") =!= ($"n_bytes" - 12)).count()
+    assert(bad === 0)
+    val stats = Multimodal.featureStats(feats.toDF())
+    assert(stats.count() === 3)
+
+    // corrupted payload → isolated failure row, no crash
+    val broken = spark.createDataset(Seq(
+      Multimodal.Media(9999L, "https://x/bad", "image", Array[Byte](1, 2, 3))))
+    val f = Multimodal.extractFeatures(broken).collect().head
+    assert(!f.ok && f.error.nonEmpty)
+  }
+
+  test("determinism: media and page generators are seed-stable") {
+    val a = MediaGen.media(50).map(_.payload.toSeq)
+    val b = MediaGen.media(50).map(_.payload.toSeq)
+    assert(a === b)
+    val p1 = PageGen.pages(50).map(p => (p.url, p.text, p.html.toSeq))
+    val p2 = PageGen.pages(50).map(p => (p.url, p.text, p.html.toSeq))
+    assert(p1 === p2)
+  }
+}
