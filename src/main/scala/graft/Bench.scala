@@ -1,24 +1,91 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.pipeline.{Checkpoint, Extraction}
+
+/** Benchmark main (driver-run per round → BENCH_r{N}.json).
+  *
+  * Emits ONE JSON line on stdout:
+  *   - `queries`: per-query wall seconds for every `SparkEntry.queries`
+  *     entry over `SPARK_GRAFT_SF_DIR` (default sf0.1) at `local[cpus]`;
+  *   - `scaling`: the north-rule two-cluster-size evidence — the same
+  *     extraction job (partitioned-Parquet page table → full
+  *     [[Extraction.extractAll]], forced by an aggregating action) at
+  *     `local[8]` and `local[32]` on identical input, with docs/sec at
+  *     both and `efficiency = (thr_hi / thr_lo) / (cores_hi / cores_lo)`
+  *     (target ≥ 0.8 per BASELINE.json). A real 2-size cluster is not
+  *     available in-sandbox; two parallelism levels in one JVM stand in,
+  *     with a JIT warm-up pass before each timed run so the second
+  *     session doesn't profit from the first one's compiled code.
+  */
 object Bench {
+
+  private def session(cores: Int): SparkSession =
+    Extraction.configure(SparkSession.builder().master(s"local[$cores]"), cores)
+      .getOrCreate()
+
+  /** Force full extraction of every page (scan → kernels → merge →
+    * classify) with a cheap aggregating action — no sink IO in the timed
+    * region. Returns (plan-build+listing untimed, action timed) seconds:
+    * driver-side file listing/schema read is metadata work an Iceberg
+    * catalog amortizes at scale, so only the distributed job is timed.
+    */
+  private def timeExtraction(spark: SparkSession, pagesDir: String): Double = {
+    val job = Extraction.extractAll(spark.read.parquet(pagesDir))
+      .agg(sum(length(col("extracted_text"))), count(lit(1)))
+    val t0 = System.nanoTime()
+    job.collect()
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val nDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "200000").toLong
+    // Default grammar emits ~2 KB pages; boost=4 brings payloads toward
+    // the tens-of-KB shape of real crawl pages and makes the timed job
+    // long enough that scheduling overhead stops dominating the ratio.
+    val boost = sys.env.getOrElse("SPARK_GRAFT_BENCH_BOOST", "4").toInt
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
+    val coresLo = sys.env.getOrElse("SPARK_GRAFT_CORES_LO", "8").toInt
+    val coresHi = sys.env.getOrElse("SPARK_GRAFT_CORES_HI", "32").toInt
+    val pagesDir = s"/tmp/graft_bench_pages_${nDocs}_b$boost"
+    val warmDir = s"/tmp/graft_bench_pages_warm_b$boost"
+
+    // ---- phase 1: query timings at local[cpus] + bench-table setup ----
+    val s1 = session(cpus)
+    s1.sparkContext.setLogLevel("WARN")
+    if (!new java.io.File(s"$pagesDir/_SUCCESS").exists()) {
+      Checkpoint.writePages(
+        fixtures.PageGen.pagesDistributed(s1, nDocs, boost = boost).toDF(), pagesDir)
+      Checkpoint.writePages(
+        fixtures.PageGen.pagesDistributed(s1, 5000, seed = 7L, boost = boost).toDF(), warmDir)
+    }
+    val queryTimes = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try fn(s1, sfDir).count()
+      catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
-    spark.stop()
+    s1.stop()
+
+    // ---- phase 2: extraction throughput at two parallelism levels ----
+    val scaling = Seq(coresLo, coresHi).map { cores =>
+      val s = session(cores)
+      s.sparkContext.setLogLevel("WARN")
+      timeExtraction(s, warmDir) // JIT/classload warm-up, untimed
+      val secs = (1 to reps).map(_ => timeExtraction(s, pagesDir)).min
+      s.stop()
+      cores -> (nDocs / secs)
+    }
+    val thrLo = scaling.head._2
+    val thrHi = scaling.last._2
+    val eff = (thrHi / thrLo) / (coresHi.toDouble / coresLo)
+
+    val total = queryTimes.map(_._2).sum
+    val qs = queryTimes.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+    println(
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","scaling":{"docs":$nDocs,"cores_lo":$coresLo,"cores_hi":$coresHi,"docs_per_sec_lo":$thrLo%.1f,"docs_per_sec_hi":$thrHi%.1f,"efficiency":$eff%.3f}}""")
   }
 }

@@ -70,10 +70,14 @@ object PageGen {
   private def cap(s: String): String =
     if (s.isEmpty) s else s.substring(0, 1).toUpperCase + s.substring(1)
 
-  /** One HTML page + its ground-truth extracted text. */
-  private def htmlPage(r: Random, i: Int, lang: String): (Array[Byte], String) = {
+  /** One HTML page + its ground-truth extracted text. `boost` scales the
+    * paragraph count (bench realism: real crawl pages are tens of KB, the
+    * default grammar emits ~2 KB; boost > 1 is used by `graft.Bench` only,
+    * never by tests/goldens).
+    */
+  private def htmlPage(r: Random, i: Int, lang: String, boost: Int): (Array[Byte], String) = {
     val heading = cap((0 until (3 + r.nextInt(3))).map(_ => headWords(r.nextInt(headWords.length))).mkString(" "))
-    val nParas = 2 + r.nextInt(4)
+    val nParas = (2 + r.nextInt(4)) * boost
     val paras = (0 until nParas).map(_ => cap(para(r, lang, 18 + r.nextInt(22))) + ".")
     val navLinks = (0 until 3 + r.nextInt(4))
       .map(k => s"""<a href="/s$k">${para(r, lang, 1 + r.nextInt(2))}</a>""").mkString(" ")
@@ -108,14 +112,14 @@ object PageGen {
   }
 
   /** One PDF payload + ground truth (page lines, each page ends '\n'). */
-  private def pdfPage(r: Random, i: Int, lang: String): (Array[Byte], String) = {
+  private def pdfPage(r: Random, i: Int, lang: String, boost: Int): (Array[Byte], String) = {
     val nPages = 1 + r.nextInt(25)
     val technical = r.nextInt(100) < 25
     val pages = (0 until nPages).map { p =>
       val first =
         if (p == 0 && technical) techLine
         else cap(para(r, lang, 6 + r.nextInt(6)))
-      val rest = (0 until 2 + r.nextInt(4)).map(_ => cap(para(r, lang, 5 + r.nextInt(8))))
+      val rest = (0 until (2 + r.nextInt(4)) * boost).map(_ => cap(para(r, lang, 5 + r.nextInt(8))))
       first +: rest
     }
     val bytes = PdfWriter.build(pages, compress = r.nextBoolean())
@@ -123,10 +127,48 @@ object PageGen {
     (bytes, truth)
   }
 
+  /** Row `i` of the indexed page stream: every row derives from its own
+    * RNG seeded by (seed, i), so generation is order- and
+    * partitioning-independent — the property that lets
+    * [[pagesDistributed]] build the table in parallel on executors with
+    * no cross-row state. Duplicates re-derive their source row by index
+    * (deterministic recursion, j < i strictly decreasing).
+    */
+  def pageAt(i: Long, n: Long, seed: Long, boost: Int): Page = {
+    val r = new Random(seed ^ (i * 0x9E3779B97F4A7C15L) ^ 0x5DEECE66DL)
+    val host = zipfHost(r)
+    val lang = langs(r.nextInt(langs.length))
+    val ts = new Timestamp(EpochMs + (RampMs * i.toDouble / math.max(n, 1L)).toLong)
+    val dup = i > 10 && r.nextInt(100) < 3
+    if (dup) {
+      val j = (r.nextLong().abs % i)
+      val src = pageAt(j, n, seed, boost)
+      Page(s"https://host$host.example.com/dup/$i", ts, src.html, src.text, src.lang)
+    } else {
+      val isPdf = r.nextInt(100) < 10
+      val (payload, truth) =
+        if (isPdf) pdfPage(r, i.toInt, lang, boost) else htmlPage(r, i.toInt, lang, boost)
+      val kind = if (isPdf) "doc" else "page"
+      Page(s"https://host$host.example.com/$kind/item-$i", ts, payload, truth, lang)
+    }
+  }
+
+  /** Executor-parallel page table: `spark.range(n)` → [[pageAt]] per
+    * index. Scales fixture generation with the cluster (the driver-side
+    * [[pages]] tops out at ~10^5 rows; this is the 10^9-row path).
+    */
+  def pagesDistributed(spark: org.apache.spark.sql.SparkSession, n: Long,
+                       seed: Long = 42L, boost: Int = 1,
+                       partitions: Int = 0): org.apache.spark.sql.Dataset[Page] = {
+    import spark.implicits._
+    val parts = if (partitions > 0) partitions else spark.sparkContext.defaultParallelism * 4
+    spark.range(0, n, 1, parts).mapPartitions(_.map(i => pageAt(i, n, seed, boost)))
+  }
+
   /** Generate `n` deterministic pages. ~10 % PDFs, ~3 % exact duplicates
     * of an earlier payload (different url, same bytes and truth).
     */
-  def pages(n: Int, seed: Long = 42L): IndexedSeq[Page] = {
+  def pages(n: Int, seed: Long = 42L, boost: Int = 1): IndexedSeq[Page] = {
     val r = new Random(seed)
     val out = new scala.collection.mutable.ArrayBuffer[Page](n)
     var i = 0
@@ -141,7 +183,7 @@ object PageGen {
       } else {
         val isPdf = r.nextInt(100) < 10
         val (payload, truth) =
-          if (isPdf) pdfPage(r, i, lang) else htmlPage(r, i, lang)
+          if (isPdf) pdfPage(r, i, lang, boost) else htmlPage(r, i, lang, boost)
         val kind = if (isPdf) "doc" else "page"
         out += Page(s"https://host$host.example.com/$kind/item-$i", ts, payload, truth, lang)
       }

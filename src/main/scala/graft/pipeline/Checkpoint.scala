@@ -84,9 +84,19 @@ object Checkpoint {
   def listing(manifest: DataFrame): DataFrame =
     manifest.orderBy(desc("committed_ts"), asc("path")).select(col("path"), col("committed_ts"))
 
-  /** Write the page table in the Iceberg-emulating Hive layout. */
-  def writePages(pages: DataFrame, dir: String, buckets: Int = NumBuckets): Unit =
+  /** Write the page table in the Iceberg-emulating Hive layout.
+    * Repartitioned so each (ts_day, url_bucket) directory gets exactly
+    * `filesPerDir` files — without this, every upstream task writes into
+    * every directory it touches and the table explodes into
+    * tasks × dirs tiny files (a real small-file failure mode at scale:
+    * file-open cost then dominates the scan and Hadoop FS locking
+    * serializes high-thread readers).
+    */
+  def writePages(pages: DataFrame, dir: String, buckets: Int = NumBuckets,
+                 filesPerDir: Int = 4): Unit =
     withPartitionCols(pages, buckets)
+      .repartition(col("ts_day"), col("url_bucket"),
+        pmod(hash(col("url"), lit(1)), lit(filesPerDir)))
       .write.mode("overwrite")
       .partitionBy("ts_day", "url_bucket")
       .parquet(dir)

@@ -234,4 +234,11 @@ object Extraction {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Local fixtures are many ~25 KB files; the 4 MB default open cost
+      // would bin them into a handful of scan partitions and starve the
+      // kernel stage of parallelism. At production scale (≥128 MB Parquet
+      // files) these revert to defaults — split sizing there comes from
+      // row groups, not open-cost binning.
+      .config("spark.sql.files.maxPartitionBytes", "8m")
+      .config("spark.sql.files.openCostInBytes", "1m")
 }
