@@ -40,7 +40,9 @@ object BenchProbe {
   def main(args: Array[String]): Unit = {
     val pagesDir = args.headOption.getOrElse("/tmp/graft_bench_pages_200000_b4")
     val reps = sys.env.getOrElse("PROBE_REPS", "2").toInt
-    Seq(8, 32).foreach { cores =>
+    val coreLevels = sys.env.getOrElse("PROBE_CORES", "8,32")
+      .split(",").map(_.trim.toInt).toSeq
+    coreLevels.foreach { cores =>
       val s = Extraction.configure(
         SparkSession.builder().master(s"local[$cores]"), cores).getOrCreate()
       s.sparkContext.setLogLevel("WARN")
@@ -54,14 +56,22 @@ object BenchProbe {
       println(s"PROBE cores=$cores docs=$n")
       val typed = pages.as[graft.pipeline.Page]
 
+      time(s"scan_only c=$cores", reps, listener) {
+        s.read.parquet(pagesDir)
+          .agg(sum(octet_length($"html")), count(lit(1))).collect()
+      }
       time(s"html_kernel c=$cores", reps, listener) {
         Extraction.htmlDocs(typed.where(!Extraction.isPdf($"html")))
           .toDF().agg(sum(length($"extracted_text"))).collect()
       }
-      time(s"pdf_branch c=$cores", reps, listener) {
+      time(s"pdf_dataflow c=$cores", reps, listener) {
         Extraction.mergePdfDocs(Extraction.extractChunks(
           Extraction.pdfChunks(typed.where(Extraction.isPdf($"html")))))
           .agg(sum(length($"extracted_text"))).collect()
+      }
+      time(s"pdf_fused c=$cores", reps, listener) {
+        Extraction.pdfDocsFused(typed.where(Extraction.isPdf($"html")))
+          .toDF().agg(sum(length($"extracted_text"))).collect()
       }
       time(s"full c=$cores", reps, listener) {
         Extraction.extractAll(pages)

@@ -36,9 +36,9 @@ object Html {
   final case class TEnd(name: String) extends Tok
   final case class TText(text: String) extends Tok // entity-decoded
 
-  private val rawTextTags = Set("script", "style", "textarea", "title")
+  private[kernel] val rawTextTags = Set("script", "style", "textarea", "title")
 
-  private val namedEntities = Map(
+  private[kernel] val namedEntities = Map(
     "amp" -> "&", "lt" -> "<", "gt" -> ">", "quot" -> "\"",
     "apos" -> "'", "nbsp" -> "\u00a0")
 
@@ -125,25 +125,32 @@ object Html {
               val aStart = j
               while (j < n && !html.charAt(j).isWhitespace && html.charAt(j) != '=' &&
                      html.charAt(j) != '>' && html.charAt(j) != '/') j += 1
-              val aName = html.substring(aStart, j).toLowerCase
-              while (j < n && html.charAt(j).isWhitespace) j += 1
-              var aVal = ""
-              if (j < n && html.charAt(j) == '=') {
+              if (aStart == j && (j >= n || html.charAt(j) != '=')) {
+                // a bare '/' not followed by '>' yields an empty name and
+                // no '=' — skip one char or the scan makes no progress
+                // (hang on inputs like `<a x/y>`)
                 j += 1
+              } else {
+                val aName = html.substring(aStart, j).toLowerCase
                 while (j < n && html.charAt(j).isWhitespace) j += 1
-                if (j < n && (html.charAt(j) == '"' || html.charAt(j) == '\'')) {
-                  val q = html.charAt(j); j += 1
-                  val vStart = j
-                  while (j < n && html.charAt(j) != q) j += 1
-                  aVal = html.substring(vStart, j)
-                  if (j < n) j += 1
-                } else {
-                  val vStart = j
-                  while (j < n && !html.charAt(j).isWhitespace && html.charAt(j) != '>') j += 1
-                  aVal = html.substring(vStart, j)
+                var aVal = ""
+                if (j < n && html.charAt(j) == '=') {
+                  j += 1
+                  while (j < n && html.charAt(j).isWhitespace) j += 1
+                  if (j < n && (html.charAt(j) == '"' || html.charAt(j) == '\'')) {
+                    val q = html.charAt(j); j += 1
+                    val vStart = j
+                    while (j < n && html.charAt(j) != q) j += 1
+                    aVal = html.substring(vStart, j)
+                    if (j < n) j += 1
+                  } else {
+                    val vStart = j
+                    while (j < n && !html.charAt(j).isWhitespace && html.charAt(j) != '>') j += 1
+                    aVal = html.substring(vStart, j)
+                  }
                 }
+                if (aName.nonEmpty) attrs += aName -> decodeEntities(aVal)
               }
-              if (aName.nonEmpty) attrs += aName -> decodeEntities(aVal)
             }
           }
           if (closing) out += TEnd(name)
@@ -184,11 +191,11 @@ object Html {
                            children: ArrayBuffer[Node]) extends Node
   final case class TextNode(text: String) extends Node
 
-  private val voidTags = Set("area", "base", "br", "col", "embed", "hr", "img",
+  private[kernel] val voidTags = Set("area", "base", "br", "col", "embed", "hr", "img",
     "input", "link", "meta", "param", "source", "track", "wbr")
 
   /** Tags that implicitly close an open <p>. */
-  private val pClosers = Set("p", "div", "ul", "ol", "li", "table", "blockquote",
+  private[kernel] val pClosers = Set("p", "div", "ul", "ol", "li", "table", "blockquote",
     "pre", "h1", "h2", "h3", "h4", "h5", "h6", "section", "article", "aside",
     "header", "footer", "nav", "main", "figure", "form", "hr", "dl")
 
@@ -253,13 +260,13 @@ object Html {
     def linkDensity: Double = if (chars == 0) 0.0 else anchorChars.toDouble / chars
   }
 
-  private val blockTags = Set("html", "body", "div", "p", "h1", "h2", "h3", "h4",
+  private[kernel] val blockTags = Set("html", "body", "div", "p", "h1", "h2", "h3", "h4",
     "h5", "h6", "ul", "ol", "li", "table", "thead", "tbody", "tr", "td", "th",
     "blockquote", "pre", "article", "section", "header", "footer", "nav",
     "aside", "main", "figure", "figcaption", "dl", "dt", "dd", "form",
     "fieldset", "address", "center", "caption")
 
-  private val boilerAncestors = Set("nav", "header", "footer", "aside")
+  private[kernel] val boilerAncestors = Set("nav", "header", "footer", "aside")
 
   /** Collapse whitespace runs (incl. NBSP) to single spaces and trim. */
   def collapseWs(s: String): String = {
@@ -358,19 +365,15 @@ object Html {
       curr.words > 40 || next.words > 17
   }
 
-  private val emptyBlock = Block("", 0, 0, 0, 0, inBoilerTag = false)
+  private[kernel] val emptyBlock = Block("", 0, 0, 0, 0, inBoilerTag = false)
 
   final case class Extraction(title: String, text: String,
                               headings: Vector[String],
                               contentBlocks: Int, boilerBlocks: Int,
                               language: String)
 
-  /** Full kernel: bytes → extracted main text + labels + language. */
-  def extract(htmlBytes: Array[Byte]): Extraction =
-    extract(new String(htmlBytes, java.nio.charset.StandardCharsets.UTF_8))
-
-  def extract(html: String): Extraction = {
-    val seg = segment(parse(html))
+  /** Block-window classification shared by the DOM and streaming paths. */
+  private[kernel] def classify(seg: Segmented): Extraction = {
     val bs = seg.blocks
     val content = Vector.newBuilder[String]
     var nContent = 0
@@ -386,4 +389,17 @@ object Html {
     val text = content.result().mkString("\n")
     Extraction(seg.title, text, seg.headings, nContent, nBoiler, Lang.detect(text))
   }
+
+  /** Full kernel: bytes → extracted main text + labels + language.
+    * Delegates to [[HtmlStream]], the allocation-light single-pass
+    * implementation; [[extractDom]] is the reference tokenizer→DOM→segment
+    * path, kept as the executable spec the streaming path is
+    * differential-tested against.
+    */
+  def extract(htmlBytes: Array[Byte]): Extraction =
+    extract(new String(htmlBytes, java.nio.charset.StandardCharsets.UTF_8))
+
+  def extract(html: String): Extraction = HtmlStream.extract(html)
+
+  def extractDom(html: String): Extraction = classify(segment(parse(html)))
 }

@@ -43,6 +43,14 @@ object Extraction {
     */
   def htmlDocs(pages: Dataset[Page]): Dataset[HtmlDoc] = {
     import pages.sparkSession.implicits._
+    htmlDocsRaw(pages.map(p => RawDoc(p.url, p.html)))
+  }
+
+  /** Slim-projection HTML branch: input carries url + payload only, so a
+    * Parquet-backed plan prunes every other column out of the scan.
+    */
+  def htmlDocsRaw(pages: Dataset[RawDoc]): Dataset[HtmlDoc] = {
+    import pages.sparkSession.implicits._
     pages.mapPartitions { it =>
       it.map { p =>
         try {
@@ -71,6 +79,11 @@ object Extraction {
     * extraction then fails in isolation (C5).
     */
   def pdfChunks(pages: Dataset[Page]): Dataset[Chunk] = {
+    import pages.sparkSession.implicits._
+    pdfChunksRaw(pages.map(p => RawDoc(p.url, p.html)))
+  }
+
+  def pdfChunksRaw(pages: Dataset[RawDoc]): Dataset[Chunk] = {
     import pages.sparkSession.implicits._
     pages.flatMap { p =>
       val cs =
@@ -177,6 +190,42 @@ object Extraction {
         expr("size(filter(cs, c -> c.ok)) > 0").as("ok"))
   }
 
+  /** Fused PDF branch: split → extract → ordered merge for one document,
+    * entirely inside the row's task. Because every chunk of a url
+    * originates from a single input row, the chunk-level dataflow's two
+    * payload shuffles (dedup-by-hash) and the merge shuffle (groupBy url)
+    * move data that was already co-located — at 10^12-document scale those
+    * exchanges dominate the job, so the default path eliminates them and
+    * keeps the plan scan → mapPartitions → union, which scales linearly.
+    * Produces rows identical to `mergePdfDocs(extractChunks(pdfChunks(…)))`
+    * (extraction is deterministic, so skipping within-run dedup changes
+    * cost, never bytes); the dataflow path remains for runs with a
+    * cross-run memoization cache or corpora where duplicate payloads are
+    * frequent enough that dedup beats re-extraction.
+    */
+  def pdfDocFused(p: RawDoc): PdfDoc = {
+    val cs =
+      try Pdf.chunkBytes(p.html)
+      catch { case _: Exception => Vector(p.html) }
+    val ex = cs.map(b => extractOne("", b))
+    val okEx = ex.filter(_.ok)
+    PdfDoc(p.url,
+      okEx.iterator.map(_.text).mkString,
+      okEx.flatMap(_.pages),
+      ex.head.labels, ex.head.language,
+      okEx.length, cs.length, okEx.nonEmpty)
+  }
+
+  def pdfDocsFused(pages: Dataset[Page]): Dataset[PdfDoc] = {
+    import pages.sparkSession.implicits._
+    pdfDocsFusedRaw(pages.map(p => RawDoc(p.url, p.html)))
+  }
+
+  def pdfDocsFusedRaw(pages: Dataset[RawDoc]): Dataset[PdfDoc] = {
+    import pages.sparkSession.implicits._
+    pages.mapPartitions(_.map(pdfDocFused))
+  }
+
   private val emptyPages = typedLit(Seq.empty[PageMeta])
 
   /** Full pipeline: branch → extract → merge → union → classify (C3).
@@ -187,16 +236,22 @@ object Extraction {
                  asOf: Option[java.sql.Timestamp] = None): DataFrame = {
     val spark = pagesDf.sparkSession
     import spark.implicits._
-    val pages = pagesDf
-      .select($"url", $"warc_ts", $"html", $"text", $"lang").as[Page]
+    val slim = pagesDf.select($"url", $"html").as[RawDoc]
 
-    val html = htmlDocs(pages.where(!isPdf($"html"))).toDF()
+    val html = htmlDocsRaw(slim.where(!isPdf($"html"))).toDF()
       .select($"url", $"extracted_text", $"title", $"labels", $"language",
         emptyPages.as("pages"),
         lit(1).as("chunks_processed"), lit(1).as("total_chunks"),
         $"content_blocks", $"boiler_blocks", lit("html").as("source_type"), $"ok")
 
-    val pdfMerged = mergePdfDocs(extractChunks(pdfChunks(pages.where(isPdf($"html"))), cache, asOf))
+    // With a memoization cache the chunk-level dataflow (dedup → extract
+    // misses only → rejoin) is required; without one the fused per-row
+    // path is plan-equivalent and shuffle-free.
+    val pdfPages = slim.where(isPdf($"html"))
+    val pdfDocs: DataFrame =
+      if (cache.isDefined) mergePdfDocs(extractChunks(pdfChunksRaw(pdfPages), cache, asOf))
+      else pdfDocsFusedRaw(pdfPages).toDF()
+    val pdfMerged = pdfDocs
       .select($"url", $"extracted_text", lit("").as("title"), $"labels", $"language",
         $"pages", $"chunks_processed", $"total_chunks",
         lit(0L).as("content_blocks"), lit(0L).as("boiler_blocks"),

@@ -15,6 +15,14 @@ import java.sql.Timestamp
 final case class Page(url: String, warc_ts: Timestamp, html: Array[Byte],
                       text: String, lang: String)
 
+/** The extraction kernels' input projection: url + payload only. The
+  * hot path uses this instead of [[Page]] so Catalyst prunes `warc_ts`,
+  * `text`, `lang` out of the Parquet scan (`text` alone is ~40 % of the
+  * table's bytes; at 100 TB that pruning is the difference between
+  * scanning 60 TB and 100 TB).
+  */
+final case class RawDoc(url: String, html: Array[Byte])
+
 /** One ≤10-page sub-PDF produced by the splitter (reference
   * `pdf_splitter.py:46-129`), ordered by `chunk_idx` (the `enumerate`
   * at `ocr.py:81`).
@@ -42,6 +50,16 @@ final case class Label(description: String, score: Double, topicality: Double)
 final case class ChunkExtract(content_hash: String, text: String,
                               pages: Seq[PageMeta], labels: Seq[Label],
                               language: String, ok: Boolean, error: String)
+
+/** Merged per-document result of the PDF branch (reference MergedResult,
+  * `document_saver.py:69-81`): chunk texts concatenated and page lists
+  * extended strictly in chunk order; labels/language from chunk 0 (the
+  * first-page-only classification prefix, `vision_service.py:51-52`).
+  */
+final case class PdfDoc(url: String, extracted_text: String,
+                        pages: Seq[PageMeta], labels: Seq[Label],
+                        language: String, chunks_processed: Int,
+                        total_chunks: Int, ok: Boolean)
 
 /** Result of the HTML branch for one page (reference vision analysis
   * analog, `vision_service.py:84-146`, re-built as tokenizer + DOM +
