@@ -38,9 +38,49 @@ object Dedup {
     * DuckDB oracle and the recall tests of the approximate variants.
     * Jaccard = |A∩B| / (|A|+|B|−|A∩B|), computed on integer counts (the
     * double division is bit-identical across engines).
+    *
+    * Prefix-filtered (AllPairs, Bayardo et al. WWW'07): tokens are
+    * globally ordered by (frequency, token) and only the rarest
+    * ⌊(1−t)·|d|⌋+1 tokens of each doc join — two docs with Jaccard ≥ t
+    * must share a prefix token under a common global order, so no pair
+    * is lost, while frequent tokens (the n² blowup of the naive
+    * every-token join) almost never reach the join. Candidates are then
+    * verified with exact set intersection. Identical output to
+    * [[wordJaccardPairsNaive]] (asserted in tests and by the DuckDB
+    * oracle, which runs the naive algorithm).
     */
   def wordJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                        threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sets = df.select(col(idCol).as("id"), wordSet(col(textCol)).as("ws"))
+      .withColumn("nw", size(col("ws")))
+    val tok = sets.select(col("id"), col("nw"), explode(col("ws")).as("w"))
+    val freq = tok.groupBy(col("w")).agg(count(lit(1)).as("f"))
+    val prefix = tok.join(freq, Seq("w"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("id")).orderBy(col("f"), col("w"))))
+      .where(col("rk") <= floor(lit(1.0 - threshold) * col("nw")) + 1)
+      .select(col("id"), col("w"))
+    val cand = prefix.as("a").join(prefix.as("b"),
+        col("a.w") === col("b.w") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
+      .distinct()
+    val jac = col("n_both").cast("double") /
+      (col("na") + col("nb") - col("n_both")).cast("double")
+    cand
+      .join(sets.select(col("id").as("a_id"), col("ws").as("wsa"), col("nw").as("na")), Seq("a_id"))
+      .join(sets.select(col("id").as("b_id"), col("ws").as("wsb"), col("nw").as("nb")), Seq("b_id"))
+      .withColumn("n_both", size(array_intersect(col("wsa"), col("wsb"))))
+      .where(jac >= threshold)
+      .select(col("a_id"), col("b_id"), round(jac, 4).as("jac"))
+  }
+
+  /** The naive every-token self-join — O(Σ group²) over word groups, so
+    * hot tokens make it quadratic. Kept as the executable spec
+    * [[wordJaccardPairs]] is verified against.
+    */
+  def wordJaccardPairsNaive(df: DataFrame, idCol: String, textCol: String,
+                            threshold: Double): DataFrame = {
     val t = df
       .select(col(idCol).as("id"), wordSet(col(textCol)).as("ws"))
       .withColumn("nw", size(col("ws")))
@@ -69,10 +109,20 @@ object Dedup {
 
   /** MinHash signature: element h is min over shingles of xxhash64(s, h).
     * Fully columnar; xxhash64 is Spark's codegen'd 64-bit hash.
+    *
+    * Shaped as ONE `aggregate` traversal of the shingle array (accumulator
+    * = the running per-hash minima) rather than numHashes independent
+    * `array_min(transform(sh, …))` scans: the latter references `sh`
+    * numHashes times, and after projection collapse Catalyst re-evaluates
+    * the whole shingling expression per reference — a numHashes× blowup.
+    * Signatures are identical (same xxhash64(s, h) values, same minima;
+    * `sh` is never empty — [[shingles]] emits ≥ 1 element).
     */
   def minHash(sh: Column, numHashes: Int): Column =
-    transform(sequence(lit(0), lit(numHashes - 1)),
-      h => array_min(transform(sh, s => xxhash64(s, h))))
+    aggregate(sh,
+      array_repeat(lit(Long.MaxValue), numHashes),
+      (acc, s) => zip_with(acc, sequence(lit(0), lit(numHashes - 1)),
+        (m, h) => least(m, xxhash64(s, h))))
 
   /** Banded LSH candidate pairs from minhash signatures: split the
     * signature into `numBands` bands, bucket by (band idx, band hash),
@@ -94,19 +144,93 @@ object Dedup {
       .distinct()
   }
 
+  /** Scala twin of `array_distinct(shingles(text, k))` — split/lower/trim
+    * semantics match the columnar expressions exactly (split keeps empty
+    * trailing fields like Spark's `split`, distinct keeps first
+    * occurrence).
+    */
+  def shingleSet(text: String, k: Int): Array[String] = {
+    // Spark's trim strips only ' ' (0x20), unlike String.trim which also
+    // strips \n/\t — texts ending in '\n' keep it and split then yields a
+    // trailing empty token that participates in shingles
+    var b = 0
+    var e = text.length
+    while (b < e && text.charAt(b) == ' ') b += 1
+    while (e > b && text.charAt(e - 1) == ' ') e -= 1
+    val toks = text.substring(b, e).toLowerCase.split("\\s+", -1)
+    val out = new java.util.LinkedHashSet[String]()
+    if (toks.length < k) out.add(toks.mkString(" "))
+    else {
+      var i = 0
+      while (i + k <= toks.length) {
+        val sb = new java.lang.StringBuilder
+        var j = 0
+        while (j < k) {
+          if (j > 0) sb.append(' ')
+          sb.append(toks(i + j)); j += 1
+        }
+        out.add(sb.toString); i += 1
+      }
+    }
+    out.toArray(new Array[String](out.size))
+  }
+
+  /** Scala twin of [[minHash]], bit-identical: Spark's `xxhash64(s, h)`
+    * chains XXH64 over its arguments (string with seed 42, then the long
+    * index with the running hash as seed) — reproduced here on primitive
+    * longs so the 10^2 shingles × 10^2 hash slots per doc don't go
+    * through interpreted higher-order-function evaluation (CodegenFallback
+    * boxes every element).
+    */
+  def minHashSig(sh: Array[String], numHashes: Int): Array[Long] = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    import org.apache.spark.unsafe.Platform
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    while (i < sh.length) {
+      val b = sh(i).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val base = XXH64.hashUnsafeBytes(b, Platform.BYTE_ARRAY_OFFSET, b.length, 42L)
+      var h = 0
+      while (h < numHashes) {
+        // the columnar twin's hash index comes from sequence(), which is
+        // IntegerType — Spark hashes ints via hashInt, not hashLong
+        val v = XXH64.hashInt(h, base)
+        if (v < sig(h)) sig(h) = v
+        h += 1
+      }
+      i += 1
+    }
+    sig
+  }
+
   /** MinHash-LSH near-dup pairs, exact-verified: LSH prunes to candidates,
     * then each candidate pair is checked with exact shingle-set Jaccard.
     * `threshold` should sit near (1/numBands)^(numBands/numHashes) for the
     * usual S-curve; verification makes precision exact (recall is the
-    * approximate part — asserted ≥ bound in tests).
+    * approximate part — asserted ≥ bound in tests). Shingling + signature
+    * run as a typed per-row kernel (values identical to the columnar
+    * [[shingles]]/[[minHash]] expressions, asserted in tests); the only
+    * shuffle is the band-bucket self-join.
     */
   def minhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
                           shingleK: Int = 3, numHashes: Int = 32,
                           numBands: Int = 8,
                           threshold: Double = 0.8): DataFrame = {
-    val sh = df.select(col(idCol).as("id"),
-      array_distinct(shingles(col(textCol), shingleK)).as("sh"))
-      .withColumn("mh", minHash(col("sh"), numHashes))
+    import org.apache.spark.sql.types._
+    val spark = df.sparkSession
+    val idField = df.schema(idCol)
+    val outSchema = StructType(Seq(
+      idField.copy(name = "id"),
+      StructField("sh", ArrayType(StringType, containsNull = false)),
+      StructField("mh", ArrayType(LongType, containsNull = false))))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val textIdx = 1
+    val sh = df.select(col(idCol), col(textCol)).mapPartitions { it =>
+      it.map { r =>
+        val s = shingleSet(String.valueOf(r.get(textIdx)), shingleK)
+        org.apache.spark.sql.Row(r.get(0), s, minHashSig(s, numHashes))
+      }
+    }(enc)
     val cand = lshCandidates(sh.select(col("id"), col("mh")), "id", "mh", numBands)
     val jac = size(array_intersect(col("a.sh"), col("b.sh"))).cast("double") /
       size(array_union(col("a.sh"), col("b.sh"))).cast("double")
@@ -153,24 +277,51 @@ object Dedup {
   // ----------------------------------------------- embedding-cosine dedup
   private def toDouble(v: Column): Column = transform(v, x => x.cast("double"))
 
-  /** Exact all-pairs cosine ≥ threshold via index-explode + equi-join —
-    * the truth baseline (O(n²) pairs; fine at verify scale, superseded by
-    * [[cosineNearDupLsh]] at corpus scale). Threshold is applied to the
-    * 4 dp-rounded value so the oracle compare is FP-safe.
+  /** Exact all-pairs cosine ≥ threshold — the truth baseline (O(n²·d),
+    * superseded by [[cosineNearDupLsh]] at corpus scale). The vector set
+    * is collected and broadcast (the same smaller-side-fits contract as a
+    * broadcast join: n·d doubles, e.g. 10^6×128 ≈ 1 GB is the ceiling)
+    * and every executor computes its rows' dot products against the
+    * broadcast side in primitive arrays — Spark's higher-order array
+    * functions are CodegenFallback (interpreted + boxed per element), two
+    * orders of magnitude slower for this. `idCol` must be numeric.
+    * Rounding is HALF_UP at 4 dp (matches `round(x, 4)` in Spark/DuckDB)
+    * and the threshold applies to the rounded value — FP-safe compares.
     */
   def cosinePairsExact(df: DataFrame, idCol: String, vecCol: String,
                        threshold: Double): DataFrame = {
-    val ex = df.select(col(idCol).as("id"), posexplode(toDouble(col(vecCol))))
-      .toDF("id", "i", "v")
-    val norms = ex.groupBy(col("id")).agg(sqrt(sum(col("v") * col("v"))).as("n"))
-    val cos = round(col("dot") / (col("an") * col("bn")), 4)
-    ex.as("a").join(ex.as("b"), col("a.i") === col("b.i") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("a_id"), col("b.id").as("b_id"))
-      .agg(sum(col("a.v") * col("b.v")).as("dot"))
-      .join(norms.withColumnRenamed("id", "a_id").withColumnRenamed("n", "an"), Seq("a_id"))
-      .join(norms.withColumnRenamed("id", "b_id").withColumnRenamed("n", "bn"), Seq("b_id"))
-      .where(cos >= threshold)
-      .select(col("a_id"), col("b_id"), cos.as("cos"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val typed = df.select(col(idCol).cast("long"), toDouble(col(vecCol)))
+      .as[(Long, Array[Double])]
+    def norm(v: Array[Double]): Double = {
+      var s = 0.0; var k = 0
+      while (k < v.length) { s += v(k) * v(k); k += 1 }
+      math.sqrt(s)
+    }
+    val all = typed.collect().sortBy(_._1)
+    val bc = spark.sparkContext.broadcast(
+      (all.map(_._1), all.map(_._2), all.map(p => norm(p._2))))
+    typed.mapPartitions { it =>
+      val (ids, vecs, ns) = bc.value
+      it.flatMap { case (id, v) =>
+        val na = norm(v)
+        val out = Vector.newBuilder[(Long, Long, Double)]
+        var j = 0
+        while (j < ids.length) {
+          if (ids(j) > id) {
+            val w = vecs(j)
+            var dot = 0.0; var k = 0
+            while (k < v.length && k < w.length) { dot += v(k) * w(k); k += 1 }
+            val cos = new java.math.BigDecimal(dot / (na * ns(j)))
+              .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+            if (cos >= threshold) out += ((id, ids(j), cos))
+          }
+          j += 1
+        }
+        out.result()
+      }
+    }.toDF("a_id", "b_id", "cos")
   }
 
   /** Scale path: random-hyperplane LSH buckets (sign signature over

@@ -36,6 +36,17 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
     assert(pairs === Set((1L, 2L, 0.6), (1L, 4L, 1.0), (2L, 4L, 0.6)))
   }
 
+  test("prefix-filtered jaccard == naive every-token join (exactness of AllPairs)") {
+    Seq(0.5, 0.8, 0.9).foreach { t =>
+      val fast = Dedup.wordJaccardPairs(corpusDf, "id", "text", t)
+        .as[(Long, Long, Double)].collect().toSet
+      val naive = Dedup.wordJaccardPairsNaive(corpusDf, "id", "text", t)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(fast === naive, s"prefix filter diverged at threshold $t")
+      if (t <= 0.8) assert(fast.nonEmpty)
+    }
+  }
+
   test("minhash LSH: exact precision, high recall vs exact shingle jaccard") {
     val k = 3
     val sh = corpusDf.select($"id",
@@ -57,6 +68,20 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
     val recall = lsh.size.toDouble / exact.size
     info(s"minhash-LSH recall = ${lsh.size}/${exact.size} = $recall")
     assert(recall >= 0.9, s"recall $recall below 0.9")
+  }
+
+  test("typed minhash kernel == columnar shingles/minHash (bit-identical)") {
+    val sample = corpus.take(60)
+    val columnar = sample.toDF("id", "text")
+      .select($"id", array_distinct(Dedup.shingles($"text", 3)).as("sh"))
+      .withColumn("mh", Dedup.minHash($"sh", 32))
+      .as[(Long, Seq[String], Seq[Long])].collect()
+    val byId = sample.toMap
+    columnar.foreach { case (id, sh, mh) =>
+      val ks = Dedup.shingleSet(byId(id), 3)
+      assert(ks.toSeq === sh, s"shingle divergence for id $id")
+      assert(Dedup.minHashSig(ks, 32).toSeq === mh, s"signature divergence for id $id")
+    }
   }
 
   test("simhash: pigeonhole block join finds exactly the hamming<=3 pairs") {

@@ -65,6 +65,19 @@ class PipelineSpec extends AnyFunSuite with SparkSuite {
     assert(res.groupBy("url", "chunk_idx").count().where($"count" > 1).count() === 0)
   }
 
+  test("fused pdf branch == chunk-dataflow merge, full rows") {
+    val pdfPages = pagesDs.where(Extraction.isPdf($"html")).as[Page]
+    val cols = Seq("url", "extracted_text", "pages", "labels", "language",
+      "chunks_processed", "total_chunks", "ok").map(col)
+    val fused = Extraction.pdfDocsFused(pdfPages).toDF()
+      .select(cols: _*).toJSON.collect().toSet
+    val flow = Extraction.mergePdfDocs(
+        Extraction.extractChunks(Extraction.pdfChunks(pdfPages)))
+      .select(cols: _*).toJSON.collect().toSet
+    assert(fused === flow)
+    assert(fused.nonEmpty)
+  }
+
   test("language prefix rule and html language detection") {
     val langs = docs.select($"url", $"language").as[(String, String)].collect().toMap
     val truthLang = fixture.map(p => p.url -> p.lang).toMap
