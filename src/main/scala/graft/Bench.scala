@@ -39,6 +39,33 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** Byte-identical match rate on the bench table: per row, the kernel
+    * output compared against the generator's ground-truth `text` column
+    * (the north-rule correctness metric alongside docs/sec). Partition-
+    * local, no shuffle.
+    */
+  private def matchRate(spark: SparkSession, pagesDir: String): Double = {
+    import spark.implicits._
+    val pdfMagic = "%PDF-".getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    val (m, n) = spark.read.parquet(pagesDir)
+      .select(col("url"), col("html"), col("text"))
+      .as[(String, Array[Byte], String)]
+      .mapPartitions { it =>
+        var m = 0L; var n = 0L
+        it.foreach { case (url, html, truth) =>
+          val isPdf = html.length >= 5 && java.util.Arrays.equals(
+            java.util.Arrays.copyOf(html, 5), pdfMagic)
+          val ex =
+            if (isPdf) Extraction.pdfDocFused(pipeline.RawDoc(url, html)).extracted_text
+            else graft.kernel.Html.extract(html).text
+          if (ex == truth) m += 1
+          n += 1
+        }
+        Iterator.single((m, n))
+      }.collect().foldLeft((0L, 0L)) { case ((a, b), (x, y)) => (a + x, b + y) }
+    if (n == 0) 0.0 else m.toDouble / n
+  }
+
   /** (total jiffies, steal jiffies) from /proc/stat — this sandbox is a
     * VM whose host steals CPU in bursts; a rep measured under steal says
     * nothing about the code. (0,0) when unreadable.
@@ -151,6 +178,12 @@ object Bench {
     val eff = (thrHi / thrLo) / (coresHi.toDouble / coresLo)
     val scanEff = (scanHi / scanLo) / (coresHi.toDouble / coresLo)
 
+    // byte-identical match rate on the bench table (north-rule metric)
+    val sMr = session(cpus)
+    sMr.sparkContext.setLogLevel("WARN")
+    val mr = matchRate(sMr, pagesDir)
+    sMr.stop()
+
     // machine ceiling: the same two levels on perfect-scaling code
     val calibRows = sys.env.getOrElse("SPARK_GRAFT_CALIB_ROWS", "1500000").toLong
     val calib = Seq(coresLo, coresHi).map { cores =>
@@ -179,6 +212,6 @@ object Bench {
     val total = queryTimes.map(_._2).sum
     val qs = queryTimes.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","scaling":{"docs":$nDocs,"cores_lo":$coresLo,"cores_hi":$coresHi,"docs_per_sec_lo":$thrLo%.1f,"docs_per_sec_hi":$thrHi%.1f,"efficiency":$eff%.3f,"scan_only_efficiency":$scanEff%.3f,"machine_ceiling_efficiency":$ceiling%.3f,"efficiency_vs_ceiling":${eff / ceiling}%.3f,"host_steal_pct_lo":$stealLo%.1f,"host_steal_pct_hi":$stealHi%.1f}}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","scaling":{"docs":$nDocs,"cores_lo":$coresLo,"cores_hi":$coresHi,"docs_per_sec_lo":$thrLo%.1f,"docs_per_sec_hi":$thrHi%.1f,"efficiency":$eff%.3f,"match_rate":$mr%.5f,"scan_only_efficiency":$scanEff%.3f,"machine_ceiling_efficiency":$ceiling%.3f,"efficiency_vs_ceiling":${eff / ceiling}%.3f,"host_steal_pct_lo":$stealLo%.1f,"host_steal_pct_hi":$stealHi%.1f}}""")
   }
 }

@@ -165,6 +165,14 @@ object SparkEntry {
         .select(col("vec_id"), round(dot / (nE * nQ), 6).as("sim"))
         .orderBy(desc("sim"), asc("vec_id")).limit(10)
     }),
+    // ------------------------------ §4 skew: two-phase salted aggregate
+    "q25_salted_agg" -> ((s, dir) => {
+      graft.ops.Skew.saltedCountSum(t(s, dir, "events"),
+          keyCol = "event_type", saltSrcCol = "event_id",
+          valueCol = "value", salts = 16)
+        .select(col("event_type"), col("cnt"),
+          round(col("total"), 2).as("total"))
+    }),
     // ------------------------------- dedup / similarity / text ops
     // bounded to 1000 docs: the synthetic corpus is near-dup-saturated, so
     // exact all-pairs output is Ω(n²) — the LSH entries are the scale path
@@ -262,6 +270,13 @@ object SparkEntry {
     "pipe07_summary" -> ((s, _) => {
       Extraction.summary(Extraction.extractAll(fixturePages(s)))
     }),
+    // A7/F2: newest-first manifest listing (the reference's mtime-desc
+    // file listing, routes.py:44-60)
+    "pipe13_manifest_listing" -> ((s, _) => {
+      val pages = Checkpoint.withPartitionCols(fixturePages(s))
+      Checkpoint.listing(Checkpoint.manifestRows(pages, "verify-run",
+        java.sql.Timestamp.valueOf("2024-01-08 00:00:00"), "/out"))
+    }),
   )
 
   /** DuckDB rendition of the columnar lang-id / quality / dedup operators,
@@ -327,6 +342,7 @@ object SparkEntry {
     "q15_set_union" -> "SELECT count(*) AS n FROM (SELECT c_nationkey AS k FROM customer UNION SELECT s_nationkey FROM supplier) t",
     "q16_rollup" -> "SELECT l_returnflag, l_linestatus, count(*) AS cnt, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)",
     "q17_point_lookup" -> "SELECT event_id, user_id, event_type FROM events WHERE event_id = 42",
+    "q25_salted_agg" -> "SELECT event_type, count(*) AS cnt, round(sum(value), 2) AS total FROM events GROUP BY event_type",
     "q18_embedding_norm" -> "SELECT vec_id, round(sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS norm FROM embeddings ORDER BY vec_id LIMIT 100",
     "q19_knn_bruteforce" -> ("SELECT e.vec_id, round(" +
       "(SELECT sum(CAST(a.v AS DOUBLE) * CAST(b.v AS DOUBLE)) FROM (SELECT unnest(e.embedding) AS v, generate_subscripts(e.embedding, 1) AS i) a JOIN (SELECT unnest(q.embedding) AS v, generate_subscripts(q.embedding, 1) AS i FROM embeddings q WHERE q.vec_id = 7) b ON a.i = b.i) " +
