@@ -270,6 +270,14 @@ object SparkEntry {
     "pipe07_summary" -> ((s, _) => {
       Extraction.summary(Extraction.extractAll(fixturePages(s)))
     }),
+    // J2 as a native SQL scalar: the extract_main_text Catalyst
+    // expression (codegen'd, registered via GraftExtensions)
+    "pipe14_sql_extract" -> ((s, _) => {
+      graft.functions.GraftFunctions.register(s) // idempotent belt-and-braces
+      fixturePages(s).where(!Extraction.isPdf(col("html")))
+        .selectExpr("url", "extract_main_text(html) AS extracted_text",
+          "length(extract_main_text(html)) AS text_len")
+    }),
     // A7/F2: newest-first manifest listing (the reference's mtime-desc
     // file listing, routes.py:44-60)
     "pipe13_manifest_listing" -> ((s, _) => {

@@ -1,0 +1,60 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.fixtures.PageGen
+import graft.kernel.HtmlStream
+
+/** The native `extract_main_text` Catalyst expression: registered via
+  * SparkSessionExtensions (Extraction.configure sets
+  * spark.sql.extensions), equal to the kernel on every fixture, null-safe,
+  * and codegen'd (the plan stays inside WholeStageCodegen — no
+  * CodegenFallback marker).
+  */
+class FunctionsSpec extends AnyFunSuite with SparkSuite {
+  import spark.implicits._
+
+  private lazy val htmls = PageGen.pages(120)
+    .filterNot(p => p.html.take(5).sameElements("%PDF-".getBytes))
+
+  test("SQL extract_main_text == kernel over fixtures") {
+    val df = htmls.map(p => (p.url, p.html)).toDF("url", "html")
+    df.createOrReplaceTempView("pages_f")
+    val got = spark.sql(
+      "SELECT url, extract_main_text(html) AS t FROM pages_f")
+      .as[(String, String)].collect().toMap
+    htmls.foreach { p =>
+      assert(got(p.url) === HtmlStream.extract(p.html).text, p.url)
+    }
+  }
+
+  test("null input → null output; non-binary input rejected at analysis") {
+    val df = Seq((1, Option.empty[Array[Byte]]),
+      (2, Some("<p>hello world of tests with plenty and plenty of words to classify very clearly as a real content block here</p>".getBytes)))
+      .toDF("id", "html")
+    val out = df.select($"id", expr("extract_main_text(html)").as("t"))
+      .as[(Int, Option[String])].collect().toMap
+    assert(out(1).isEmpty)
+    assert(out(2).exists(_.contains("hello world")))
+
+    val err = intercept[Exception] {
+      Seq(1).toDF("x").select(expr("extract_main_text(x)")).collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("binary") ||
+      err.getMessage.contains("DATATYPE_MISMATCH"))
+  }
+
+  test("expression compiles into WholeStageCodegen (no fallback)") {
+    // repartition prevents ConvertToLocalRelation from constant-folding
+    // the whole query at optimization time
+    val df = htmls.take(5).map(p => Tuple1(p.html)).toDF("html").repartition(2)
+    val q = df.select(expr("length(extract_main_text(html))"))
+    q.collect() // AQE finalizes the plan only at execution
+    val plan = q.queryExecution.executedPlan.toString
+    // AQE's toString renders WholeStageCodegen nodes as a "*(id)" prefix
+    assert(plan.contains("*(1) Project [length(extract_main_text("), plan)
+    // filter fusion: a predicate over the expression still collects fine
+    val n = df.where(expr("length(extract_main_text(html)) > 0")).count()
+    assert(n === 5)
+  }
+}
