@@ -132,7 +132,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val nDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "600000").toLong
+    val nDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "1500000").toLong
     // Default grammar emits ~2 KB pages; boost=4 brings payloads toward
     // the tens-of-KB shape of real crawl pages and makes the timed job
     // long enough that scheduling overhead stops dominating the ratio.

@@ -414,6 +414,10 @@ object Pdf {
     */
   def extractChunk(chunk: Array[Byte]): ChunkResult = {
     val ps = pages(parseDoc(chunk))
+    chunkResultOf(ps)
+  }
+
+  private def chunkResultOf(ps: Vector[PdfPage]): ChunkResult = {
     val sb = new java.lang.StringBuilder
     val metas = Vector.newBuilder[PageMeta]
     ps.zipWithIndex.foreach { case (p, i) =>
@@ -422,5 +426,20 @@ object Pdf {
         math.rint(1.0 * 10000) / 10000)
     }
     ChunkResult(sb.toString, metas.result())
+  }
+
+  /** Whole-document extraction with one parse: equivalent to
+    * `chunkBytes(pdf).map(extractChunk)` (asserted in PdfKernelSpec) but
+    * without re-serializing each 10-page group to bytes and re-parsing
+    * it — the fused per-row pipeline path uses this; the chunk-bytes path
+    * remains for the content-hash memoization dataflow, where chunk BYTES
+    * are the cache key. Page content/dimensions pass through `chunkBytes`'s
+    * writer→parser roundtrip unchanged (PdfKernelSpec roundtrip tests),
+    * so text and page metadata are identical either way.
+    */
+  def extractDocChunks(pdf: Array[Byte]): Vector[ChunkResult] = {
+    val ps = pages(parseDoc(pdf))
+    if (ps.isEmpty) Vector(chunkResultOf(ps)) // == extractChunk over the 1 passthrough chunk
+    else ps.grouped(MaxPagesPerChunk).map(chunkResultOf).toVector
   }
 }

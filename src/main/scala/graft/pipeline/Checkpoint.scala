@@ -78,6 +78,29 @@ object Checkpoint {
       .withColumn("run_id", lit(runId))
   }
 
+  /** [[metrics]] for outputs that already carry the partition columns
+    * (the [[run]] path): both sides aggregate to per-partition rows FIRST
+    * and join those (tens of rows), instead of joining every document on
+    * url — at corpus scale that per-url join is a full shuffle of the
+    * extracted text.
+    */
+  def metricsParted(pagesPart: DataFrame, docsParted: DataFrame,
+                    runId: String): DataFrame = {
+    val keys = Seq("ts_day", "url_bucket")
+    val inAgg = pagesPart.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("docs"),
+        sum(octet_length(col("html")).cast("long")).as("bytes_in"))
+    val outAgg = docsParted.groupBy(keys.map(col): _*)
+      .agg(sum(octet_length(col("extracted_text")).cast("long")).as("bytes_out"),
+        sum(col("content_blocks")).as("content_blocks"),
+        sum(col("boiler_blocks")).as("boiler_blocks"),
+        sum((!col("ok")).cast("long")).as("failed"))
+    inAgg.join(outAgg, keys)
+      .select(col("ts_day"), col("url_bucket"), col("docs"), col("bytes_in"),
+        col("bytes_out"), col("content_blocks"), col("boiler_blocks"), col("failed"))
+      .withColumn("run_id", lit(runId))
+  }
+
   /** A7/F2: the manifest listing — newest commit first (the reference's
     * mtime-desc file listing, `routes.py:44-60`).
     */
@@ -122,11 +145,25 @@ object Checkpoint {
     val todo = resume(pages, manifest).cache()
     val nTodo = todo.count()
     if (nTodo > 0) {
-      val docs = Extraction.extractAll(todo)
-        .join(todo.select(col("url"), col("ts_day"), col("url_bucket")), Seq("url"))
+      import spark.implicits._
+      // thread ts_day/url_bucket THROUGH the fused per-row extraction —
+      // re-joining extractAll's output on url would shuffle every
+      // extracted document twice (both join sides), the dominant exchange
+      // of the write path at corpus scale; this plan has none before the
+      // partitioned write
+      val docs = todo
+        .select(col("url"), col("html"), col("ts_day"), col("url_bucket"))
+        .as[(String, Array[Byte], java.sql.Date, Int)]
+        .mapPartitions(_.map { case (url, html, day, bucket) =>
+          (Extraction.extractDoc(RawDoc(url, html)), day, bucket)
+        })
+        .select(col("_1.*"), col("_2").as("ts_day"), col("_3").as("url_bucket"))
+        .withColumn("document_type", Extraction.documentType(col("labels")))
+        .persist() // consumed twice: partitioned write + metrics rollup
       docs.write.mode("overwrite").partitionBy("ts_day", "url_bucket").parquet(outDir)
-      metrics(todo, docs, runId).write.mode("append").parquet(metricsDir)
+      metricsParted(todo, docs, runId).write.mode("append").parquet(metricsDir)
       manifestRows(todo, runId, runTs, outDir).write.mode("append").parquet(manifestDir)
+      docs.unpersist()
     }
     todo.unpersist()
     nTodo

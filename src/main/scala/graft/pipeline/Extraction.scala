@@ -51,25 +51,24 @@ object Extraction {
     */
   def htmlDocsRaw(pages: Dataset[RawDoc]): Dataset[HtmlDoc] = {
     import pages.sparkSession.implicits._
-    pages.mapPartitions { it =>
-      it.map { p =>
-        try {
-          val ex = Html.extract(p.html)
-          val labels = ex.headings.map { h =>
-            val words = Html.countWords(h)
-            val s = math.rint(math.min(1.0, words / 20.0) * 10000) / 10000
-            Label(h, s, s)
-          }
-          HtmlDoc(p.url, ex.text, ex.title, labels, ex.language,
-            ex.contentBlocks.toLong, ex.boilerBlocks.toLong, ok = true, error = "")
-        } catch {
-          case e: Exception =>
-            HtmlDoc(p.url, "", "", Seq.empty, "und", 0L, 0L, ok = false,
-              error = String.valueOf(e.getMessage))
-        }
-      }
-    }
+    pages.mapPartitions(_.map(htmlDocOne))
   }
+
+  def htmlDocOne(p: RawDoc): HtmlDoc =
+    try {
+      val ex = Html.extract(p.html)
+      val labels = ex.headings.map { h =>
+        val words = Html.countWords(h)
+        val s = math.rint(math.min(1.0, words / 20.0) * 10000) / 10000
+        Label(h, s, s)
+      }
+      HtmlDoc(p.url, ex.text, ex.title, labels, ex.language,
+        ex.contentBlocks.toLong, ex.boilerBlocks.toLong, ok = true, error = "")
+    } catch {
+      case e: Exception =>
+        HtmlDoc(p.url, "", "", Seq.empty, "und", 0L, 0L, ok = false,
+          error = String.valueOf(e.getMessage))
+    }
 
   // ------------------------------------------------------------- PDF branch
   /** D1: stream each PDF into consecutive ≤10-page sub-PDFs. Iterator-based
@@ -100,19 +99,21 @@ object Extraction {
     * chunk text — the document keeps chunk 0's values after the merge.
     */
   def extractOne(hash: String, payload: Array[Byte]): ChunkExtract =
-    try {
-      val r = Pdf.extractChunk(payload)
-      val labels = r.text.split('\n').iterator.filter(_.nonEmpty).take(5).map { l =>
-        val s = math.rint(math.min(1.0, Html.countWords(l) / 10.0) * 10000) / 10000
-        Label(l, s, s)
-      }.toSeq
-      val pages = r.pages.map(p => PageMeta(p.page_number, p.width, p.height, p.confidence))
-      ChunkExtract(hash, r.text, pages, labels, Lang.detect(r.text), ok = true, error = "")
-    } catch {
-      case e: Exception =>
-        ChunkExtract(hash, "", Seq.empty, Seq.empty, "und", ok = false,
-          error = String.valueOf(e.getMessage))
-    }
+    try chunkExtractOf(hash, Pdf.extractChunk(payload))
+    catch { case e: Exception => failedChunk(hash, e) }
+
+  private def chunkExtractOf(hash: String, r: Pdf.ChunkResult): ChunkExtract = {
+    val labels = r.text.split('\n').iterator.filter(_.nonEmpty).take(5).map { l =>
+      val s = math.rint(math.min(1.0, Html.countWords(l) / 10.0) * 10000) / 10000
+      Label(l, s, s)
+    }.toSeq
+    val pages = r.pages.map(p => PageMeta(p.page_number, p.width, p.height, p.confidence))
+    ChunkExtract(hash, r.text, pages, labels, Lang.detect(r.text), ok = true, error = "")
+  }
+
+  private def failedChunk(hash: String, e: Exception): ChunkExtract =
+    ChunkExtract(hash, "", Seq.empty, Seq.empty, "und", ok = false,
+      error = String.valueOf(e.getMessage))
 
   /** B5: distinct-by-content-hash memoization. Chunks are hashed with
     * `sha2(payload, 256)` (bit-identical to the reference's
@@ -204,16 +205,18 @@ object Extraction {
     * frequent enough that dedup beats re-extraction.
     */
   def pdfDocFused(p: RawDoc): PdfDoc = {
-    val cs =
-      try Pdf.chunkBytes(p.html)
-      catch { case _: Exception => Vector(p.html) }
-    val ex = cs.map(b => extractOne("", b))
+    // one parse for the whole document (Pdf.extractDocChunks); an
+    // unparsable payload degrades to a single failed chunk exactly like
+    // the dataflow path's passthrough chunk (C5 failure isolation)
+    val ex: Vector[ChunkExtract] =
+      try Pdf.extractDocChunks(p.html).map(r => chunkExtractOf("", r))
+      catch { case e: Exception => Vector(failedChunk("", e)) }
     val okEx = ex.filter(_.ok)
     PdfDoc(p.url,
       okEx.iterator.map(_.text).mkString,
       okEx.flatMap(_.pages),
       ex.head.labels, ex.head.language,
-      okEx.length, cs.length, okEx.nonEmpty)
+      okEx.length, ex.length, okEx.nonEmpty)
   }
 
   def pdfDocsFused(pages: Dataset[Page]): Dataset[PdfDoc] = {
@@ -224,6 +227,28 @@ object Extraction {
   def pdfDocsFusedRaw(pages: Dataset[RawDoc]): Dataset[PdfDoc] = {
     import pages.sparkSession.implicits._
     pages.mapPartitions(_.map(pdfDocFused))
+  }
+
+  /** Per-document fused extraction (both branches, one row in → one row
+    * out): the row-level twin of [[extractAll]] — used where extra columns
+    * must ride along with the extraction (e.g. [[Checkpoint.run]] threads
+    * partition columns through instead of re-joining the extracted text on
+    * url, which would shuffle the whole output). `document_type` is a
+    * columnar post-step ([[documentType]]), same as extractAll.
+    */
+  def extractDoc(p: RawDoc): DocRow = {
+    val isPdfRow = p.html != null && p.html.length >= 5 &&
+      p.html(0) == '%' && p.html(1) == 'P' && p.html(2) == 'D' &&
+      p.html(3) == 'F' && p.html(4) == '-'
+    if (isPdfRow) {
+      val d = pdfDocFused(p)
+      DocRow(d.url, d.extracted_text, "", d.labels, d.language, d.pages,
+        d.chunks_processed, d.total_chunks, 0L, 0L, "pdf", d.ok)
+    } else {
+      val h = htmlDocOne(p)
+      DocRow(h.url, h.extracted_text, h.title, h.labels, h.language,
+        Seq.empty, 1, 1, h.content_blocks, h.boiler_blocks, "html", h.ok)
+    }
   }
 
   private val emptyPages = typedLit(Seq.empty[PageMeta])

@@ -61,6 +61,16 @@ final case class PdfDoc(url: String, extracted_text: String,
                         language: String, chunks_processed: Int,
                         total_chunks: Int, ok: Boolean)
 
+/** Unified per-document result row — the schema of
+  * [[Extraction.extractAll]] before the `document_type` column, produced
+  * row-at-a-time by [[Extraction.extractDoc]] (both branches fused).
+  */
+final case class DocRow(url: String, extracted_text: String, title: String,
+                        labels: Seq[Label], language: String,
+                        pages: Seq[PageMeta], chunks_processed: Int,
+                        total_chunks: Int, content_blocks: Long,
+                        boiler_blocks: Long, source_type: String, ok: Boolean)
+
 /** Result of the HTML branch for one page (reference vision analysis
   * analog, `vision_service.py:84-146`, re-built as tokenizer + DOM +
   * density classifier).

@@ -46,6 +46,16 @@ class PdfKernelSpec extends AnyFunSuite {
     assert(counts === Vector(10, 10, 5))
   }
 
+  test("extractDocChunks == chunkBytes.map(extractChunk) over fixture PDFs") {
+    graft.fixtures.PageGen.pages(200, seed = 5L)
+      .filter(p => new String(p.html.take(5)) == "%PDF-")
+      .foreach { p =>
+        val direct = Pdf.extractDocChunks(p.html)
+        val viaBytes = Pdf.chunkBytes(p.html).map(Pdf.extractChunk)
+        assert(direct === viaBytes, p.url)
+      }
+  }
+
   test("chunk concat == whole-document extraction (associativity contract)") {
     val pages = (1 to 23).map(i => Seq(s"alpha $i", s"beta $i"))
     val whole = pdf(pages, compress = true)
