@@ -165,6 +165,23 @@ object SparkEntry {
         .select(col("vec_id"), round(dot / (nE * nQ), 6).as("sim"))
         .orderBy(desc("sim"), asc("vec_id")).limit(10)
     }),
+    // --------------------------- E: multi-way broadcast-dim join chain
+    "q26_join3_dims" -> ((s, dir) => {
+      val r = broadcast(t(s, dir, "region"))
+      val n = broadcast(t(s, dir, "nation"))
+      val c = t(s, dir, "customer")
+      c.join(n, c("c_nationkey") === n("n_nationkey"))
+        .join(r, n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(count(lit(1)).as("customers"),
+          sum(round(col("c_acctbal") * 100, 0).cast("bigint")).as("acctbal_cents"))
+    }),
+    // --------------------------------------- H: intersect / except
+    "q27_intersect" -> ((s, dir) => {
+      t(s, dir, "customer").select(col("c_nationkey").as("k"))
+        .intersect(t(s, dir, "supplier").select(col("s_nationkey").as("k")))
+        .agg(count(lit(1)).as("n_common"))
+    }),
     // ------------------------------ §4 skew: two-phase salted aggregate
     "q25_salted_agg" -> ((s, dir) => {
       graft.ops.Skew.saltedCountSum(t(s, dir, "events"),
@@ -351,6 +368,8 @@ object SparkEntry {
     "q16_rollup" -> "SELECT l_returnflag, l_linestatus, count(*) AS cnt, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)",
     "q17_point_lookup" -> "SELECT event_id, user_id, event_type FROM events WHERE event_id = 42",
     "q25_salted_agg" -> "SELECT event_type, count(*) AS cnt, round(sum(value), 2) AS total FROM events GROUP BY event_type",
+    "q26_join3_dims" -> "SELECT r.r_name, count(*) AS customers, CAST(sum(CAST(round(c.c_acctbal * 100, 0) AS BIGINT)) AS BIGINT) AS acctbal_cents FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey JOIN region r ON n.n_regionkey = r.r_regionkey GROUP BY r.r_name",
+    "q27_intersect" -> "SELECT count(*) AS n_common FROM (SELECT c_nationkey AS k FROM customer INTERSECT SELECT s_nationkey FROM supplier) t",
     "q18_embedding_norm" -> "SELECT vec_id, round(sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS norm FROM embeddings ORDER BY vec_id LIMIT 100",
     "q19_knn_bruteforce" -> ("SELECT e.vec_id, round(" +
       "(SELECT sum(CAST(a.v AS DOUBLE) * CAST(b.v AS DOUBLE)) FROM (SELECT unnest(e.embedding) AS v, generate_subscripts(e.embedding, 1) AS i) a JOIN (SELECT unnest(q.embedding) AS v, generate_subscripts(q.embedding, 1) AS i FROM embeddings q WHERE q.vec_id = 7) b ON a.i = b.i) " +

@@ -54,8 +54,22 @@ object Extraction {
     pages.mapPartitions(_.map(htmlDocOne))
   }
 
-  def htmlDocOne(p: RawDoc): HtmlDoc =
-    try {
+  /** Rows whose payload exceeds this fail in isolation (C5) instead of
+    * risking task-level OOM from one pathological document (a multi-GB
+    * "page" in a crawl); 256 MB is far above any real web payload.
+    */
+  val MaxPayloadBytes: Int = 256 << 20
+
+  private[graft] def oversized(p: Array[Byte], limit: Int): Boolean =
+    p != null && p.length > limit
+
+  def htmlDocOne(p: RawDoc): HtmlDoc = htmlDocOne(p, MaxPayloadBytes)
+
+  private[graft] def htmlDocOne(p: RawDoc, limit: Int): HtmlDoc =
+    if (oversized(p.html, limit))
+      HtmlDoc(p.url, "", "", Seq.empty, "und", 0L, 0L, ok = false,
+        error = s"payload ${p.html.length} bytes exceeds limit $limit")
+    else try {
       val ex = Html.extract(p.html)
       val labels = ex.headings.map { h =>
         val words = Html.countWords(h)
@@ -204,12 +218,17 @@ object Extraction {
     * cross-run memoization cache or corpora where duplicate payloads are
     * frequent enough that dedup beats re-extraction.
     */
-  def pdfDocFused(p: RawDoc): PdfDoc = {
+  def pdfDocFused(p: RawDoc): PdfDoc = pdfDocFused(p, MaxPayloadBytes)
+
+  private[graft] def pdfDocFused(p: RawDoc, limit: Int): PdfDoc = {
     // one parse for the whole document (Pdf.extractDocChunks); an
     // unparsable payload degrades to a single failed chunk exactly like
     // the dataflow path's passthrough chunk (C5 failure isolation)
     val ex: Vector[ChunkExtract] =
-      try Pdf.extractDocChunks(p.html).map(r => chunkExtractOf("", r))
+      if (oversized(p.html, limit))
+        Vector(ChunkExtract("", "", Seq.empty, Seq.empty, "und", ok = false,
+          error = s"payload ${p.html.length} bytes exceeds limit $limit"))
+      else try Pdf.extractDocChunks(p.html).map(r => chunkExtractOf("", r))
       catch { case e: Exception => Vector(failedChunk("", e)) }
     val okEx = ex.filter(_.ok)
     PdfDoc(p.url,

@@ -123,6 +123,18 @@ class PipelineSpec extends AnyFunSuite with SparkSuite {
     chunks.unpersist()
   }
 
+  test("oversized payloads fail in isolation, never crash the task") {
+    val big = fixture.head
+    val h = Extraction.htmlDocOne(RawDoc(big.url, big.html), limit = 10)
+    assert(!h.ok && h.error.contains("exceeds limit"))
+    val pdfFix = fixture.find(p => new String(p.html.take(5)) == "%PDF-").get
+    val d = Extraction.pdfDocFused(RawDoc(pdfFix.url, pdfFix.html), limit = 10)
+    assert(!d.ok && d.chunks_processed === 0 && d.total_chunks === 1)
+    // under the default limit the same rows extract fine
+    assert(Extraction.htmlDocOne(RawDoc(big.url, big.html)).ok ||
+      new String(big.html.take(5)) == "%PDF-")
+  }
+
   test("summary projection has the 4-line reference format") {
     val s = Extraction.summary(docs).as[(String, String)].head()._2
     assert(s.startsWith("Document Analysis Summary\n"))
