@@ -52,26 +52,52 @@ object Similarity {
       .limit(k)
   }
 
+  /** Scala twin of [[dot]]/[[hyperplaneSig]]: identical left-to-right FP
+    * fold, run on primitive arrays — Spark's higher-order array functions
+    * are CodegenFallback (interpreted, boxed per element), which makes the
+    * per-row planes×dims signature loop the dominant cost columnar.
+    */
+  def sigOf(v: Array[Double], planes: Array[Array[Double]]): Long = {
+    var sig = 0L
+    var b = 0
+    while (b < planes.length) {
+      val p = planes(b)
+      var s = 0.0
+      var j = 0
+      val n = math.min(v.length, p.length)
+      while (j < n) { s += v(j) * p(j); j += 1 }
+      if (s > 0) sig |= 1L << b
+      b += 1
+    }
+    sig
+  }
+
   /** ANN top-k via L independent hyperplane-LSH tables: a candidate is any
     * row sharing the query's bucket in ≥1 table; candidates are scored
     * exactly and cut to k. Collision probability per table for angle θ is
     * (1−θ/π)^planesPerTable; L tables union to the target recall — tune
     * (L, planesPerTable) to corpus size (more planes → smaller buckets →
-    * cheaper verify, lower per-table recall).
+    * cheaper verify, lower per-table recall). Signatures are computed in a
+    * typed per-row kernel ([[sigOf]], bit-identical to the columnar
+    * [[hyperplaneSig]]); `idCol` must be numeric.
     */
   def annLshTopK(df: DataFrame, idCol: String, vecCol: String,
                  queryId: Long, k: Int,
                  tables: Int = 10, planesPerTable: Int = 5,
                  dim: Int = 64, seed: Long = 42L): DataFrame = {
-    val allPlanes = (0 until tables).map(t =>
-      randomPlanes(planesPerTable, dim, seed + t))
-    // one signature column per table, exploded into (table_idx, bucket)
-    val sigs = array(allPlanes.zipWithIndex.map { case (p, t) =>
-      struct(lit(t).as("t"), hyperplaneSig(col(vecCol), p).as("bucket"))
-    }: _*)
-    val bucketed = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
-      explode(sigs).as("tb")).select(col("id"), col("vec"),
-      col("tb.t").as("t"), col("tb.bucket").as("bucket"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val planesArr: Array[Array[Array[Double]]] = (0 until tables).map(t =>
+      randomPlanes(planesPerTable, dim, seed + t).map(_.toArray).toArray).toArray
+    val bucketed = df
+      .select(col(idCol).cast("long"), transform(col(vecCol), x => x.cast("double")))
+      .as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, v) =>
+          Iterator.tabulate(planesArr.length)(t => (id, v, t, sigOf(v, planesArr(t))))
+        }
+      }
+      .toDF("id", "vec", "t", "bucket")
     val qb = bucketed.where(col("id") === queryId)
       .select(col("t"), col("bucket"), col("vec").as("qv"))
     bucketed.join(broadcast(qb), Seq("t", "bucket"))

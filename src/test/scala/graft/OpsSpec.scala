@@ -111,6 +111,20 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
     info(s"cosine-LSH recall = ${lsh.size}/${exact.size} (single table, 6 planes)")
   }
 
+  test("kernel hyperplane signature == columnar expression (bit-identical)") {
+    val planes = Similarity.randomPlanes(6, 64)
+    val colSig = emb.select($"vec_id",
+        Similarity.hyperplaneSig($"embedding", planes).as("s"))
+      .as[(Long, Long)].collect().toMap
+    val planesArr = planes.map(_.toArray).toArray
+    val kernelSig = emb
+      .select($"vec_id".cast("long"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .as[(Long, Array[Double])].collect()
+      .map { case (id, v) => id -> Similarity.sigOf(v, planesArr) }.toMap
+    assert(colSig === kernelSig)
+  }
+
   test("ann: brute-force topk deterministic; LSH topk scores bounded by it") {
     val bf = Similarity.bruteForceTopK(emb, "vec_id", "embedding", 7L, 10)
       .as[(Long, Double)].collect()
