@@ -137,7 +137,7 @@ object Bench {
     // the tens-of-KB shape of real crawl pages and makes the timed job
     // long enough that scheduling overhead stops dominating the ratio.
     val boost = sys.env.getOrElse("SPARK_GRAFT_BENCH_BOOST", "4").toInt
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "5").toInt
     val coresLo = sys.env.getOrElse("SPARK_GRAFT_CORES_LO", "8").toInt
     val coresHi = sys.env.getOrElse("SPARK_GRAFT_CORES_HI", "32").toInt
     val pagesDir = s"/tmp/graft_bench_pages_${nDocs}_b$boost"
@@ -160,8 +160,9 @@ object Bench {
       s.sparkContext.setLogLevel("WARN")
       timeExtraction(s, warmDir) // JIT/classload warm-up, untimed
       // untimed full scan: faults the page table into the OS cache so the
-      // timed reps measure compute, not cold virtio reads
-      s.read.parquet(pagesDir).agg(count(lit(1))).collect()
+      // timed reps measure compute, not cold virtio reads (must touch the
+      // payload column — count(*) would prune the scan to metadata only)
+      s.read.parquet(pagesDir).agg(sum(octet_length(col("html")))).collect()
       val (secs, steal) = timedReps(reps, reps * 4)(() => timeExtraction(s, pagesDir))
       // scan-only (parquet read + byte count, no kernels): the IO/decode
       // bandwidth ceiling of this single-box emulation
