@@ -56,10 +56,16 @@ object Dedup {
       .withColumn("nw", size(col("ws")))
     val tok = sets.select(col("id"), col("nw"), explode(col("ws")).as("w"))
     val freq = tok.groupBy(col("w")).agg(count(lit(1)).as("f"))
+    // prefix length = |d| − ⌈t·|d|⌉ + 1 (smallest-shared-element lemma).
+    // NOT floor((1−t)·|d|)+1: when t·|d| is an exact integer, (1−t) in FP
+    // is slightly under (e.g. 0.0999…), making the prefix one token short
+    // and losing qualifying pairs. The 1e-9 slack can only lengthen the
+    // prefix (extra candidates are re-verified, never emitted wrongly).
+    val prefixLen = col("nw") - ceil(lit(threshold) * col("nw") - lit(1e-9)) + 1
     val prefix = tok.join(freq, Seq("w"))
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("id")).orderBy(col("f"), col("w"))))
-      .where(col("rk") <= floor(lit(1.0 - threshold) * col("nw")) + 1)
+      .where(col("rk") <= prefixLen)
       .select(col("id"), col("w"))
     val cand = prefix.as("a").join(prefix.as("b"),
         col("a.w") === col("b.w") && col("a.id") < col("b.id"))

@@ -47,6 +47,19 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("prefix filter boundary: J exactly t with rare tokens hogging the prefix") {
+    // regression: with prefix = floor((1-t)|d|)+1, FP error shortened the
+    // prefix by one whenever t·|d| was an exact integer; this pair (J =
+    // 18/20 = 0.9, A's two rarest tokens both non-shared) was then lost
+    val shared = (1 to 18).map(i => s"w$i")
+    val edge = Seq(
+      (1L, (shared ++ Seq("rareonlyx", "rareonlyy")).mkString(" ")),
+      (2L, shared.mkString(" "))).toDF("id", "text")
+    val fast = Dedup.wordJaccardPairs(edge, "id", "text", 0.9)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(fast === Set((1L, 2L, 0.9)))
+  }
+
   test("minhash LSH: exact precision, high recall vs exact shingle jaccard") {
     val k = 3
     val sh = corpusDf.select($"id",

@@ -123,6 +123,19 @@ class PipelineSpec extends AnyFunSuite with SparkSuite {
     chunks.unpersist()
   }
 
+  test("dedup invariance: duplicating input rows never changes any output") {
+    val dups = fixture.take(40).map(p => p.copy(url = p.url + "?dup"))
+    val withDups = Extraction.extractAll(
+      spark.createDataset(fixture ++ dups).toDF())
+      .select($"url", $"extracted_text").as[(String, String)].collect().toMap
+    val baseline = docs.select($"url", $"extracted_text")
+      .as[(String, String)].collect().toMap
+    // original urls unaffected by the presence of duplicates
+    baseline.foreach { case (u, t) => assert(withDups(u) === t, u) }
+    // and each duplicate extracts to its source's exact bytes
+    dups.foreach(d => assert(withDups(d.url) === baseline(d.url.stripSuffix("?dup"))))
+  }
+
   test("oversized payloads fail in isolation, never crash the task") {
     val big = fixture.head
     val h = Extraction.htmlDocOne(RawDoc(big.url, big.html), limit = 10)
