@@ -180,9 +180,29 @@ object Bench {
     val scanEff = (scanHi / scanLo) / (coresHi.toDouble / coresLo)
 
     // byte-identical match rate on the bench table (north-rule metric)
+    // + end-to-end checkpointed run: read → extract → partitioned Parquet
+    // write + manifest + metrics (the production write path, sink IO
+    // included — the scaling numbers above deliberately exclude sinks)
     val sMr = session(cpus)
     sMr.sparkContext.setLogLevel("WARN")
     val mr = matchRate(sMr, pagesDir)
+    val e2eDocs = sys.env.getOrElse("SPARK_GRAFT_E2E_DOCS", "200000").toLong
+    val e2eRoot = "/tmp/graft_bench_e2e"
+    val e2ePages = s"$e2eRoot/pages_${e2eDocs}_b$boost"
+    if (!new java.io.File(s"$e2ePages/_SUCCESS").exists())
+      Checkpoint.writePages(
+        fixtures.PageGen.pagesDistributed(sMr, e2eDocs, seed = 3L, boost = boost).toDF(),
+        e2ePages)
+    def rmrf(p: java.io.File): Unit = {
+      if (p.isDirectory) p.listFiles().foreach(rmrf)
+      p.delete(); ()
+    }
+    Seq("docs", "manifest", "metrics").foreach(d => rmrf(new java.io.File(s"$e2eRoot/$d")))
+    val tRun = System.nanoTime()
+    Checkpoint.run(sMr, e2ePages, s"$e2eRoot/docs", s"$e2eRoot/manifest",
+      s"$e2eRoot/metrics", "bench-run", java.sql.Timestamp.valueOf("2024-01-08 00:00:00"))
+    val e2eSecs = (System.nanoTime() - tRun) / 1e9
+    val e2eThr = e2eDocs / e2eSecs
     sMr.stop()
 
     // machine ceiling: the same two levels on perfect-scaling code
@@ -191,7 +211,7 @@ object Bench {
       val s = session(cores)
       s.sparkContext.setLogLevel("WARN")
       timeCalibration(s, calibRows / 8) // warm-up
-      val (secs, _) = timedReps(2, 6)(() => timeCalibration(s, calibRows))
+      val (secs, _) = timedReps(3, 9)(() => timeCalibration(s, calibRows))
       s.stop()
       calibRows / secs
     }
@@ -213,6 +233,6 @@ object Bench {
     val total = queryTimes.map(_._2).sum
     val qs = queryTimes.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","scaling":{"docs":$nDocs,"cores_lo":$coresLo,"cores_hi":$coresHi,"docs_per_sec_lo":$thrLo%.1f,"docs_per_sec_hi":$thrHi%.1f,"efficiency":$eff%.3f,"match_rate":$mr%.5f,"scan_only_efficiency":$scanEff%.3f,"machine_ceiling_efficiency":$ceiling%.3f,"efficiency_vs_ceiling":${eff / ceiling}%.3f,"host_steal_pct_lo":$stealLo%.1f,"host_steal_pct_hi":$stealHi%.1f}}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","scaling":{"docs":$nDocs,"cores_lo":$coresLo,"cores_hi":$coresHi,"docs_per_sec_lo":$thrLo%.1f,"docs_per_sec_hi":$thrHi%.1f,"efficiency":$eff%.3f,"match_rate":$mr%.5f,"e2e_run_docs":$e2eDocs,"e2e_run_docs_per_sec":$e2eThr%.1f,"scan_only_efficiency":$scanEff%.3f,"machine_ceiling_efficiency":$ceiling%.3f,"efficiency_vs_ceiling":${eff / ceiling}%.3f,"host_steal_pct_lo":$stealLo%.1f,"host_steal_pct_hi":$stealHi%.1f}}""")
   }
 }

@@ -46,6 +46,33 @@ class PdfKernelSpec extends AnyFunSuite {
     assert(counts === Vector(10, 10, 5))
   }
 
+  test("fuzz: random documents roundtrip + chunk-associativity (400 seeded samples)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val lineGen = Gen.chooseNum(0, 40).flatMap(k =>
+      Gen.listOfN(k, Gen.oneOf(
+        Gen.alphaNumStr.map(_.take(30)),
+        Gen.oneOf("paren ( close )", "back \\ slash", "tabs\tand\rctrl",
+          "octal  bell", "ümlaut ß ç", "", "  spaces  "))).map(_.map(identity)))
+    val docGen = for {
+      nPages <- Gen.chooseNum(1, 23)
+      pages <- Gen.listOfN(nPages, lineGen)
+      compress <- Gen.oneOf(true, false)
+    } yield (pages.map(_.toSeq), compress)
+    var seed = Seed(11L)
+    (1 to 400).foreach { k =>
+      val ((pages, compress), _) = (docGen.pureApply(Gen.Parameters.default, seed), ())
+      seed = seed.next
+      val bytes = PdfWriter.build(pages.map(p => if (p.isEmpty) Seq("") else p), compress)
+      val whole = Pdf.extractChunk(bytes)
+      assert(whole.pages.size === pages.size, s"sample #$k page count")
+      // chunk associativity: concat of chunk texts == whole-doc text
+      val viaChunks = Pdf.chunkBytes(bytes).map(Pdf.extractChunk)
+      assert(viaChunks.map(_.text).mkString === whole.text, s"sample #$k assoc")
+      assert(Pdf.extractDocChunks(bytes) === viaChunks, s"sample #$k direct==bytes")
+    }
+  }
+
   test("extractDocChunks == chunkBytes.map(extractChunk) over fixture PDFs") {
     graft.fixtures.PageGen.pages(200, seed = 5L)
       .filter(p => new String(p.html.take(5)) == "%PDF-")
