@@ -62,14 +62,21 @@ object HtmlStream {
     var headingLevel = 0
     var boilerDepth = 0
 
+    // `raw` holds the block text ALREADY whitespace-collapsed: runs fold
+    // to one ' ' at append time (blockPending), leading ws is dropped by
+    // the raw.length guard, trailing ws is never appended \u2014 so flush()
+    // equals collapseWs(uncollapsed concat) with one string copy instead
+    // of two per block.
+    var blockPending = false
+
     def flush(): Unit = {
-      val txt = collapseWs(raw.toString)
-      if (txt.nonEmpty) {
+      if (raw.length > 0) {
+        val txt = raw.toString
         blocks += Block(txt, countWords(txt), math.min(anchorChars, txt.length),
           txt.length, headingLevel, boilerDepth > 0)
         if (headingLevel > 0) headings += txt
       }
-      raw.setLength(0); anchorChars = 0
+      raw.setLength(0); anchorChars = 0; blockPending = false
     }
 
     // ---- per-text-node collapsed length (for anchorChars), no alloc
@@ -77,11 +84,13 @@ object HtmlStream {
     var nodePending = false
     var nodeStarted = false
     def nodeChar(c: Char): Unit = {
-      raw.append(c)
-      if (c.isWhitespace || c == '\u00A0') nodePending = true
+      if (c.isWhitespace || c == '\u00A0') { nodePending = true; blockPending = true }
       else {
         if (nodePending && nodeStarted) nodeLen += 1
         nodePending = false; nodeStarted = true; nodeLen += 1
+        if (blockPending && raw.length > 0) raw.append(' ')
+        blockPending = false
+        raw.append(c)
       }
     }
     def endTextNode(): Unit = {
@@ -228,7 +237,7 @@ object HtmlStream {
             closeImplied(name)
             val flags = flagsOf(name)
             if (voidTags(name) || selfClosing) {
-              if (name == "br") raw.append(' ')
+              if (name == "br") blockPending = true // br == ws run member
               else { enter(flags); exit(flags) }
               i = j
             } else if (rawTextTags(name)) {
