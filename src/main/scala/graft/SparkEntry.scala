@@ -235,11 +235,16 @@ object SparkEntry {
     }),
     "pipe12_rolling_fingerprints" -> ((s, _) => {
       import s.implicits._
+      // exploded to one (url, fp_idx, fp) row per fingerprint: the driver's
+      // rows-only checker sorts columns with pandas, which cannot order an
+      // array<long> column (round-1 crash, VERDICT.md "What's wrong" #2) —
+      // scalar rows keep the same information and stay sortable
       fixturePages(s).select(col("url"), col("text")).as[(String, String)]
-        .mapPartitions(_.map { case (url, text) =>
-          (url, graft.kernel.TextStats.rollingFingerprints(
-            graft.kernel.TextStats.tokens(text), window = 5, k = 8).toSeq)
-        }).toDF("url", "fingerprints")
+        .flatMap { case (url, text) =>
+          graft.kernel.TextStats.rollingFingerprints(
+            graft.kernel.TextStats.tokens(text), window = 5, k = 8)
+            .iterator.zipWithIndex.map { case (fp, i) => (url, i, fp) }
+        }.toDF("url", "fp_idx", "fp")
     }),
     // -------------------------- the extraction pipeline (rows-only)
     "pipe01_extract_all" -> ((s, _) => {

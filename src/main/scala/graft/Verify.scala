@@ -30,7 +30,13 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // Emit every oracle under BOTH the bare query name and the
+    // `<name>.parquet` output filename: round 1's driver keyed its result
+    // map by filename, missed every bare-name lookup, and recorded the
+    // whole round as `no_oracle` (VERDICT.md §"What's wrong" #1). Dual
+    // keys make the emission keying-agnostic.
     val json = SparkEntry.oracleSql
+      .flatMap { case (k, v) => Seq(k -> v, s"$k.parquet" -> v) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -136,9 +136,15 @@ object Checkpoint {
           runId: String, runTs: Timestamp): Long = {
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     val pages = spark.read.parquet(pagesDir)
+    // First-run probe by directory listing, not read-and-catch: the caught
+    // AnalysisException used to print a stack trace that polluted stderr
+    // right before Bench's JSON line (VERDICT.md "What's wrong" #3b).
+    val manifestFiles = Option(new java.io.File(manifestDir).listFiles())
+      .getOrElse(Array.empty)
     val manifest: DataFrame =
-      try spark.read.parquet(manifestDir)
-      catch { case _: Exception =>
+      if (manifestFiles.exists(_.getName.endsWith(".parquet")))
+        spark.read.parquet(manifestDir)
+      else {
         import spark.implicits._
         Seq.empty[(java.sql.Date, Int)].toDF("ts_day", "url_bucket")
       }
