@@ -213,6 +213,41 @@ object SparkEntry {
       t(s, dir, "documents").orderBy(asc("doc_id")).limit(100)
         .select(col("doc_id"), graft.ops.TextOps.fingerprint(col("text")).as("fp"))
     }),
+    // the cosine scale path (VERDICT r1 #5): multi-table hyperplane LSH
+    // buckets + exact verify, oracle-checked against a DuckDB rendition
+    // generated from the SAME plane literals (opsOracleSql)
+    "q28_cosine_lsh" -> ((s, dir) => {
+      graft.ops.Dedup.cosineNearDupLshMulti(t(s, dir, "embeddings"),
+        "vec_id", "embedding", threshold = 0.4, tables = 2, planesPerTable = 4)
+    }),
+    // A5 summary sink formatting (document_saver.py:92-102) against
+    // DuckDB printf — the format_string semantics hash-checked
+    "q29_summary_format" -> ((s, dir) => {
+      t(s, dir, "documents").orderBy(asc("doc_id")).limit(100)
+        .select(col("doc_id"), format_string(
+          "Document Analysis Summary\n-------------------------\nFilename: %s\nTotal pages: %d\nChunks processed: %d\nText length: %d characters\n",
+          concat(lit("doc_"), col("doc_id")), pmod(col("n_chars"), lit(10)),
+          pmod(col("n_chars"), lit(3)), length(col("text"))).as("summary"))
+    }),
+    // A3 JSON results sink projection (document_saver.py:84-85):
+    // to_json(struct(...)) — byte-compared against DuckDB's to_json
+    "q30_to_json" -> ((s, dir) => {
+      t(s, dir, "documents").orderBy(asc("doc_id")).limit(100)
+        .select(col("doc_id"),
+          to_json(struct(col("doc_id"), col("lang"), col("n_chars"))).as("js"))
+    }),
+    // A7/F2 listing order (routes.py:44-60, mtime desc): the rank column
+    // makes the ordering itself part of the hashed result (the driver
+    // sorts rows before hashing, so bare ORDER BY would not be checked)
+    "q31_listing_order" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val manifest = t(s, dir, "events").groupBy(col("event_type"))
+        .agg(max(col("ts")).as("committed_ts"))
+        .withColumn("path", concat(lit("/out/"), col("event_type")))
+      Checkpoint.listing(manifest)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(desc("committed_ts"), asc("path"))))
+    }),
     "pipe08_minhash_lsh" -> ((s, _) => {
       graft.ops.Dedup.minhashNearDupPairs(
         fixturePages(s).select(col("url"), col("text")), "url", "text",
@@ -320,7 +355,35 @@ object SparkEntry {
         s"t -> t <> ''), t -> list_contains(${arr(ws)}, t)))")
     }.toMap
     val toks = "CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE)"
+    // q28: the hyperplane buckets re-derived in SQL from the SAME plane
+    // literals the Spark side uses — the dot is the same left-to-right
+    // double chain (Spark's aggregate fold starts at 0.0; x+0.0 == x), so
+    // the sign test is bit-identical and bucket assignment cannot drift
+    val cosineLshSql: String = {
+      def planeDot(p: Seq[Double]): String =
+        p.zipWithIndex.map { case (w, i) =>
+          s"CAST(embedding[${i + 1}] AS DOUBLE)*($w)" }.mkString(" + ")
+      def bucketExpr(planes: Seq[Seq[Double]]): String =
+        planes.zipWithIndex.map { case (p, b) =>
+          s"(CASE WHEN ${planeDot(p)} > 0 THEN ${1L << b} ELSE 0 END)" }.mkString(" + ")
+      val tableCtes = (0 until 2).map { t =>
+        val planes = graft.ops.Similarity.randomPlanes(4, 64, 42L + t)
+        s"b$t AS (SELECT vec_id, ${bucketExpr(planes)} AS bucket FROM embeddings)"
+      }.mkString(", ")
+      val candUnion = (0 until 2).map { t =>
+        s"SELECT a.vec_id AS a_id, b.vec_id AS b_id FROM b$t a JOIN b$t b ON a.bucket = b.bucket AND a.vec_id < b.vec_id"
+      }.mkString(" UNION ")
+      s"WITH $tableCtes, cand AS ($candUnion), " +
+        "ex AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i, CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings), " +
+        "norms AS (SELECT vec_id, sqrt(sum(v * v)) AS n FROM ex GROUP BY vec_id), " +
+        "dots AS (SELECT c.a_id, c.b_id, sum(ea.v * eb.v) AS dot FROM cand c " +
+        "JOIN ex ea ON ea.vec_id = c.a_id JOIN ex eb ON eb.vec_id = c.b_id AND eb.i = ea.i GROUP BY c.a_id, c.b_id) " +
+        "SELECT a_id, b_id, round(dot / (na.n * nb.n), 4) AS cos FROM dots " +
+        "JOIN norms na ON na.vec_id = a_id JOIN norms nb ON nb.vec_id = b_id " +
+        "WHERE round(dot / (na.n * nb.n), 4) >= 0.4"
+    }
     Map(
+      "q28_cosine_lsh" -> cosineLshSql,
       "q20_jaccard_pairs" ->
         ("WITH docs AS (SELECT * FROM documents WHERE doc_id < 1000), " +
           "tok AS (SELECT doc_id, unnest(list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+'))) AS w, " +
@@ -375,6 +438,11 @@ object SparkEntry {
     "q25_salted_agg" -> "SELECT event_type, count(*) AS cnt, round(sum(value), 2) AS total FROM events GROUP BY event_type",
     "q26_join3_dims" -> "SELECT r.r_name, count(*) AS customers, CAST(sum(CAST(round(c.c_acctbal * 100, 0) AS BIGINT)) AS BIGINT) AS acctbal_cents FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey JOIN region r ON n.n_regionkey = r.r_regionkey GROUP BY r.r_name",
     "q27_intersect" -> "SELECT count(*) AS n_common FROM (SELECT c_nationkey AS k FROM customer INTERSECT SELECT s_nationkey FROM supplier) t",
+    // real newline chars inside the literals (not backslash-n): DuckDB
+    // single-quoted strings keep raw newlines, matching format_string
+    "q29_summary_format" -> "SELECT doc_id, printf('Document Analysis Summary\n-------------------------\nFilename: %s\nTotal pages: %d\nChunks processed: %d\nText length: %d characters\n', 'doc_' || doc_id, n_chars % 10, n_chars % 3, length(text)) AS summary FROM documents ORDER BY doc_id LIMIT 100",
+    "q30_to_json" -> "SELECT doc_id, CAST(to_json(struct_pack(doc_id := doc_id, lang := lang, n_chars := n_chars)) AS VARCHAR) AS js FROM documents ORDER BY doc_id LIMIT 100",
+    "q31_listing_order" -> "SELECT '/out/' || event_type AS path, max(ts) AS committed_ts, CAST(row_number() OVER (ORDER BY max(ts) DESC, '/out/' || event_type) AS INT) AS rank FROM events GROUP BY event_type",
     "q18_embedding_norm" -> "SELECT vec_id, round(sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS norm FROM embeddings ORDER BY vec_id LIMIT 100",
     "q19_knn_bruteforce" -> ("SELECT e.vec_id, round(" +
       "(SELECT sum(CAST(a.v AS DOUBLE) * CAST(b.v AS DOUBLE)) FROM (SELECT unnest(e.embedding) AS v, generate_subscripts(e.embedding, 1) AS i) a JOIN (SELECT unnest(q.embedding) AS v, generate_subscripts(q.embedding, 1) AS i FROM embeddings q WHERE q.vec_id = 7) b ON a.i = b.i) " +

@@ -231,10 +231,16 @@ object Dedup {
       StructField("mh", ArrayType(LongType, containsNull = false))))
     val enc = org.apache.spark.sql.Encoders.row(outSchema)
     val textIdx = 1
+    // null-text rows are dropped, preserving the columnar twin's semantics
+    // (shingles(null) → null → no LSH row); String.valueOf would have
+    // turned them into the literal "null" and paired them all at jac=1.0
     val sh = df.select(col(idCol), col(textCol)).mapPartitions { it =>
-      it.map { r =>
-        val s = shingleSet(String.valueOf(r.get(textIdx)), shingleK)
-        org.apache.spark.sql.Row(r.get(0), s, minHashSig(s, numHashes))
+      it.flatMap { r =>
+        if (r.isNullAt(textIdx)) Iterator.empty
+        else {
+          val s = shingleSet(r.getString(textIdx), shingleK)
+          Iterator.single(org.apache.spark.sql.Row(r.get(0), s, minHashSig(s, numHashes)))
+        }
       }
     }(enc)
     val cand = lshCandidates(sh.select(col("id"), col("mh")), "id", "mh", numBands)
@@ -343,6 +349,34 @@ object Dedup {
     withSig.as("a").join(withSig.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
       .select(col("a.id").as("a_id"), col("b.id").as("b_id"), cosv.as("cos"))
+      .where(col("cos") >= threshold)
+  }
+
+  /** OR-amplified [[cosineNearDupLsh]]: `tables` independent hyperplane
+    * tables (seeds `seed..seed+tables-1`), candidates = pairs sharing a
+    * bucket in ANY table (union + distinct), then one exact cosine verify.
+    * Recall per pair at angle θ is 1 − (1 − (1−θ/π)^planesPerTable)^tables
+    * — tunable to the corpus' near-dup band; precision stays exact. The
+    * per-table bucket self-joins are the only shuffles (AQE skew-splits
+    * hot buckets), so the shape survives corpus scale.
+    */
+  def cosineNearDupLshMulti(df: DataFrame, idCol: String, vecCol: String,
+                            threshold: Double, tables: Int = 2,
+                            planesPerTable: Int = 4, dim: Int = 64,
+                            seed: Long = 42L): DataFrame = {
+    val withVec = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val cand = (0 until tables).map { t =>
+      val planes = Similarity.randomPlanes(planesPerTable, dim, seed + t)
+      val sigs = withVec.select(col("id"),
+        Similarity.hyperplaneSig(col("vec"), planes).as("bucket"))
+      sigs.as("a").join(sigs.as("b"),
+          col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+        .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
+    }.reduce(_ unionByName _).distinct()
+    val cosv = round(Similarity.cosine(col("a.vec"), col("b.vec")), 4)
+    cand.join(withVec.as("a"), cand("a_id") === col("a.id"))
+      .join(withVec.as("b"), cand("b_id") === col("b.id"))
+      .select(col("a_id"), col("b_id"), cosv.as("cos"))
       .where(col("cos") >= threshold)
   }
 }

@@ -124,6 +124,38 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
     info(s"cosine-LSH recall = ${lsh.size}/${exact.size} (single table, 6 planes)")
   }
 
+  test("cosine LSH multi-table: exact precision, recall >= 0.9 on near-identical vectors") {
+    // the production near-dup scenario: perturbed copies at cos ≈ 0.999,
+    // where the hyperplane S-curve puts per-table collision probability
+    // near 1 — OR-amplification over 4 tables must recover ≥ 90 %
+    val r = new scala.util.Random(7)
+    val base = Seq.tabulate(80)(i => (i.toLong, Array.fill(64)(r.nextGaussian().toFloat)))
+    val dups = base.take(30).map { case (id, v) =>
+      (1000L + id, v.map(x => x + 0.01f * r.nextGaussian().toFloat))
+    }
+    val df = (base ++ dups).toDF("vec_id", "embedding")
+    val exact = Dedup.cosinePairsExact(df, "vec_id", "embedding", 0.95)
+      .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+    assert(exact.size >= 30, s"expected the 30 planted near-dups, got ${exact.size}")
+    val lsh = Dedup.cosineNearDupLshMulti(df, "vec_id", "embedding", 0.95,
+      tables = 4, planesPerTable = 8)
+      .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(exact), "LSH precision must be exact (verified pairs)")
+    val recall = lsh.size.toDouble / exact.size
+    info(s"multi-table cosine-LSH recall = ${lsh.size}/${exact.size} = $recall")
+    assert(recall >= 0.9, s"recall $recall below 0.9")
+  }
+
+  test("minhash LSH drops null-text rows (no spurious null-null pairs)") {
+    val df = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"))
+      .toDF("id", "text")
+      .union(Seq((3L, null.asInstanceOf[String]), (4L, null.asInstanceOf[String])).toDF("id", "text"))
+    val pairs = Dedup.minhashNearDupPairs(df, "id", "text",
+      shingleK = 3, numHashes = 32, numBands = 8, threshold = 0.8)
+      .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L)), s"null-text rows must not pair: $pairs")
+  }
+
   test("kernel hyperplane signature == columnar expression (bit-identical)") {
     val planes = Similarity.randomPlanes(6, 64)
     val colSig = emb.select($"vec_id",
