@@ -319,13 +319,25 @@ object SparkEntry {
       Checkpoint.resume(fixturePages(s), manifest)
         .select(col("url"), col("ts_day"), col("url_bucket"))
     }),
+    // the production metrics path: timed fused extraction → per-partition
+    // rollup with wall_ms/docs_per_sec (B6 north-rule wording). Timing
+    // columns are nondeterministic — dropped for the driver's hash-stable
+    // rows-only dump, but asserted > 0 in PipelineSpec.
     "pipe06_metrics" -> ((s, _) => {
       val pages = Checkpoint.withPartitionCols(fixturePages(s))
-      val docs = Extraction.extractAll(fixturePages(s))
-      Checkpoint.metrics(pages, docs, "verify-run")
+      Checkpoint.metricsParted(pages, Checkpoint.extractParted(pages), "verify-run")
+        .drop("wall_ms", "docs_per_sec")
     }),
     "pipe07_summary" -> ((s, _) => {
       Extraction.summary(Extraction.extractAll(fixturePages(s)))
+    }),
+    // the OCRResponse{success, data, error} envelope + MapType metadata
+    // (responses.py:4-8, ocr.py:199-207); data serialized to JSON so the
+    // driver's pandas comparator sees only sortable scalars
+    "pipe15_envelope" -> ((s, _) => {
+      Extraction.envelope(Extraction.extractAll(fixturePages(s)))
+        .select(col("url"), col("success"),
+          to_json(col("data")).as("data_json"), col("error"))
     }),
     // J2 as a native SQL scalar: the extract_main_text Catalyst
     // expression (codegen'd, registered via GraftExtensions)

@@ -78,11 +78,37 @@ object Checkpoint {
       .withColumn("run_id", lit(runId))
   }
 
+  /** Fused per-row extraction that threads the partition columns through
+    * the typed stage (no post-extraction rejoin on url) and measures each
+    * document's extraction nanos task-side — the `extract_ns` column feeds
+    * the B6 wall-clock/docs-per-sec metrics and is dropped before the
+    * document sink (instrumentation, not data; nondeterministic by nature
+    * and excluded from the byte-identity contract like all timestamps).
+    */
+  def extractParted(pagesPart: DataFrame): DataFrame = {
+    val spark = pagesPart.sparkSession
+    import spark.implicits._
+    pagesPart
+      .select(col("url"), col("html"), col("ts_day"), col("url_bucket"))
+      .as[(String, Array[Byte], java.sql.Date, Int)]
+      .mapPartitions(_.map { case (url, html, day, bucket) =>
+        val t0 = System.nanoTime()
+        val d = Extraction.extractDoc(RawDoc(url, html))
+        (d, day, bucket, System.nanoTime() - t0)
+      })
+      .select(col("_1.*"), col("_2").as("ts_day"), col("_3").as("url_bucket"),
+        col("_4").as("extract_ns"))
+      .withColumn("document_type", Extraction.documentType(col("labels")))
+  }
+
   /** [[metrics]] for outputs that already carry the partition columns
     * (the [[run]] path): both sides aggregate to per-partition rows FIRST
     * and join those (tens of rows), instead of joining every document on
     * url — at corpus scale that per-url join is a full shuffle of the
-    * extracted text.
+    * extracted text. `docsParted` must carry `extract_ns`
+    * ([[extractParted]]); `wall_ms` is the partition's summed extraction
+    * time and `docs_per_sec = docs / wall_seconds` — the per-partition
+    * "docs/sec" the north rule names in its metrics-table wording.
     */
   def metricsParted(pagesPart: DataFrame, docsParted: DataFrame,
                     runId: String): DataFrame = {
@@ -94,10 +120,14 @@ object Checkpoint {
       .agg(sum(octet_length(col("extracted_text")).cast("long")).as("bytes_out"),
         sum(col("content_blocks")).as("content_blocks"),
         sum(col("boiler_blocks")).as("boiler_blocks"),
-        sum((!col("ok")).cast("long")).as("failed"))
+        sum((!col("ok")).cast("long")).as("failed"),
+        sum(col("extract_ns")).as("extract_ns"))
     inAgg.join(outAgg, keys)
       .select(col("ts_day"), col("url_bucket"), col("docs"), col("bytes_in"),
-        col("bytes_out"), col("content_blocks"), col("boiler_blocks"), col("failed"))
+        col("bytes_out"), col("content_blocks"), col("boiler_blocks"), col("failed"),
+        round(col("extract_ns") / 1e6, 3).as("wall_ms"),
+        round(col("docs") / greatest(col("extract_ns"), lit(1L)).cast("double") * 1e9, 1)
+          .as("docs_per_sec"))
       .withColumn("run_id", lit(runId))
   }
 
@@ -151,27 +181,63 @@ object Checkpoint {
     val todo = resume(pages, manifest).cache()
     val nTodo = todo.count()
     if (nTodo > 0) {
-      import spark.implicits._
       // thread ts_day/url_bucket THROUGH the fused per-row extraction —
       // re-joining extractAll's output on url would shuffle every
       // extracted document twice (both join sides), the dominant exchange
       // of the write path at corpus scale; this plan has none before the
       // partitioned write
-      val docs = todo
-        .select(col("url"), col("html"), col("ts_day"), col("url_bucket"))
-        .as[(String, Array[Byte], java.sql.Date, Int)]
-        .mapPartitions(_.map { case (url, html, day, bucket) =>
-          (Extraction.extractDoc(RawDoc(url, html)), day, bucket)
-        })
-        .select(col("_1.*"), col("_2").as("ts_day"), col("_3").as("url_bucket"))
-        .withColumn("document_type", Extraction.documentType(col("labels")))
+      val docs = extractParted(todo)
         .persist() // consumed twice: partitioned write + metrics rollup
-      docs.write.mode("overwrite").partitionBy("ts_day", "url_bucket").parquet(outDir)
+      docs.drop("extract_ns")
+        .write.mode("overwrite").partitionBy("ts_day", "url_bucket").parquet(outDir)
       metricsParted(todo, docs, runId).write.mode("append").parquet(metricsDir)
       manifestRows(todo, runId, runTs, outDir).write.mode("append").parquet(manifestDir)
       docs.unpersist()
     }
     todo.unpersist()
     nTodo
+  }
+
+  /** A3: the reference's full nested JSON results sink
+    * (`document_saver.py:84-85` writes the merged result as one JSON
+    * document) — each row serialized whole with `to_json(struct(*))`.
+    */
+  def jsonResults(docs: DataFrame): DataFrame =
+    docs.select(col("url"),
+      to_json(struct(docs.columns.map(col): _*)).as("json"))
+
+  /** Write [[jsonResults]] through the text sink: one JSON document per
+    * line (the distributed analog of the reference's per-document
+    * `*_results.json` file).
+    */
+  def writeJsonResults(docs: DataFrame, dir: String): Unit =
+    jsonResults(docs).select(col("json")).write.mode("overwrite").text(dir)
+
+  /** C6 second half: the cache expiry sweep (`cache_manager.py:95-116`
+    * actively deletes expired per-hash files; here the memoization table
+    * is compacted to live rows so dead entries stop accumulating at
+    * scale). Write-temp-then-swap keeps the read and the overwrite off
+    * the same files; on a distributed FS the swap is the same
+    * write-to-side + rename pattern. Returns removed-row count.
+    */
+  def sweepExpired(spark: SparkSession, cacheDir: String,
+                   asOf: Timestamp): Long = {
+    val cache = spark.read.parquet(cacheDir)
+    val live = cache.where(
+      col("committed_ts") + expr("INTERVAL 24 HOURS") > lit(asOf))
+    val total = cache.count()
+    val keep = live.count()
+    if (keep < total) {
+      val tmp = cacheDir + ".compact"
+      live.write.mode("overwrite").parquet(tmp)
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      val target = new java.io.File(cacheDir)
+      rm(target)
+      require(new java.io.File(tmp).renameTo(target), s"swap failed for $cacheDir")
+    }
+    total - keep
   }
 }

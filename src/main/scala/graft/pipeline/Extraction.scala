@@ -324,6 +324,37 @@ object Extraction {
       col("url"), size(col("pages")), col("chunks_processed"),
       length(col("extracted_text"))).as("summary"))
 
+  /** The reference's response envelope `OCRResponse{success, data, error}`
+    * (`app/schemas/responses.py:4-8`) over extracted documents, including
+    * the Metadata entity (`app/services/ocr.py:199-207`):
+    *  - `visual_elements`/`classifications` are open-keyed dicts typed
+    *    `MapType(String, String)`; the reference reads them from keys the
+    *    vision result never sets (`ocr.py:205-206`), so they are always
+    *    empty at runtime — reproduced as empty maps, honestly;
+    *  - `processing_time` (`ocr.py:201`) is wall-clock in the reference,
+    *    nondeterministic and excluded from the byte-identity contract like
+    *    every reference timestamp — emitted as a deterministic 0.0
+    *    stand-in (FIXTURES.md records the exclusion).
+    */
+  def envelope(docs: DataFrame): DataFrame =
+    docs.select(
+      col("url"),
+      col("ok").as("success"),
+      when(col("ok"), struct(
+        col("extracted_text").as("text"),
+        col("pages"),
+        struct(
+          col("url").as("filename"),
+          lit(0.0).as("processing_time"),
+          col("chunks_processed"),
+          col("total_chunks"),
+          col("ok").as("vision_ai_processed"),
+          typedLit(Map.empty[String, String]).as("visual_elements"),
+          typedLit(Map.empty[String, String]).as("classifications"),
+          col("document_type"),
+          col("language")).as("metadata"))).as("data"),
+      when(!col("ok"), lit("extraction failed")).as("error"))
+
   /** Standard session config for this engine at local[N] (AQE + skew-join
     * on; shuffle partitions sized to cores, not the 200 default).
     */

@@ -176,11 +176,15 @@ class PipelineSpec extends AnyFunSuite with SparkSuite {
     val direct = fixture.map(p => p.url -> p.text).toMap
     assert(persisted === direct)
 
-    // metrics reconcile with the page table
+    // metrics reconcile with the page table, and carry per-partition
+    // timing (B6 north-rule wording: docs/sec in the metrics table)
     val m = spark.read.parquet(metDir)
     assert(m.agg(sum($"docs")).as[Long].head() === fixture.size.toLong)
     assert(m.agg(sum($"failed")).as[Long].head() === 0L)
     assert(m.where($"bytes_in" <= 0 || $"bytes_out" <= 0).count() === 0)
+    assert(m.where($"wall_ms" <= 0 || $"docs_per_sec" <= 0).count() === 0)
+    // the instrumentation column stays out of the document sink
+    assert(!spark.read.parquet(outDir).columns.contains("extract_ns"))
 
     // partial-failure resume: drop the manifest rows of half the partitions
     // and re-run — exactly the complement is re-processed
@@ -192,6 +196,55 @@ class PipelineSpec extends AnyFunSuite with SparkSuite {
     val expected = Checkpoint.withPartitionCols(pagesDs.toDF())
       .where(pmod($"url_bucket", lit(2)) === 1).count()
     assert(todo.count() === expected)
+  }
+
+  test("json results sink round-trips every document (document_saver.py:84-85 analog)") {
+    val dir = Files.createTempDirectory("graft-json").toString + "/results"
+    Checkpoint.writeJsonResults(docs, dir)
+    val back = spark.read.json(dir)
+    assert(back.count() === fixture.size)
+    val got = back.select($"url", $"extracted_text").as[(String, String)].collect().toMap
+    fixture.foreach(p => assert(got(p.url) === p.text, p.url))
+  }
+
+  test("cache expiry sweep compacts to live rows (cache_manager.py:95-116 analog)") {
+    val dir = Files.createTempDirectory("graft-cache").toString + "/cache"
+    val asOf = new Timestamp(PageGen.EpochMs)
+    val fresh = new Timestamp(PageGen.EpochMs - 3600 * 1000)
+    val stale = new Timestamp(PageGen.EpochMs - 25L * 3600 * 1000)
+    spark.createDataset(Seq(
+      CacheEntry("h1", fresh, CacheResult("a", Seq.empty, Seq.empty, "en")),
+      CacheEntry("h2", stale, CacheResult("b", Seq.empty, Seq.empty, "en")),
+      CacheEntry("h3", stale, CacheResult("c", Seq.empty, Seq.empty, "en"))))
+      .toDF().write.parquet(dir)
+    assert(Checkpoint.sweepExpired(spark, dir, asOf) === 2L)
+    val left = spark.read.parquet(dir).select($"content_hash").as[String].collect().toSeq
+    assert(left === Seq("h1"))
+    // idempotent: nothing left to remove
+    assert(Checkpoint.sweepExpired(spark, dir, asOf) === 0L)
+  }
+
+  test("response envelope: OCRResponse{success, data, error} + empty MapType metadata") {
+    val env = Extraction.envelope(docs).cache()
+    assert(env.where($"success").count() === fixture.size)
+    assert(env.where($"success" && ($"data".isNull || $"error".isNotNull)).count() === 0)
+    val one = env.where($"success")
+      .select($"url", $"data.text", $"data.metadata.filename",
+        map_keys($"data.metadata.visual_elements"),
+        map_keys($"data.metadata.classifications"),
+        $"data.metadata.processing_time")
+      .as[(String, String, String, Seq[String], Seq[String], Double)].head()
+    assert(one._1 === one._3)       // filename mirrors url
+    assert(one._4.isEmpty && one._5.isEmpty) // open-keyed dicts always {} (ocr.py:205-206)
+    assert(one._6 === 0.0)          // deterministic processing_time stand-in
+    // failure rows: success=false, data null, error set (C5 isolation)
+    val failedRow = Extraction.envelope(
+      docs.limit(1).withColumn("ok", lit(false)))
+      .select($"success", $"data".isNull, $"error").head()
+    assert(failedRow.getBoolean(0) === false)
+    assert(failedRow.getBoolean(1) === true)
+    assert(failedRow.getString(2) === "extraction failed")
+    env.unpersist()
   }
 
   test("manifest listing is newest-first") {
