@@ -12,7 +12,7 @@ import graft.pipeline.{Checkpoint, Extraction}
   *   - `scaling`: the north-rule two-cluster-size evidence — the same
   *     extraction job (partitioned-Parquet page table → full
   *     [[Extraction.extractAll]], forced by an aggregating action) at
-  *     `local[8]` and `local[32]` on identical input, with docs/sec at
+  *     `local[4]` and `local[16]` on identical input, with docs/sec at
   *     both and `efficiency = (thr_hi / thr_lo) / (cores_hi / cores_lo)`
   *     (target ≥ 0.8 per BASELINE.json). A real 2-size cluster is not
   *     available in-sandbox; two parallelism levels in one JVM stand in,
@@ -22,7 +22,7 @@ import graft.pipeline.{Checkpoint, Extraction}
 object Bench {
 
   private def session(cores: Int): SparkSession =
-    Extraction.configure(SparkSession.builder().master(s"local[$cores]"), cores)
+    Extraction.configureLocal(SparkSession.builder().master(s"local[$cores]"), cores)
       .getOrCreate()
 
   /** Force full extraction of every page (scan → kernels → merge →

@@ -43,7 +43,7 @@ object BenchProbe {
     val coreLevels = sys.env.getOrElse("PROBE_CORES", "8,32")
       .split(",").map(_.trim.toInt).toSeq
     coreLevels.foreach { cores =>
-      val s = Extraction.configure(
+      val s = Extraction.configureLocal(
         SparkSession.builder().master(s"local[$cores]"), cores).getOrCreate()
       s.sparkContext.setLogLevel("WARN")
       val listener = new MetricsListener

@@ -24,7 +24,7 @@ object ClusterProbe {
 
     workers.foreach { w =>
       val cores = w * coresPer
-      val s = Extraction.configure(
+      val s = Extraction.configureLocal(
         SparkSession.builder()
           .master(s"local-cluster[$w,$coresPer,$execMem]")
           .config("spark.jars", jar)

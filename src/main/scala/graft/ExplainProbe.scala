@@ -13,7 +13,7 @@ import graft.pipeline.{Checkpoint, Extraction}
 object ExplainProbe {
   def main(args: Array[String]): Unit = {
     val pagesDir = args.headOption.getOrElse("/tmp/graft_bench_pages_1000000_b4")
-    val s = Extraction.configure(SparkSession.builder().master("local[4]"), 4)
+    val s = Extraction.configureLocal(SparkSession.builder().master("local[4]"), 4)
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
 

@@ -141,7 +141,12 @@ object PageGen {
     val ts = new Timestamp(EpochMs + (RampMs * i.toDouble / math.max(n, 1L)).toLong)
     val dup = i > 10 && r.nextInt(100) < 3
     if (dup) {
-      val j = (r.nextLong().abs % i)
+      // floorMod guards the Long.MinValue.abs == MinValue corner (a
+      // negative index would make a stray never-matching "duplicate");
+      // for every other draw .abs is non-negative and floorMod == %, so
+      // existing fixture bytes are unchanged. The slight modulo bias of
+      // .abs is accepted — the goldens freeze these exact bytes.
+      val j = math.floorMod(r.nextLong().abs, i)
       val src = pageAt(j, n, seed, boost)
       Page(s"https://host$host.example.com/dup/$i", ts, src.html, src.text, src.lang)
     } else {

@@ -74,7 +74,7 @@ object Lang {
     var i = 0
     while (i < len) { if (text.charAt(i) >= 0x100) return detectReference(text); i += 1 }
     // zero-allocation path: maximal letter runs, packed lowercased
-    val hits = new Array[Int](4)
+    val hits = new Array[Int](langNames.length)
     var any = false
     i = 0
     while (i < len) {
@@ -91,10 +91,11 @@ object Lang {
         if (tl <= 7) {
           val m = lookupMask(key | (tl.toLong << 56))
           if (m != 0) {
-            if ((m & 1) != 0) hits(0) += 1
-            if ((m & 2) != 0) hits(1) += 1
-            if ((m & 4) != 0) hits(2) += 1
-            if ((m & 8) != 0) hits(3) += 1
+            var l = 0
+            while (l < hits.length) {
+              if ((m & (1 << l)) != 0) hits(l) += 1
+              l += 1
+            }
           }
         }
       }
@@ -103,7 +104,7 @@ object Lang {
     var best = "und"
     var bestScore = 0
     var l = 0
-    while (l < 4) {
+    while (l < hits.length) {
       if (hits(l) > bestScore) { best = langNames(l); bestScore = hits(l) }
       l += 1
     }

@@ -138,8 +138,9 @@ object Checkpoint {
     manifest.orderBy(desc("committed_ts"), asc("path")).select(col("path"), col("committed_ts"))
 
   /** Write the page table in the Iceberg-emulating Hive layout.
-    * Repartitioned so each (ts_day, url_bucket) directory gets exactly
-    * `filesPerDir` files — without this, every upstream task writes into
+    * Repartitioned so each (ts_day, url_bucket) directory gets at most
+    * `filesPerDir` files (hash repartitioning can collide salt values, so
+    * it is an upper bound) — without this, every upstream task writes into
     * every directory it touches and the table explodes into
     * tasks × dirs tiny files (a real small-file failure mode at scale:
     * file-open cost then dominates the scan and Hadoop FS locking

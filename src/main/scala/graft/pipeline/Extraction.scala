@@ -356,7 +356,9 @@ object Extraction {
       when(!col("ok"), lit("extraction failed")).as("error"))
 
   /** Standard session config for this engine at local[N] (AQE + skew-join
-    * on; shuffle partitions sized to cores, not the 200 default).
+    * on; shuffle partitions sized to cores, not the 200 default). Carries
+    * NO file-split overrides: at production scale split sizing comes from
+    * the 128 MB `maxPartitionBytes` default and Parquet row groups.
     */
   def configure(b: SparkSession.Builder, cores: Int): SparkSession.Builder =
     b.config("spark.sql.shuffle.partitions", cores.toString)
@@ -365,11 +367,17 @@ object Extraction {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // Local fixtures are many ~25 KB files; the 4 MB default open cost
-      // would bin them into a handful of scan partitions and starve the
-      // kernel stage of parallelism. At production scale (≥128 MB Parquet
-      // files) these revert to defaults — split sizing there comes from
-      // row groups, not open-cost binning.
+
+  /** [[configure]] plus small-file scan overrides for the local harnesses
+    * (Verify/Bench/probes/tests ONLY — never the library default): local
+    * fixtures are many ~25 KB files, and the 4 MB default open cost would
+    * bin them into a handful of scan partitions and starve the kernel
+    * stage of parallelism. An 8 MB cap would mis-split large production
+    * files (~16 tasks per 128 MB file), which is why it lives here and
+    * not in [[configure]].
+    */
+  def configureLocal(b: SparkSession.Builder, cores: Int): SparkSession.Builder =
+    configure(b, cores)
       .config("spark.sql.files.maxPartitionBytes", "8m")
       .config("spark.sql.files.openCostInBytes", "1m")
 }

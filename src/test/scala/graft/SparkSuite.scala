@@ -6,7 +6,7 @@ import org.apache.spark.sql.SparkSession
   * gets the JDK-17 add-opens from build.sbt).
   */
 object SparkSuite {
-  lazy val spark: SparkSession = graft.pipeline.Extraction.configure(
+  lazy val spark: SparkSession = graft.pipeline.Extraction.configureLocal(
     SparkSession.builder().master("local[4]").appName("graft-test"), 4)
     .getOrCreate()
 }
