@@ -353,6 +353,19 @@ object SparkEntry {
         .selectExpr("url", "extract_main_text(html) AS extracted_text",
           "length(extract_main_text(html)) AS text_len")
     }),
+    // §2-I: Structured-Streaming ingestion twin — file-source stream over
+    // the partitioned page layout, fused extraction, exactly-once commit
+    // (AvailableNow drain; fresh checkpoint/output dirs per invocation)
+    "pipe16_streaming" -> ((s, _) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-pipe16").toString
+      val pagesDir = s"$tmp/pages"
+      Checkpoint.writePages(fixturePages(s), pagesDir)
+      graft.streaming.StreamingRun.runAvailableNow(
+        s, pagesDir, s"$tmp/docs", s"$tmp/metrics", s"$tmp/ckpt", "verify-stream")
+      s.read.parquet(s"$tmp/docs")
+        .select(col("url"), col("source_type"),
+          length(col("extracted_text")).as("text_len"), col("ok"))
+    }),
     // A7/F2: newest-first manifest listing (the reference's mtime-desc
     // file listing, routes.py:44-60)
     "pipe13_manifest_listing" -> ((s, _) => {
