@@ -268,6 +268,12 @@ object SparkEntry {
       graft.ops.Similarity.annLshTopK(t(s, dir, "embeddings"),
         "vec_id", "embedding", queryId = 7L, k = 10, tables = 10, planesPerTable = 5)
     }),
+    // IVF coarse-quantizer ANN (the second scale path next to LSH):
+    // deterministic driver-trained centroids, distributed assignment
+    "pipe17_ann_ivf" -> ((s, dir) => {
+      graft.ops.Similarity.ivfTopK(t(s, dir, "embeddings"),
+        "vec_id", "embedding", queryId = 7L, k = 10, nlist = 16, nprobe = 4)
+    }),
     "pipe11_media_features" -> ((s, _) => {
       import s.implicits._
       val media = s.createDataset(graft.fixtures.MediaGen.media(300))

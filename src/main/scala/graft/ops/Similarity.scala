@@ -72,6 +72,95 @@ object Similarity {
     sig
   }
 
+  /** IVF (inverted-file) ANN: vectors are partitioned into `nlist` cells
+    * by nearest centroid and a query probes only the `nprobe` closest
+    * cells, scoring those exactly — the classic coarse-quantizer design
+    * (Sivic–Zisserman "Video Google" inverted files; IVF-Flat in FAISS
+    * terms), built from scratch.
+    *
+    * Centroids are trained with Lloyd iterations ON THE DRIVER over a
+    * seeded, bounded sample (default 2048 vectors, ordered by
+    * xxhash64(id)): distributed FP reductions sum in nondeterministic
+    * order, so driver-side sequential training is what keeps centroids —
+    * and therefore cell assignment — bit-stable run to run. Training on
+    * a sample and assigning the full corpus distributively is also the
+    * correct 100 TB shape (assignment is the only full-data pass, a
+    * stateless typed map; at rest the table would be written bucketed by
+    * `cell` so probes prune partitions).
+    *
+    * With `nprobe == nlist` every cell is probed and the result equals
+    * [[bruteForceTopK]] exactly (asserted in tests); smaller `nprobe`
+    * trades recall for a ~nlist/nprobe scan reduction.
+    */
+  def ivfTopK(df: DataFrame, idCol: String, vecCol: String,
+              queryId: Long, k: Int,
+              nlist: Int = 16, nprobe: Int = 4, iters: Int = 3,
+              sampleN: Int = 2048, seed: Long = 42L): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val typed = df
+      .select(col(idCol).cast("long"), transform(col(vecCol), x => x.cast("double")))
+      .as[(Long, Array[Double])]
+
+    // ---- train (driver, deterministic) ----
+    val sample = typed.toDF("id", "vec")
+      .orderBy(xxhash64(col("id"), lit(seed)), col("id")).limit(sampleN)
+      .as[(Long, Array[Double])].collect()
+    require(sample.nonEmpty, "empty input")
+    val dim = sample.head._2.length
+    var centroids = Array.tabulate(math.min(nlist, sample.length))(i => sample(i)._2.clone())
+    def nearest(v: Array[Double], cs: Array[Array[Double]]): Int = {
+      var best = 0; var bestD = Double.MaxValue; var c = 0
+      while (c < cs.length) {
+        val w = cs(c); var d = 0.0; var j = 0
+        while (j < dim) { val t = v(j) - w(j); d += t * t; j += 1 }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      best
+    }
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(centroids.length)(new Array[Double](dim))
+      val counts = new Array[Long](centroids.length)
+      sample.foreach { case (_, v) =>
+        val c = nearest(v, centroids)
+        var j = 0
+        while (j < dim) { sums(c)(j) += v(j); j += 1 }
+        counts(c) += 1
+      }
+      centroids = Array.tabulate(centroids.length) { c =>
+        if (counts(c) == 0) centroids(c) // empty cell keeps its centroid
+        else { val s = sums(c); var j = 0; while (j < dim) { s(j) /= counts(c); j += 1 }; s }
+      }
+      it += 1
+    }
+    val bcC = spark.sparkContext.broadcast(centroids)
+
+    // ---- probe list (driver) ----
+    val qv = typed.toDF("id", "vec").where(col("id") === queryId)
+      .as[(Long, Array[Double])].head()._2
+    val probed: Set[Int] = centroids.indices
+      .sortBy { c =>
+        var d = 0.0; var j = 0
+        while (j < dim) { val t = qv(j) - centroids(c)(j); d += t * t; j += 1 }
+        d
+      }
+      .take(math.min(nprobe, centroids.length)).toSet
+
+    // ---- assign + scan probed cells (distributed, one typed pass) ----
+    val assigned = typed.mapPartitions { rows =>
+      val cs = bcC.value
+      rows.map { case (id, v) => (id, v, nearest(v, cs)) }
+    }.toDF("id", "vec", "cell")
+    val probedDf = assigned.where(col("cell").isInCollection(probed))
+    probedDf.crossJoin(broadcast(
+        typed.toDF("id", "vec").where(col("id") === queryId).select(col("vec").as("qv"))))
+      .select(col("id"), round(cosine(col("vec"), col("qv")), 6).as("sim"))
+      .orderBy(desc("sim"), asc("id"))
+      .limit(k)
+  }
+
   /** ANN top-k via L independent hyperplane-LSH tables: a candidate is any
     * row sharing the query's bucket in ≥1 table; candidates are scored
     * exactly and cut to k. Collision probability per table for angle θ is

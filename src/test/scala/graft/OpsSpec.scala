@@ -185,6 +185,27 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
     assert(overlap >= 1)
   }
 
+  test("ivf: all-cells probe equals brute force; partial probe keeps the self-hit") {
+    val bf = Similarity.bruteForceTopK(emb, "vec_id", "embedding", 7L, 10)
+      .as[(Long, Double)].collect().toSeq
+    // nprobe == nlist probes every cell → must EQUAL the exact scan
+    val full = Similarity.ivfTopK(emb, "vec_id", "embedding", 7L, 10,
+      nlist = 16, nprobe = 16).as[(Long, Double)].collect().toSeq
+    assert(full === bf)
+    // partial probe: query's own cell is always the closest → self-hit
+    // guaranteed; measure recall@10 for the record
+    val part = Similarity.ivfTopK(emb, "vec_id", "embedding", 7L, 10,
+      nlist = 16, nprobe = 4).as[(Long, Double)].collect().toSeq
+    assert(part.head === ((7L, 1.0)))
+    assert(part.map(_._2).max <= bf.map(_._2).max + 1e-9)
+    val overlap = part.map(_._1).toSet.intersect(bf.map(_._1).toSet).size
+    info(s"IVF recall@10 at nprobe=4/16 = $overlap/10")
+    // determinism: same seed → identical result
+    val again = Similarity.ivfTopK(emb, "vec_id", "embedding", 7L, 10,
+      nlist = 16, nprobe = 4).as[(Long, Double)].collect().toSeq
+    assert(again === part)
+  }
+
   test("columnar langId agrees with the kernel Lang.detect") {
     val texts = PageGen.pages(150).map(_.text)
     val got = texts.toDF("text").select(TextOps.langId($"text")).as[String].collect()
