@@ -3,23 +3,25 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
-/** Multimodal-column plumbing: image/audio/video payloads ride as opaque
+/** Multimodal-column operators: image/audio/video payloads ride as opaque
   * `binary` columns with typed metadata; decode / feature-extraction /
   * resize / frame-sampling run per-partition over the binary batches.
   *
-  * The container has no codec libraries, so the byte-level decoders below
-  * parse a deterministic fixture container format (header + raw samples,
-  * see [[graft.fixtures.MediaGen]]) — they are **STUBs for real codecs**:
-  * swap `decodeImage`/`decodeAudio`/`decodeVideo` bodies for libjpeg/ffmpeg
-  * bindings and everything else (schema, typed Dataset plumbing,
-  * mapPartitions batch shape, partitioning) is production-shaped and
-  * tested.
+  * Decoding is REAL for every format this sandbox can decode without
+  * codec libraries — BMP, WAV-PCM, and PNG via [[graft.kernel.Media]]
+  * (JDK `Inflater` + per-spec defiltering). Formats that need an actual
+  * codec library (JPEG entropy decode, video codecs) are carried by the
+  * deterministic fixture container (`IMG1`/`AUD1`/`VID1`, see
+  * [[graft.fixtures.MediaGen]]) — those paths are **STUBs for real
+  * codecs**: swap their bodies for libjpeg/ffmpeg bindings and the rest
+  * (schema, typed Dataset plumbing, mapPartitions batch shape,
+  * partitioning) is production-shaped and tested.
   */
 object Multimodal {
 
   final case class Media(media_id: Long, doc_url: String, kind: String,
                          payload: Array[Byte])
-  final case class MediaFeatures(media_id: Long, kind: String,
+  final case class MediaFeatures(media_id: Long, kind: String, codec: String,
                                  width: Int, height: Int, sample_rate: Int,
                                  n_frames: Int, n_bytes: Long,
                                  mean_level: Double, hist8: Seq[Long],
@@ -44,29 +46,63 @@ object Multimodal {
     (math.rint(sum.toDouble / n * 10000) / 10000, hist)
   }
 
-  /** STUB decode (real plumbing): parse the fixture container header,
-    * compute pixel/sample statistics, emit a ≤64-byte "thumbnail" by
-    * stride-subsampling (the resize stand-in) and sample every 5th frame
-    * (the frame-sample stand-in).
+  /** Features from a real decode: `mean_level` is the mean absolute
+    * amplitude normalized to 0–255 (for 0–255 luminance that IS the mean
+    * pixel), `hist8` buckets |sample| into 8 equal bands of the sample
+    * range, the ≤64-element stride subsample stands in for resize, and
+    * every-5th-frame sampling stands in for frame extraction.
+    */
+  private def fromDecoded(m: Media, d: graft.kernel.Media.Decoded): MediaFeatures = {
+    val hist = new Array[Long](8)
+    var sum = 0L
+    var i = 0
+    while (i < d.samples.length) {
+      val a = math.abs(d.samples(i))
+      sum += a
+      hist(math.min(7, a * 8 / (d.sampleMax + 1))) += 1
+      i += 1
+    }
+    val n = math.max(d.samples.length, 1)
+    val mean = math.rint(sum.toDouble / n / d.sampleMax * 255 * 10000) / 10000
+    val sampled = if (d.frames <= 1) d.frames else (d.frames + 4) / 5
+    MediaFeatures(m.media_id, m.kind, d.codec, d.width, d.height, d.sampleRate,
+      d.frames, m.payload.length.toLong, mean, hist.toSeq,
+      math.min(64, d.samples.length), sampled, ok = true, error = "")
+  }
+
+  /** Dispatch by magic bytes: real decoders for BMP/WAV/PNG
+    * ([[graft.kernel.Media]]); the fixture container path (STUB standing
+    * in for codec-library formats) parses the header, computes raw-byte
+    * statistics, emits a ≤64-byte "thumbnail" by stride-subsampling and
+    * samples every 5th frame.
     */
   def decodeOne(m: Media): MediaFeatures = try {
-    val magic = new String(m.payload.take(4), java.nio.charset.StandardCharsets.ISO_8859_1)
-    val (w, h, rate, frames, dataOff) = magic match {
-      case "IMG1" => (be32(m.payload, 4), be32(m.payload, 8), 0, 1, 12)
-      case "AUD1" => (0, 0, be32(m.payload, 4), 1, 12)
-      case "VID1" => (be32(m.payload, 4), be32(m.payload, 8),
-        be32(m.payload, 12), be32(m.payload, 16), 20)
-      case other => throw new IllegalArgumentException(s"unknown container '$other'")
+    if (graft.kernel.Media.isBmp(m.payload))
+      fromDecoded(m, graft.kernel.Media.decodeBmp(m.payload))
+    else if (graft.kernel.Media.isWav(m.payload))
+      fromDecoded(m, graft.kernel.Media.decodeWav(m.payload))
+    else if (graft.kernel.Media.isPng(m.payload))
+      fromDecoded(m, graft.kernel.Media.decodePng(m.payload))
+    else {
+      val magic = new String(m.payload.take(4), java.nio.charset.StandardCharsets.ISO_8859_1)
+      val (w, h, rate, frames, dataOff) = magic match {
+        case "IMG1" => (be32(m.payload, 4), be32(m.payload, 8), 0, 1, 12)
+        case "AUD1" => (0, 0, be32(m.payload, 4), 1, 12)
+        case "VID1" => (be32(m.payload, 4), be32(m.payload, 8),
+          be32(m.payload, 12), be32(m.payload, 16), 20)
+        case other => throw new IllegalArgumentException(s"unknown container '$other'")
+      }
+      val (mean, hist) = stats(m.payload, dataOff)
+      val body = m.payload.length - dataOff
+      val thumb = math.min(64, body) // stride subsample length (resize stub)
+      val sampled = if (frames <= 1) frames else (frames + 4) / 5
+      MediaFeatures(m.media_id, m.kind, magic.toLowerCase, w, h, rate, frames,
+        m.payload.length.toLong, mean, hist.toSeq, thumb, sampled,
+        ok = true, error = "")
     }
-    val (mean, hist) = stats(m.payload, dataOff)
-    val body = m.payload.length - dataOff
-    val thumb = math.min(64, body) // stride subsample length (resize stub)
-    val sampled = if (frames <= 1) frames else (frames + 4) / 5
-    MediaFeatures(m.media_id, m.kind, w, h, rate, frames, m.payload.length.toLong,
-      mean, hist.toSeq, thumb, sampled, ok = true, error = "")
   } catch {
     case e: Exception =>
-      MediaFeatures(m.media_id, m.kind, 0, 0, 0, 0,
+      MediaFeatures(m.media_id, m.kind, "?", 0, 0, 0, 0,
         Option(m.payload).map(_.length.toLong).getOrElse(0L),
         0.0, Seq.fill(8)(0L), 0, 0, ok = false, error = String.valueOf(e.getMessage))
   }

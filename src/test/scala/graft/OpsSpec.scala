@@ -224,18 +224,25 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
     assert(fp === want)
   }
 
-  test("multimodal: decode stub plumbing over binary batches") {
+  test("multimodal: real BMP/WAV/PNG decodes + stub container over binary batches") {
     val media = spark.createDataset(MediaGen.media(200))
     val feats = Multimodal.extractFeatures(media).cache()
     assert(feats.count() === 200)
     assert(feats.where(!$"ok").count() === 0)
     assert(feats.select($"kind").distinct().count() === 3)
+    // all six codecs present: three real decoders + three stub containers
+    assert(feats.select($"codec").distinct().as[String].collect().toSet
+      === Set("bmp", "wav", "png", "img1", "aud1", "vid1"))
     assert(feats.where($"kind" === "image" && ($"width" <= 0 || $"height" <= 0)).count() === 0)
     assert(feats.where($"kind" === "audio" && $"sample_rate" <= 0).count() === 0)
-    // histogram mass == decoded body bytes
-    val bad = feats.where($"kind" === "image" &&
-      expr("aggregate(hist8, 0L, (a, x) -> a + x)") =!= ($"n_bytes" - 12)).count()
-    assert(bad === 0)
+    // histogram mass reconciles with what was actually decoded:
+    // container stats cover raw body bytes; real image decodes cover one
+    // luminance sample per pixel; WAV covers one amplitude per frame
+    val mass = expr("aggregate(hist8, 0L, (a, x) -> a + x)")
+    assert(feats.where($"codec" === "img1" && mass =!= ($"n_bytes" - 12)).count() === 0)
+    assert(feats.where($"codec".isin("bmp", "png") &&
+      mass =!= ($"width" * $"height").cast("long")).count() === 0)
+    assert(feats.where($"codec" === "wav" && mass =!= $"n_frames".cast("long")).count() === 0)
     val stats = Multimodal.featureStats(feats.toDF())
     assert(stats.count() === 3)
 
