@@ -32,6 +32,24 @@ object ExplainProbe {
       .where(col("ts_day") === "2024-01-02" && col("url_bucket") === 3)
       .select(col("url")).explain("formatted")
 
+    // round-2 operators: the plan properties each one must keep at scale
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val emb = s.read.parquet(s"$sfDir/embeddings.parquet")
+
+    println("==== q28 cosine-LSH (want: bucket-equi joins, no cartesian) ====")
+    graft.ops.Dedup.cosineNearDupLshMulti(emb, "vec_id", "embedding",
+      threshold = 0.4, tables = 2, planesPerTable = 4).explain("formatted")
+
+    println("==== pipe17 IVF (want: cell IN-filter before the broadcast query join) ====")
+    graft.ops.Similarity.ivfTopK(emb, "vec_id", "embedding",
+      queryId = 7L, k = 10, nlist = 16, nprobe = 4).explain("formatted")
+
+    println("==== q30 to_json projection (want: 2-column ReadSchema + limit pushdown) ====")
+    s.read.parquet(s"$sfDir/documents.parquet").orderBy(asc("doc_id")).limit(100)
+      .select(col("doc_id"),
+        to_json(struct(col("doc_id"), col("lang"), col("n_chars"))).as("js"))
+      .explain("formatted")
+
     s.stop()
   }
 }

@@ -311,6 +311,12 @@ object Dedup {
       while (k < v.length) { s += v(k) * v(k); k += 1 }
       math.sqrt(s)
     }
+    // enforce the documented smaller-side-fits contract instead of OOMing
+    // inside collect(): past ~10^6×128 doubles the LSH twin is the path
+    val n = typed.count()
+    require(n <= (1L << 20),
+      s"cosinePairsExact is the exact verify baseline (n <= 2^20 vectors); " +
+        s"got $n - use cosineNearDupLshMulti for corpus-scale near-dup")
     val all = typed.collect().sortBy(_._1)
     val bc = spark.sparkContext.broadcast(
       (all.map(_._1), all.map(_._2), all.map(p => norm(p._2))))
