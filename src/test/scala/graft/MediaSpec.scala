@@ -67,6 +67,51 @@ class MediaSpec extends AnyFunSuite {
     intercept[Exception](Media.decodeWav(nonPcm))
   }
 
+  test("fuzz: random images/audio round-trip exactly (300 seeded samples)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val caseGen = for {
+      w <- Gen.chooseNum(1, 40)
+      h <- Gen.chooseNum(1, 30)
+      ch <- Gen.oneOf(1, 3)
+      kind <- Gen.oneOf("png", "bmp", "wav")
+      n <- Gen.chooseNum(1, 400)
+      rate <- Gen.oneOf(8000, 16000, 44100)
+    } yield (kind, w, h, ch, n, rate)
+    var seed = Seed(23L)
+    val r = new scala.util.Random(23)
+    (1 to 300).foreach { k =>
+      val (kind, w, h, ch, n, rate) = caseGen.pureApply(Gen.Parameters.default, seed)
+      seed = seed.next
+      kind match {
+        case "png" =>
+          val img = Array.fill[Byte](w * h * ch)(r.nextInt(256).toByte)
+          val d = Media.decodePng(MediaGen.png(img, w, h, ch))
+          assert(d.width === w && d.height === h, s"sample #$k dims")
+          val want = Array.tabulate(w * h) { i =>
+            if (ch == 1) img(i) & 0xff
+            else ((img(i * 3) & 0xff) * 299 + (img(i * 3 + 1) & 0xff) * 587 +
+              (img(i * 3 + 2) & 0xff) * 114) / 1000
+          }
+          assert(d.samples.toSeq === want.toSeq, s"sample #$k pixels")
+        case "bmp" =>
+          val img = Array.fill[Byte](w * h * 3)(r.nextInt(256).toByte)
+          val d = Media.decodeBmp(MediaGen.bmp(img, w, h))
+          assert(d.width === w && d.height === h, s"sample #$k dims")
+          val want = Array.tabulate(w * h) { i =>
+            ((img(i * 3) & 0xff) * 114 + (img(i * 3 + 1) & 0xff) * 587 +
+              (img(i * 3 + 2) & 0xff) * 299) / 1000 // fixture pixels are BGR rows
+          }
+          assert(d.samples.toSeq === want.toSeq, s"sample #$k pixels")
+        case _ =>
+          val samples = Array.fill[Short](n)(r.nextInt(65536).toShort)
+          val d = Media.decodeWav(MediaGen.wav(samples, rate))
+          assert(d.sampleRate === rate && d.frames === n, s"sample #$k header")
+          assert(d.samples.toSeq === samples.map(_.toInt).toSeq, s"sample #$k samples")
+      }
+    }
+  }
+
   test("writers are deterministic byte generators") {
     val r1 = MediaGen.media(40).map(_.payload.toSeq)
     val r2 = MediaGen.media(40).map(_.payload.toSeq)
