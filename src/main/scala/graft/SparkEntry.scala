@@ -200,15 +200,14 @@ object SparkEntry {
     "q21_cosine_neardup" -> ((s, dir) => {
       graft.ops.Dedup.cosinePairsExact(t(s, dir, "embeddings"), "vec_id", "embedding", 0.4)
     }),
-    // typed zero-alloc lang-id kernel (Lang.detect): the columnar
-    // TextOps.langId twin — differential-tested equal in OpsSpec and the
-    // source of the DuckDB oracle — runs through interpreted HOFs
+    // the native codegen lang_id expression (zero-alloc Lang.detect
+    // kernel inside WholeStageCodegen): the columnar TextOps.langId twin
+    // — differential-tested equal in OpsSpec/FunctionsSpec and the source
+    // of the DuckDB oracle — runs through interpreted HOFs
     // (CodegenFallback) and was the sweep's #3 cost at sf0.1
     "q22_lang_id" -> ((s, dir) => {
-      import s.implicits._
-      t(s, dir, "documents").select(col("text")).as[String]
-        .mapPartitions(_.map(t => graft.kernel.Lang.detect(if (t == null) "" else t)))
-        .toDF("lang_id")
+      graft.functions.GraftFunctions.register(s) // idempotent belt-and-braces
+      t(s, dir, "documents").selectExpr("lang_id(text) AS lang_id")
         .groupBy(col("lang_id")).agg(count(lit(1)).as("cnt"))
     }),
     "q23_quality_score" -> ((s, dir) => {

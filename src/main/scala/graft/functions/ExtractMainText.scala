@@ -58,14 +58,17 @@ object ExtractMainText {
   * `SELECT extract_main_text(html) FROM pages` is a plain SQL query.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(ExtractMainText.registration)
+    ext.injectFunction(LangId.registration)
+  }
 }
 
 object GraftFunctions {
   /** Imperative fallback for sessions built without the extension. */
-  def register(spark: SparkSession): Unit = {
-    val (id, info, builder) = ExtractMainText.registration
-    spark.sessionState.functionRegistry.registerFunction(id, info, builder)
-  }
+  def register(spark: SparkSession): Unit =
+    Seq(ExtractMainText.registration, LangId.registration).foreach {
+      case (id, info, builder) =>
+        spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
 }

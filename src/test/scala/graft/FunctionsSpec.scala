@@ -44,6 +44,25 @@ class FunctionsSpec extends AnyFunSuite with SparkSuite {
       err.getMessage.contains("DATATYPE_MISMATCH"))
   }
 
+  test("SQL lang_id == kernel Lang.detect and columnar TextOps.langId; codegen'd") {
+    val texts = PageGen.pages(150).map(_.text)
+    // keyed compare (repartition reorders rows)
+    val df = texts.zipWithIndex.map(_.swap).toDF("i", "text").repartition(2)
+    val got = df.selectExpr("i", "lang_id(text)").as[(Int, String)].collect()
+      .sortBy(_._1).map(_._2)
+    assert(got.toSeq === texts.map(graft.kernel.Lang.detect))
+    val columnar = df.select($"i", graft.ops.TextOps.langId($"text"))
+      .as[(Int, String)].collect().sortBy(_._1).map(_._2)
+    assert(got.toSeq === columnar.toSeq)
+    // null-safe + codegen (no CodegenFallback marker in the executed plan)
+    val withNull = Seq(Option("the and of to in is that"), None).toDF("text")
+    assert(withNull.selectExpr("lang_id(text)").as[Option[String]].collect().toSet
+      === Set(Some("en"), None))
+    val q = df.selectExpr("lang_id(text) AS l")
+    q.collect()
+    assert(q.queryExecution.executedPlan.toString.contains("*(1) Project [lang_id("))
+  }
+
   test("expression compiles into WholeStageCodegen (no fallback)") {
     // repartition prevents ConvertToLocalRelation from constant-folding
     // the whole query at optimization time
