@@ -135,6 +135,12 @@ object SparkEntry {
         .groupBy(col("lang"))
         .agg(sum(col("toks")).as("total_tokens"), count(lit(1)).as("cnt"))
     }),
+    "q32_bpe_tokens" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("lang"), graft.ops.TextOps.bpeTokenCount(col("text")).as("toks"))
+        .groupBy(col("lang"))
+        .agg(sum(col("toks")).as("bpe_tokens"), count(lit(1)).as("cnt"))
+    }),
     "q14_quality_stats" -> ((s, dir) => {
       t(s, dir, "documents").groupBy(col("source"))
         .agg(sum(length(col("text"))).as("chars"),
@@ -467,6 +473,8 @@ object SparkEntry {
     "q11_content_hash" -> "SELECT doc_id, sha256(text) AS content_hash FROM documents ORDER BY doc_id LIMIT 50",
     "q12_label_classifier" -> "SELECT CASE WHEN regexp_matches(lower(text), 'window|stream') THEN 'matched' ELSE 'unknown' END AS document_type, count(*) AS cnt FROM documents GROUP BY 1",
     "q13_token_count" -> "SELECT lang, CAST(sum(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT) AS total_tokens, count(*) AS cnt FROM documents GROUP BY lang",
+    // the SAME RE2-compatible pattern string as TextOps.BpePattern ('' = escaped quote)
+    "q32_bpe_tokens" -> ("SELECT lang, CAST(sum(len(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+'))) AS BIGINT) AS bpe_tokens, count(*) AS cnt FROM documents GROUP BY lang"),
     "q14_quality_stats" -> "SELECT source, CAST(sum(length(text)) AS BIGINT) AS chars, CAST(sum(length(text) - length(replace(text, ' ', ''))) AS BIGINT) AS spaces, max(n_chars) AS max_chars FROM documents GROUP BY source",
     "q15_set_union" -> "SELECT count(*) AS n FROM (SELECT c_nationkey AS k FROM customer UNION SELECT s_nationkey FROM supplier) t",
     "q16_rollup" -> "SELECT l_returnflag, l_linestatus, count(*) AS cnt, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)",

@@ -23,6 +23,22 @@ object TextOps {
     */
   def tokenCount(text: Column): Column = size(split(trim(text), "\\s+"))
 
+  /** GPT-2-style pretokenizer pattern (contractions | space-prefixed
+    * letter runs | digit runs | punctuation runs | whitespace),
+    * restricted to RE2-compatible syntax — no lookahead — so Java regex
+    * (Spark) and RE2 (DuckDB) produce identical matches and the count is
+    * oracle-checkable with the SAME pattern string.
+    */
+  val BpePattern: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
+  /** BPE-ish pretoken count — the second token-counting mode a training
+    * pipeline budgets with (whitespace tokens underestimate subword
+    * cost; pretoken runs are the standard proxy).
+    */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpePattern), lit(0)))
+
   /** Stopword hit count (with multiplicity) for one language profile. */
   private def hits(toks: Column, words: Seq[String]): Column =
     size(filter(toks, t => array_contains(typedLit(words), t)))
