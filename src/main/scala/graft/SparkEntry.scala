@@ -220,6 +220,11 @@ object SparkEntry {
       t(s, dir, "documents")
         .select(col("doc_id"), graft.ops.TextOps.qualityScore(col("text")).as("q"))
     }),
+    "q33_stopword_ratio" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), graft.ops.TextOps.stopwordRatio(col("text")).as("sw_ratio"))
+        .orderBy(asc("doc_id")).limit(200)
+    }),
     "q24_fingerprint" -> ((s, dir) => {
       t(s, dir, "documents").orderBy(asc("doc_id")).limit(100)
         .select(col("doc_id"), graft.ops.TextOps.fingerprint(col("text")).as("fp"))
@@ -424,8 +429,13 @@ object SparkEntry {
         "JOIN norms na ON na.vec_id = a_id JOIN norms nb ON nb.vec_id = b_id " +
         "WHERE round(dot / (na.n * nb.n), 4) >= 0.4"
     }
+    val allStops = graft.kernel.Lang.profiles.flatMap(_._2.toSeq).distinct.sorted
     Map(
       "q28_cosine_lsh" -> cosineLshSql,
+      "q33_stopword_ratio" ->
+        ("WITH tok AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^\\pL]+'), t -> t <> '') AS toks FROM documents) " +
+          s"SELECT doc_id, round(CAST(len(list_filter(toks, t -> list_contains(${arr(allStops)}, t))) AS DOUBLE) / greatest(len(toks), 1), 4) AS sw_ratio " +
+          "FROM tok ORDER BY doc_id LIMIT 200"),
       "q20_jaccard_pairs" ->
         ("WITH docs AS (SELECT * FROM documents WHERE doc_id < 1000), " +
           "tok AS (SELECT doc_id, unnest(list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+'))) AS w, " +

@@ -58,6 +58,18 @@ object TextOps {
       .otherwise("es")
   }
 
+  /** Stopword ratio: fraction of letter-run tokens that are stopwords of
+    * ANY language profile (the union list — language-agnostic, so the
+    * ratio is a pure fluency signal usable before language-ID runs).
+    * Rounded to 4 dp for FP-safe oracle compares.
+    */
+  def stopwordRatio(text: Column): Column = {
+    val all = graft.kernel.Lang.profiles.flatMap(_._2.toSeq).distinct.sorted
+    val toks = tokens(text)
+    round(size(filter(toks, t => array_contains(typedLit(all), t))).cast("double") /
+      greatest(size(toks), lit(1)).cast("double"), 4)
+  }
+
   /** Punctuation ratio: non-letter/digit/space chars over all chars. */
   def punctRatio(text: Column): Column =
     length(regexp_replace(text, "[\\p{L}\\p{N}\\s]", "")).cast("double") /
