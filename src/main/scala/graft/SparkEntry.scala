@@ -382,6 +382,17 @@ object SparkEntry {
         .select(col("url"), col("source_type"),
           length(col("extracted_text")).as("text_len"), col("ok"))
     }),
+    // §2-I + B5: streaming exact dedup with keyed custom state
+    // (flatMapGroupsWithState) — the memoization cache as a continuous
+    // operator; fresh dirs per invocation, deterministic survivors
+    "pipe18_streaming_dedup" -> ((s, _) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-pipe18").toString
+      val pagesDir = s"$tmp/pages"
+      Checkpoint.writePages(fixturePages(s), pagesDir)
+      graft.streaming.StreamingRun.dedupStreamAvailableNow(
+        s, pagesDir, s"$tmp/novel", s"$tmp/ckpt", maxFilesPerBatch = 32)
+      s.read.parquet(s"$tmp/novel")
+    }),
     // A7/F2: newest-first manifest listing (the reference's mtime-desc
     // file listing, routes.py:44-60)
     "pipe13_manifest_listing" -> ((s, _) => {

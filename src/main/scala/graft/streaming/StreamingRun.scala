@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 import graft.pipeline.Checkpoint
 
 /** Structured-Streaming ingestion twin of [[Checkpoint.run]] (SURVEY.md
@@ -73,5 +73,61 @@ object StreamingRun {
       .start()
     q.awaitTermination()
     batches
+  }
+
+  /** Streaming exact dedup with keyed custom state: the reference's
+    * content-hash memoization (`ocr.py:34-37`, §2-B5) as a CONTINUOUS
+    * operator. The first arrival of each `sha2(html)` passes through;
+    * every later duplicate — in the same micro-batch, a later batch, or
+    * after a restart — is suppressed, because the per-hash seen-bit
+    * lives in the streaming state store under `checkpointDir`. Custom
+    * state is exactly what `flatMapGroupsWithState` exists for; no
+    * timeout is set because a dedup key never expires (a TTL'd variant
+    * would pass `GroupStateTimeout.ProcessingTimeTimeout` — the
+    * streaming rendition of the 24 h cache TTL, C6).
+    *
+    * Within one batch the surviving row is the minimum url of the hash
+    * group (deterministic, not arrival-order). Emits `(content_hash,
+    * url)` rows to a Parquet sink (append — rows are novel by
+    * construction). Returns the number of NEW distinct hashes committed
+    * by this call.
+    */
+  def dedupStreamAvailableNow(spark: SparkSession, pagesDir: String,
+                              outDir: String, checkpointDir: String,
+                              maxFilesPerBatch: Int = 1000): Long = {
+    import spark.implicits._
+    val schema = spark.read.parquet(pagesDir).schema
+    val hashed = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerBatch)
+      .parquet(pagesDir)
+      .select(col("url"), sha2(col("html"), 256).as("content_hash"))
+      .as[(String, String)]
+    val novel = hashed
+      .groupByKey(_._2)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (hash: String, rows: Iterator[(String, String)], state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            Iterator.single((hash, rows.map(_._1).min))
+          })
+      .toDF("content_hash", "url")
+    var emitted = 0L
+    val q = novel.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // count + append in one pass; novel rows only, so plain append
+        // is idempotent per the sink's batch log
+        val n = batch.persist().count()
+        batch.write.mode("append").parquet(outDir)
+        batch.unpersist()
+        emitted += n
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    emitted
   }
 }

@@ -48,6 +48,41 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     assert(m.columns.contains("batch_id"))
   }
 
+  test("stateful streaming dedup suppresses duplicates across micro-batches and runs") {
+    val tmp = Files.createTempDirectory("graft-sdedup").toString
+    val (pagesDir, outDir, ckptDir) = (s"$tmp/pages", s"$tmp/novel", s"$tmp/ckpt")
+    val wave1 = PageGen.pages(150)
+    Checkpoint.writePages(spark.createDataset(wave1).toDF(), pagesDir)
+    val uniq1 = wave1.map(_.html.toSeq).distinct.size
+
+    // small file cap forces several micro-batches — duplicates that land
+    // in DIFFERENT batches are only suppressed if state actually persists
+    val n1 = StreamingRun.dedupStreamAvailableNow(spark, pagesDir, outDir, ckptDir,
+      maxFilesPerBatch = 8)
+    assert(n1 === uniq1.toLong)
+    assert(spark.read.parquet(outDir).count() === uniq1.toLong)
+
+    // wave 2: 30 byte-identical copies of wave-1 payloads under new urls
+    // + 40 genuinely new pages (urls disjoint from wave 1)
+    val copies = wave1.take(30).map(p => p.copy(url = p.url + "?copy"))
+    val fresh = PageGen.pages(1000).slice(960, 1000)
+    Checkpoint.withPartitionCols(spark.createDataset(copies ++ fresh).toDF())
+      .repartition(3)
+      .write.mode("append").partitionBy("ts_day", "url_bucket").parquet(pagesDir)
+    val wave1Hashes = wave1.map(_.html.toSeq).toSet
+    val expectedNew = fresh.map(_.html.toSeq).distinct.count(h => !wave1Hashes.contains(h))
+
+    val n2 = StreamingRun.dedupStreamAvailableNow(spark, pagesDir, outDir, ckptDir,
+      maxFilesPerBatch = 8)
+    assert(n2 === expectedNew.toLong, "cross-run state must suppress the copied payloads")
+    val out = spark.read.parquet(outDir)
+    assert(out.count() === (uniq1 + expectedNew).toLong)
+    assert(out.select($"content_hash").distinct().count() === out.count(),
+      "one row per content hash, ever")
+    assert(out.where($"url".endsWith("?copy")).count() === 0,
+      "copied payloads must never win (their hash was seen in run 1)")
+  }
+
   test("streaming output matches the batch run byte-for-byte") {
     val tmp = Files.createTempDirectory("graft-stream-eq").toString
     val fixture = PageGen.pages(120)
