@@ -367,6 +367,12 @@ object Extraction {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // measured on this corpus (graft.CompressionProbe): zstd writes
+      // 0.65x the bytes of the snappy default at comparable clean-window
+      // speed — at 10^12-doc scale the extracted-text table is the
+      // dominant storage artifact, so the 35 % shrink wins outright
+      // (lz4: 1.17x bytes; gzip: 0.62x but multiples slower to write)
+      .config("spark.sql.parquet.compression.codec", "zstd")
 
   /** [[configure]] plus small-file scan overrides for the local harnesses
     * (Verify/Bench/probes/tests ONLY — never the library default): local
