@@ -25,7 +25,8 @@ object Multimodal {
                                  width: Int, height: Int, sample_rate: Int,
                                  n_frames: Int, n_bytes: Long,
                                  mean_level: Double, hist8: Seq[Long],
-                                 thumb_bytes: Int, sampled_frames: Int,
+                                 thumb: Seq[Byte], thumb_bytes: Int,
+                                 sampled_frames: Int,
                                  ok: Boolean, error: String)
 
   private def be32(b: Array[Byte], off: Int): Int =
@@ -46,11 +47,43 @@ object Multimodal {
     (math.rint(sum.toDouble / n * 10000) / 10000, hist)
   }
 
+  /** Real nearest-neighbor resample to at most 8×8 luminance bytes —
+    * the actual "resize" operator for decoded images.
+    */
+  private[graft] def thumbnail2d(samples: Array[Int], w: Int, h: Int): Array[Byte] = {
+    val tw = math.min(8, w); val th = math.min(8, h)
+    val out = new Array[Byte](tw * th)
+    var y = 0
+    while (y < th) {
+      val sy = y * h / th
+      var x = 0
+      while (x < tw) {
+        out(y * tw + x) = (samples(sy * w + x * w / tw) & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Every-nth downsample of audio amplitudes to ≤64 bytes (|s|>>8). */
+  private[graft] def thumbnail1d(samples: Array[Int]): Array[Byte] = {
+    val n = math.min(64, samples.length)
+    val out = new Array[Byte](n)
+    var i = 0
+    while (i < n) {
+      out(i) = ((math.abs(samples(i * samples.length / n)) >> 8) & 0xff).toByte
+      i += 1
+    }
+    out
+  }
+
   /** Features from a real decode: `mean_level` is the mean absolute
     * amplitude normalized to 0–255 (for 0–255 luminance that IS the mean
     * pixel), `hist8` buckets |sample| into 8 equal bands of the sample
-    * range, the ≤64-element stride subsample stands in for resize, and
-    * every-5th-frame sampling stands in for frame extraction.
+    * range, `thumb` is a REAL nearest-neighbor resample (≤8×8 luminance
+    * for images, ≤64 amplitude bytes for audio), and every-5th-frame
+    * sampling stands in for frame extraction.
     */
   private def fromDecoded(m: Media, d: graft.kernel.Media.Decoded): MediaFeatures = {
     val hist = new Array[Long](8)
@@ -65,9 +98,12 @@ object Multimodal {
     val n = math.max(d.samples.length, 1)
     val mean = math.rint(sum.toDouble / n / d.sampleMax * 255 * 10000) / 10000
     val sampled = if (d.frames <= 1) d.frames else (d.frames + 4) / 5
+    val thumb =
+      if (d.width > 0) thumbnail2d(d.samples, d.width, d.height)
+      else thumbnail1d(d.samples)
     MediaFeatures(m.media_id, m.kind, d.codec, d.width, d.height, d.sampleRate,
       d.frames, m.payload.length.toLong, mean, hist.toSeq,
-      math.min(64, d.samples.length), sampled, ok = true, error = "")
+      thumb.toSeq, thumb.length, sampled, ok = true, error = "")
   }
 
   /** Dispatch by magic bytes: real decoders for BMP/WAV/PNG
@@ -94,17 +130,20 @@ object Multimodal {
       }
       val (mean, hist) = stats(m.payload, dataOff)
       val body = m.payload.length - dataOff
-      val thumb = math.min(64, body) // stride subsample length (resize stub)
+      // stride subsample of the raw body (resize stub for codec formats)
+      val tn = math.min(64, body)
+      val thumb = Array.tabulate(tn)(i => m.payload(dataOff + i * body / tn))
       val sampled = if (frames <= 1) frames else (frames + 4) / 5
       MediaFeatures(m.media_id, m.kind, magic.toLowerCase, w, h, rate, frames,
-        m.payload.length.toLong, mean, hist.toSeq, thumb, sampled,
+        m.payload.length.toLong, mean, hist.toSeq, thumb.toSeq, tn, sampled,
         ok = true, error = "")
     }
   } catch {
     case e: Exception =>
       MediaFeatures(m.media_id, m.kind, "?", 0, 0, 0, 0,
         Option(m.payload).map(_.length.toLong).getOrElse(0L),
-        0.0, Seq.fill(8)(0L), 0, 0, ok = false, error = String.valueOf(e.getMessage))
+        0.0, Seq.fill(8)(0L), Seq.empty, 0, 0,
+        ok = false, error = String.valueOf(e.getMessage))
   }
 
   /** The typed batch stage: binary rows in, feature rows out, one kernel

@@ -243,6 +243,11 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
     assert(feats.where($"codec".isin("bmp", "png") &&
       mass =!= ($"width" * $"height").cast("long")).count() === 0)
     assert(feats.where($"codec" === "wav" && mass =!= $"n_frames".cast("long")).count() === 0)
+    // real resize: image thumbnails are <= 8x8 luminance bytes, and a
+    // constant image thumbnails to the constant
+    assert(feats.where($"codec".isin("bmp", "png") && $"thumb_bytes" > 64).count() === 0)
+    val const = Multimodal.thumbnail2d(Array.fill(20 * 10)(77), 20, 10)
+    assert(const.length === 64 && const.forall(_ === 77.toByte))
     val stats = Multimodal.featureStats(feats.toDF())
     assert(stats.count() === 3)
 
