@@ -97,6 +97,9 @@ object Media {
     while (off + 8 <= p.length) {
       val id = new String(p, off, 4, java.nio.charset.StandardCharsets.ISO_8859_1)
       val len = le32(p, off + 4)
+      // a crafted negative length would walk `off` backwards forever —
+      // garbage must fail the row, never hang the task (C5)
+      require(len >= 0, s"negative chunk length in $id")
       if (id == "fmt ") {
         require(le16(p, off + 8) == 1, "non-PCM WAV unsupported")
         channels = le16(p, off + 10)

@@ -65,6 +65,12 @@ class MediaSpec extends AnyFunSuite {
     val wavBytes = MediaGen.wav(Array[Short](1, 2, 3), 8000)
     val nonPcm = wavBytes.clone(); nonPcm(20) = 3
     intercept[Exception](Media.decodeWav(nonPcm))
+    // crafted negative chunk length must throw, not loop forever
+    // (fmt chunk length at offset 16..19 → 0xFFFFFFFF = -1)
+    val negLen = wavBytes.clone()
+    negLen(16) = 0xff.toByte; negLen(17) = 0xff.toByte
+    negLen(18) = 0xff.toByte; negLen(19) = 0xff.toByte
+    intercept[Exception](Media.decodeWav(negLen))
   }
 
   test("fuzz: random images/audio round-trip exactly (300 seeded samples)") {
