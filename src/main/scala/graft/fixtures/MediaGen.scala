@@ -121,11 +121,226 @@ object MediaGen {
       chunk("IHDR", ihdr) ++ chunk("IDAT", idat.toByteArray) ++ chunk("IEND", Array.empty)
   }
 
+  // ----------------------------------------------------------- JPEG writer
+  /** Canonical Huffman code assignment from (BITS, HUFFVAL) — the exact
+    * construction of T.81 Annex C, shared shape with the decoder's DECODE
+    * tables. Returns symbol → (code, length).
+    */
+  private def canonicalCodes(bits: Array[Int], vals: Array[Int]): Map[Int, (Int, Int)] = {
+    var code = 0; var k = 0
+    val out = Map.newBuilder[Int, (Int, Int)]
+    var l = 1
+    while (l <= 16) {
+      var i = 0
+      while (i < bits(l)) { out += vals(k) -> ((code, l)); code += 1; k += 1; i += 1 }
+      code <<= 1
+      l += 1
+    }
+    out.result()
+  }
+
+  // DC: 12 categories spread over lengths 2..6 — multi-length codes so the
+  // decoder's length-walking DECODE loop is genuinely exercised
+  private val DcBits = Array(0, 0, 1, 2, 3, 4, 2, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+  private val DcVals = (0 to 11).toArray
+  // AC: EOB and 0x01 short (length 4), every other run/size byte at length
+  // 10 — covers any symbol the encoder can emit, no all-ones code
+  private val AcBits = Array(0, 0, 0, 0, 2, 0, 0, 0, 0, 0, 254, 0, 0, 0, 0, 0, 0)
+  private val AcVals = Array(0x00, 0x01) ++ (2 to 255).filterNot(v => v == 0x00 || v == 0x01)
+  private lazy val DcCodes = canonicalCodes(DcBits, DcVals)
+  private lazy val AcCodes = canonicalCodes(AcBits, AcVals)
+
+  private final class BitWriter(out: java.io.ByteArrayOutputStream) {
+    private var buf = 0
+    private var cnt = 0
+    def put(code: Int, len: Int): Unit = {
+      var i = len - 1
+      while (i >= 0) {
+        buf = (buf << 1) | ((code >> i) & 1)
+        cnt += 1
+        if (cnt == 8) {
+          out.write(buf)
+          if (buf == 0xff) out.write(0x00) // byte stuffing
+          buf = 0; cnt = 0
+        }
+        i -= 1
+      }
+    }
+    /** Pad the final partial byte with 1s (T.81 F.1.2.3). */
+    def flush(): Unit = if (cnt > 0) { put(0xff, 8 - cnt) }
+  }
+
+  private def fdctQuantBlock(s: Array[Double]): Array[Int] = {
+    // quant table is all-ones, so quantization is plain rounding
+    val out = new Array[Int](64)
+    var u = 0
+    while (u < 8) {
+      var v = 0
+      while (v < 8) {
+        var acc = 0.0
+        var x = 0
+        while (x < 8) {
+          var y = 0
+          while (y < 8) {
+            acc += s(y * 8 + x) * graft.kernel.Jpeg.CosTable(x)(u) *
+              graft.kernel.Jpeg.CosTable(y)(v)
+            y += 1
+          }
+          x += 1
+        }
+        val cu = if (u == 0) 0.70710678118654752440 else 1.0
+        val cv = if (v == 0) 0.70710678118654752440 else 1.0
+        out(v * 8 + u) = math.rint(acc * cu * cv / 4.0).toInt
+        v += 1
+      }
+      u += 1
+    }
+    out
+  }
+
+  private def encodeBlock(w: BitWriter, coefNatural: Array[Int], pred: Int): Int = {
+    def category(v: Int): Int = { var t = 0; var a = math.abs(v); while (a > 0) { a >>= 1; t += 1 }; t }
+    def magnitude(v: Int, t: Int): Int = if (v >= 0) v else v + (1 << t) - 1
+    val dc = coefNatural(0)
+    val diff = dc - pred
+    val t = category(diff)
+    val (c, l) = DcCodes(t)
+    w.put(c, l)
+    if (t > 0) w.put(magnitude(diff, t), t)
+    // AC in zigzag order with run-lengths
+    var k = 1
+    var run = 0
+    while (k < 64) {
+      val v = coefNatural(graft.kernel.Jpeg.ZigZag(k))
+      if (v == 0) run += 1
+      else {
+        while (run > 15) { val (zc, zl) = AcCodes(0xf0); w.put(zc, zl); run -= 16 }
+        val sz = category(v)
+        val (ac, al) = AcCodes((run << 4) | sz)
+        w.put(ac, al)
+        w.put(magnitude(v, sz), sz)
+        run = 0
+      }
+      k += 1
+    }
+    if (run > 0) { val (ec, el) = AcCodes(0x00); w.put(ec, el) } // EOB
+    dc
+  }
+
+  /** Baseline JFIF writer over a top-down 0–255 luminance plane.
+    * `color = false` emits 1-component grayscale; `color = true` emits
+    * 3-component YCbCr with constant neutral chroma (Cb = Cr = 128 ⇒
+    * all-zero chroma blocks) — `subsample = 1` is 4:4:4, `2` is 4:2:0,
+    * both exercising the decoder's MCU/interleave logic for real.
+    * `restartInterval > 0` emits DRI + RST0–7 markers. Quant tables are
+    * all-ones (near-lossless: the only loss is coefficient rounding), so
+    * decoders can be asserted against the source pixels within a tight
+    * tolerance.
+    */
+  def jpeg(luma: Array[Int], w: Int, h: Int, color: Boolean = false,
+           subsample: Int = 1, restartInterval: Int = 0): Array[Byte] = {
+    require(luma.length == w * h && w > 0 && h > 0)
+    require(subsample == 1 || subsample == 2)
+    val out = new java.io.ByteArrayOutputStream()
+    def word(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+    def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
+    marker(0xd8) // SOI
+    // DQT: table 0, all ones (in zigzag order — all ones either way)
+    marker(0xdb); word(2 + 65); out.write(0x00)
+    (0 until 64).foreach(_ => out.write(1))
+    // SOF0
+    val nc = if (color) 3 else 1
+    marker(0xc0); word(8 + 3 * nc); out.write(8)
+    word(h); word(w); out.write(nc)
+    val ss = if (color) subsample else 1
+    out.write(1); out.write((ss << 4) | ss); out.write(0) // Y
+    if (color) {
+      out.write(2); out.write(0x11); out.write(0) // Cb
+      out.write(3); out.write(0x11); out.write(0) // Cr
+    }
+    // DHT: DC table 0 + AC table 0 (shared by all components)
+    def dht(tc: Int, bits: Array[Int], vals: Array[Int]): Unit = {
+      marker(0xc4); word(2 + 1 + 16 + vals.length)
+      out.write((tc << 4) | 0)
+      (1 to 16).foreach(l => out.write(bits(l)))
+      vals.foreach(out.write)
+    }
+    dht(0, DcBits, DcVals)
+    dht(1, AcBits, AcVals)
+    if (restartInterval > 0) { marker(0xdd); word(4); word(restartInterval) }
+    // SOS
+    marker(0xda); word(6 + 2 * nc); out.write(nc)
+    out.write(1); out.write(0x00)
+    if (color) { out.write(2); out.write(0x00); out.write(3); out.write(0x00) }
+    out.write(0); out.write(63); out.write(0) // Ss/Se/AhAl
+    // entropy-coded scan
+    val bw = new BitWriter(out)
+    val mcuW = 8 * ss; val mcuH = 8 * ss
+    val mcusX = (w + mcuW - 1) / mcuW
+    val mcusY = (h + mcuH - 1) / mcuH
+    var predY = 0; var predCb = 0; var predCr = 0
+    val blk = new Array[Double](64)
+    var rst = 0; var sinceRst = 0
+    var my = 0
+    while (my < mcusY) {
+      var mx = 0
+      while (mx < mcusX) {
+        if (restartInterval > 0 && sinceRst == restartInterval) {
+          bw.flush()
+          marker(0xd0 + (rst & 7))
+          rst += 1; sinceRst = 0
+          predY = 0; predCb = 0; predCr = 0
+        }
+        var by = 0
+        while (by < ss) {
+          var bx = 0
+          while (bx < ss) {
+            var yy = 0
+            while (yy < 8) {
+              var xx = 0
+              while (xx < 8) {
+                // edge replication for partial blocks
+                val px = math.min(w - 1, (mx * ss + bx) * 8 + xx)
+                val py = math.min(h - 1, (my * ss + by) * 8 + yy)
+                blk(yy * 8 + xx) = luma(py * w + px) - 128.0
+                xx += 1
+              }
+              yy += 1
+            }
+            predY = encodeBlock(bw, fdctQuantBlock(blk), predY)
+            bx += 1
+          }
+          by += 1
+        }
+        if (color) {
+          // neutral chroma: level-shifted zeros ⇒ all-zero coefficients
+          val zeros = new Array[Int](64)
+          predCb = { encodeBlock(bw, zeros, predCb); 0 }
+          predCr = { encodeBlock(bw, zeros, predCr); 0 }
+        }
+        sinceRst += 1
+        mx += 1
+      }
+      my += 1
+    }
+    bw.flush()
+    marker(0xd9) // EOI
+    out.toByteArray
+  }
+
   def media(n: Int, seed: Long = 42L): IndexedSeq[Media] = {
     val r = new Random(seed)
     (0 until n).map { i =>
       val host = r.nextInt(20)
-      r.nextInt(6) match {
+      r.nextInt(7) match {
+        case 6 =>
+          val w = 4 + r.nextInt(28); val h = 4 + r.nextInt(20)
+          val px = Array.fill(w * h)(r.nextInt(256))
+          val color = r.nextBoolean()
+          val ss = if (color && r.nextBoolean()) 2 else 1
+          Media(i.toLong, s"https://host$host.example.com/img/$i.jpg", "image",
+            jpeg(px, w, h, color = color, subsample = ss,
+              restartInterval = if (r.nextBoolean()) 0 else 2))
         case 0 =>
           val w = 8 + r.nextInt(56); val h = 8 + r.nextInt(40)
           Media(i.toLong, s"https://host$host.example.com/img/$i", "image",

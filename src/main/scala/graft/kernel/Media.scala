@@ -91,25 +91,31 @@ object Media {
     */
   def decodeWav(p: Array[Byte]): Decoded = {
     require(isWav(p), "not a RIFF/WAVE")
-    var off = 12
+    // the walk runs in Long: a crafted len near Int.MaxValue would wrap an
+    // Int `off` negative (and `dataOff + dataLen` negative, slipping past
+    // an Int bound check into a multi-GB allocation whose OutOfMemoryError
+    // is not an Exception and escapes the per-row catch) — C5 again
+    var off = 12L
     var rate = 0; var channels = 0; var bits = 0
     var dataOff = -1; var dataLen = 0
     while (off + 8 <= p.length) {
-      val id = new String(p, off, 4, java.nio.charset.StandardCharsets.ISO_8859_1)
-      val len = le32(p, off + 4)
+      val o = off.toInt // safe: off + 8 <= p.length <= Int.MaxValue
+      val id = new String(p, o, 4, java.nio.charset.StandardCharsets.ISO_8859_1)
+      val len = le32(p, o + 4)
       // a crafted negative length would walk `off` backwards forever —
       // garbage must fail the row, never hang the task (C5)
       require(len >= 0, s"negative chunk length in $id")
       if (id == "fmt ") {
-        require(le16(p, off + 8) == 1, "non-PCM WAV unsupported")
-        channels = le16(p, off + 10)
-        rate = le32(p, off + 12)
-        bits = le16(p, off + 22)
-      } else if (id == "data") { dataOff = off + 8; dataLen = len }
-      off += 8 + len + (len & 1) // chunks are word-aligned
+        require(le16(p, o + 8) == 1, "non-PCM WAV unsupported")
+        channels = le16(p, o + 10)
+        rate = le32(p, o + 12)
+        bits = le16(p, o + 22)
+      } else if (id == "data") { dataOff = o + 8; dataLen = len }
+      off += 8L + len + (len & 1) // chunks are word-aligned
     }
     require(rate > 0 && channels > 0 && (bits == 8 || bits == 16), "missing/odd fmt chunk")
-    require(dataOff >= 0 && dataOff + dataLen <= p.length, "missing/truncated data chunk")
+    require(dataOff >= 0 && dataOff.toLong + dataLen.toLong <= p.length,
+      "missing/truncated data chunk")
     val bytesPerSample = bits / 8
     val frame = channels * bytesPerSample
     val n = dataLen / frame
@@ -183,7 +189,12 @@ object Media {
     var got = 0
     while (got < raw.length && !inf.finished()) {
       val k = inf.inflate(raw, got, raw.length - got)
-      require(k > 0 || !inf.needsInput(), "truncated IDAT stream")
+      // inflate()==0 with finished()==false covers BOTH truncation
+      // (needsInput) and an FDICT preset-dictionary stream
+      // (needsDictionary) — either way no progress will ever be made, so
+      // fail the row instead of spinning forever (C5: garbage must fail,
+      // never hang)
+      require(k > 0 || inf.finished(), "truncated or dictionary-requiring IDAT stream")
       got += k
     }
     inf.end()

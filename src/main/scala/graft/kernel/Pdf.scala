@@ -198,9 +198,13 @@ object Pdf {
     inf.setInput(data)
     val out = new ByteArrayOutputStream(data.length * 4 + 64)
     val buf = new Array[Byte](8192)
-    while (!inf.finished() && !inf.needsDictionary()) {
+    while (!inf.finished()) {
       val k = inf.inflate(buf)
-      if (k == 0 && inf.needsInput()) throw new ParseError("truncated flate stream")
+      // zero bytes with the stream unfinished means no progress is ever
+      // possible (truncated input or an FDICT preset-dictionary stream) —
+      // fail the chunk rather than spin or silently emit partial output
+      if (k == 0 && !inf.finished())
+        throw new ParseError("truncated or dictionary-requiring flate stream")
       out.write(buf, 0, k)
     }
     inf.end()

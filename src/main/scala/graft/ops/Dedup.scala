@@ -138,16 +138,58 @@ object Dedup {
     */
   def lshCandidates(sigs: DataFrame, idCol: String, sigCol: String,
                     numBands: Int): DataFrame = {
-    val rows = floor(size(col(sigCol)) / numBands).cast("int")
-    val banded = sigs.select(col(idCol).as("id"),
-        posexplode(transform(sequence(lit(0), lit(numBands - 1)),
-          b => xxhash64(slice(col(sigCol), b * rows + 1, rows), b))))
-      .withColumnRenamed("pos", "band_idx").withColumnRenamed("col", "band_key")
+    val banded = bandBuckets(sigs, idCol, sigCol, numBands)
     banded.as("a").join(banded.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
           col("a.band_key") === col("b.band_key") && col("a.id") < col("b.id"))
       .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
       .distinct()
+  }
+
+  /** `(id, band_idx, band_key)` rows — the banding stage shared by the
+    * exact and capped candidate joins.
+    */
+  private def bandBuckets(sigs: DataFrame, idCol: String, sigCol: String,
+                          numBands: Int): DataFrame = {
+    val rows = floor(size(col(sigCol)) / numBands).cast("int")
+    sigs.select(col(idCol).as("id"),
+        posexplode(transform(sequence(lit(0), lit(numBands - 1)),
+          b => xxhash64(slice(col(sigCol), b * rows + 1, rows), b))))
+      .withColumnRenamed("pos", "band_idx").withColumnRenamed("col", "band_key")
+  }
+
+  /** [[lshCandidates]] with a hot-bucket cap — the defense AQE cannot
+    * provide. A band bucket with m members emits m(m−1)/2 pairs; a
+    * near-dup-saturated corpus (mirror farms, boilerplate-only pages) puts
+    * millions of ids in ONE bucket and the pair explosion is Ω(m²)
+    * regardless of how AQE splits the join. Buckets over `maxBucket`
+    * members therefore switch to a STAR topology: every member pairs with
+    * the bucket's minimum id only (m−1 pairs). Precision is untouched
+    * (every candidate is still exact-verified downstream); pair-level
+    * recall inside a hot bucket drops by design, but CLUSTER-level
+    * connectivity — what dedup consumes — is preserved: all members stay
+    * reachable through the representative, and a saturated bucket is
+    * saturated precisely because its members are mutual near-dups, so the
+    * star edges survive verification (asserted in tests with a
+    * pathological hot bucket).
+    */
+  def lshCandidatesCapped(sigs: DataFrame, idCol: String, sigCol: String,
+                          numBands: Int, maxBucket: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("band_idx"), col("band_key"))
+    val sized = bandBuckets(sigs, idCol, sigCol, numBands)
+      .withColumn("bsz", count(lit(1)).over(w))
+      .withColumn("rep", min(col("id")).over(w))
+    val cold = sized.where(col("bsz") <= maxBucket)
+      .select(col("id"), col("band_idx"), col("band_key"))
+    val coldPairs = cold.as("a").join(cold.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_key") === col("b.band_key") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
+    // rep = min(id) of the bucket, so rep < id holds for every emitted row
+    val hotPairs = sized.where(col("bsz") > maxBucket && col("id") =!= col("rep"))
+      .select(col("rep").as("a_id"), col("id").as("b_id"))
+    coldPairs.union(hotPairs).distinct()
   }
 
   /** Scala twin of `array_distinct(shingles(text, k))` — split/lower/trim
@@ -216,12 +258,15 @@ object Dedup {
     * approximate part — asserted ≥ bound in tests). Shingling + signature
     * run as a typed per-row kernel (values identical to the columnar
     * [[shingles]]/[[minHash]] expressions, asserted in tests); the only
-    * shuffle is the band-bucket self-join.
+    * shuffle is the band-bucket self-join. A finite `maxBucket` routes
+    * band buckets larger than the cap through [[lshCandidatesCapped]]'s
+    * star topology (the hot-bucket Ω(m²) defense).
     */
   def minhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
                           shingleK: Int = 3, numHashes: Int = 32,
                           numBands: Int = 8,
-                          threshold: Double = 0.8): DataFrame = {
+                          threshold: Double = 0.8,
+                          maxBucket: Int = Int.MaxValue): DataFrame = {
     import org.apache.spark.sql.types._
     val spark = df.sparkSession
     val idField = df.schema(idCol)
@@ -243,7 +288,11 @@ object Dedup {
         }
       }
     }(enc)
-    val cand = lshCandidates(sh.select(col("id"), col("mh")), "id", "mh", numBands)
+    val cand =
+      if (maxBucket == Int.MaxValue)
+        lshCandidates(sh.select(col("id"), col("mh")), "id", "mh", numBands)
+      else
+        lshCandidatesCapped(sh.select(col("id"), col("mh")), "id", "mh", numBands, maxBucket)
     val jac = size(array_intersect(col("a.sh"), col("b.sh"))).cast("double") /
       size(array_union(col("a.sh"), col("b.sh"))).cast("double")
     cand.join(sh.as("a"), cand("a_id") === col("a.id"))
@@ -312,12 +361,14 @@ object Dedup {
       math.sqrt(s)
     }
     // enforce the documented smaller-side-fits contract instead of OOMing
-    // inside collect(): past ~10^6×128 doubles the LSH twin is the path
-    val n = typed.count()
-    require(n <= (1L << 20),
+    // inside collect(): past ~10^6×128 doubles the LSH twin is the path.
+    // limit(2^20+1) bounds the collect itself (no pre-count pass — a
+    // count() here re-scanned and re-decoded the whole table per call)
+    val all0 = typed.limit((1 << 20) + 1).collect()
+    require(all0.length <= (1 << 20),
       s"cosinePairsExact is the exact verify baseline (n <= 2^20 vectors); " +
-        s"got $n - use cosineNearDupLshMulti for corpus-scale near-dup")
-    val all = typed.collect().sortBy(_._1)
+        s"got more - use cosineNearDupLshMulti for corpus-scale near-dup")
+    val all = all0.sortBy(_._1)
     val bc = spark.sparkContext.broadcast(
       (all.map(_._1), all.map(_._2), all.map(p => norm(p._2))))
     typed.mapPartitions { it =>

@@ -7,15 +7,16 @@ import org.apache.spark.sql.functions._
   * `binary` columns with typed metadata; decode / feature-extraction /
   * resize / frame-sampling run per-partition over the binary batches.
   *
-  * Decoding is REAL for every format this sandbox can decode without
-  * codec libraries — BMP, WAV-PCM, and PNG via [[graft.kernel.Media]]
-  * (JDK `Inflater` + per-spec defiltering). Formats that need an actual
-  * codec library (JPEG entropy decode, video codecs) are carried by the
-  * deterministic fixture container (`IMG1`/`AUD1`/`VID1`, see
-  * [[graft.fixtures.MediaGen]]) — those paths are **STUBs for real
-  * codecs**: swap their bodies for libjpeg/ffmpeg bindings and the rest
-  * (schema, typed Dataset plumbing, mapPartitions batch shape,
-  * partitioning) is production-shaped and tested.
+  * Decoding is REAL for the formats that dominate a web crawl's media
+  * columns — baseline JPEG via [[graft.kernel.Jpeg]] (from-scratch
+  * huffman + dequant + IDCT), and BMP, WAV-PCM, PNG via
+  * [[graft.kernel.Media]] (JDK `Inflater` + per-spec defiltering).
+  * Formats that genuinely need an external codec library (video codecs,
+  * progressive JPEG) are carried by the deterministic fixture container
+  * (`IMG1`/`AUD1`/`VID1`, see [[graft.fixtures.MediaGen]]) — those paths
+  * are **STUBs for real codecs**: swap their bodies for ffmpeg bindings
+  * and the rest (schema, typed Dataset plumbing, mapPartitions batch
+  * shape, partitioning) is production-shaped and tested.
   */
 object Multimodal {
 
@@ -72,7 +73,10 @@ object Multimodal {
     val out = new Array[Byte](n)
     var i = 0
     while (i < n) {
-      out(i) = ((math.abs(samples(i * samples.length / n)) >> 8) & 0xff).toByte
+      // long math: i * samples.length wraps Int past ~34M samples (any
+      // mono 16-bit WAV over ~68 MB) and the negative index would fail a
+      // perfectly valid large row
+      out(i) = ((math.abs(samples((i.toLong * samples.length / n).toInt)) >> 8) & 0xff).toByte
       i += 1
     }
     out
@@ -119,6 +123,8 @@ object Multimodal {
       fromDecoded(m, graft.kernel.Media.decodeWav(m.payload))
     else if (graft.kernel.Media.isPng(m.payload))
       fromDecoded(m, graft.kernel.Media.decodePng(m.payload))
+    else if (graft.kernel.Jpeg.isJpeg(m.payload))
+      fromDecoded(m, graft.kernel.Jpeg.decode(m.payload))
     else {
       val magic = new String(m.payload.take(4), java.nio.charset.StandardCharsets.ISO_8859_1)
       val (w, h, rate, frames, dataOff) = magic match {
@@ -132,7 +138,7 @@ object Multimodal {
       val body = m.payload.length - dataOff
       // stride subsample of the raw body (resize stub for codec formats)
       val tn = math.min(64, body)
-      val thumb = Array.tabulate(tn)(i => m.payload(dataOff + i * body / tn))
+      val thumb = Array.tabulate(tn)(i => m.payload(dataOff + (i.toLong * body / tn).toInt))
       val sampled = if (frames <= 1) frames else (frames + 4) / 5
       MediaFeatures(m.media_id, m.kind, magic.toLowerCase, w, h, rate, frames,
         m.payload.length.toLong, mean, hist.toSeq, thumb.toSeq, tn, sampled,

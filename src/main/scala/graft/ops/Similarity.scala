@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Approximate-nearest-neighbor search over an embedding column
@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
   * (Indyk–Motwani / Charikar SRP-LSH — public algorithms, built from
   * scratch on Catalyst primitives: `zip_with`, `aggregate`, `transform`).
   */
-object Similarity {
+object Similarity extends Serializable {
 
   /** Sequential-fold dot product in double precision (deterministic:
     * left-to-right over the array, same order every run/engine).
@@ -92,6 +92,62 @@ object Similarity {
     * [[bruteForceTopK]] exactly (asserted in tests); smaller `nprobe`
     * trades recall for a ~nlist/nprobe scan reduction.
     */
+  /** Squared-L2 nearest centroid (sequential scan, deterministic). */
+  private[graft] def nearestCell(v: Array[Double], cs: Array[Array[Double]]): Int = {
+    var best = 0; var bestD = Double.MaxValue; var c = 0
+    while (c < cs.length) {
+      val w = cs(c); var d = 0.0; var j = 0
+      val n = math.min(v.length, w.length)
+      while (j < n) { val t = v(j) - w(j); d += t * t; j += 1 }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Lloyd iterations over a driver-side sample (sequential FP folds keep
+    * the centroids — and therefore cell assignment — bit-stable run to
+    * run; a distributed reduction would sum in nondeterministic order).
+    */
+  private[graft] def trainCentroids(sample: Array[Array[Double]], nlist: Int,
+                                    iters: Int): Array[Array[Double]] = {
+    require(sample.nonEmpty, "empty training sample")
+    val dim = sample.head.length
+    var centroids = Array.tabulate(math.min(nlist, sample.length))(i => sample(i).clone())
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(centroids.length)(new Array[Double](dim))
+      val counts = new Array[Long](centroids.length)
+      sample.foreach { v =>
+        val c = nearestCell(v, centroids)
+        var j = 0
+        while (j < dim) { sums(c)(j) += v(j); j += 1 }
+        counts(c) += 1
+      }
+      centroids = Array.tabulate(centroids.length) { c =>
+        if (counts(c) == 0) centroids(c) // empty cell keeps its centroid
+        else { val s = sums(c); var j = 0; while (j < dim) { s(j) /= counts(c); j += 1 }; s }
+      }
+      it += 1
+    }
+    centroids
+  }
+
+  /** The `nprobe` cells nearest to a query vector. */
+  private[graft] def probeCells(qv: Array[Double], centroids: Array[Array[Double]],
+                                nprobe: Int): Seq[Int] = {
+    val dim = qv.length
+    centroids.indices
+      .sortBy { c =>
+        var d = 0.0; var j = 0
+        while (j < dim && j < centroids(c).length) {
+          val t = qv(j) - centroids(c)(j); d += t * t; j += 1
+        }
+        d
+      }
+      .take(math.min(nprobe, centroids.length))
+  }
+
   def ivfTopK(df: DataFrame, idCol: String, vecCol: String,
               queryId: Long, k: Int,
               nlist: Int = 16, nprobe: Int = 4, iters: Int = 3,
@@ -107,46 +163,14 @@ object Similarity {
       .orderBy(xxhash64(col("id"), lit(seed)), col("id")).limit(sampleN)
       .as[(Long, Array[Double])].collect()
     require(sample.nonEmpty, "empty input")
-    val dim = sample.head._2.length
-    var centroids = Array.tabulate(math.min(nlist, sample.length))(i => sample(i)._2.clone())
-    def nearest(v: Array[Double], cs: Array[Array[Double]]): Int = {
-      var best = 0; var bestD = Double.MaxValue; var c = 0
-      while (c < cs.length) {
-        val w = cs(c); var d = 0.0; var j = 0
-        while (j < dim) { val t = v(j) - w(j); d += t * t; j += 1 }
-        if (d < bestD) { bestD = d; best = c }
-        c += 1
-      }
-      best
-    }
-    var it = 0
-    while (it < iters) {
-      val sums = Array.fill(centroids.length)(new Array[Double](dim))
-      val counts = new Array[Long](centroids.length)
-      sample.foreach { case (_, v) =>
-        val c = nearest(v, centroids)
-        var j = 0
-        while (j < dim) { sums(c)(j) += v(j); j += 1 }
-        counts(c) += 1
-      }
-      centroids = Array.tabulate(centroids.length) { c =>
-        if (counts(c) == 0) centroids(c) // empty cell keeps its centroid
-        else { val s = sums(c); var j = 0; while (j < dim) { s(j) /= counts(c); j += 1 }; s }
-      }
-      it += 1
-    }
+    val centroids = trainCentroids(sample.map(_._2), nlist, iters)
+    def nearest(v: Array[Double], cs: Array[Array[Double]]): Int = nearestCell(v, cs)
     val bcC = spark.sparkContext.broadcast(centroids)
 
     // ---- probe list (driver) ----
     val qv = typed.toDF("id", "vec").where(col("id") === queryId)
       .as[(Long, Array[Double])].head()._2
-    val probed: Set[Int] = centroids.indices
-      .sortBy { c =>
-        var d = 0.0; var j = 0
-        while (j < dim) { val t = qv(j) - centroids(c)(j); d += t * t; j += 1 }
-        d
-      }
-      .take(math.min(nprobe, centroids.length)).toSet
+    val probed: Set[Int] = probeCells(qv, centroids, nprobe).toSet
 
     // ---- assign + scan probed cells (distributed, one typed pass) ----
     val assigned = typed.mapPartitions { rows =>
@@ -157,6 +181,63 @@ object Similarity {
     probedDf.crossJoin(broadcast(
         typed.toDF("id", "vec").where(col("id") === queryId).select(col("vec").as("qv"))))
       .select(col("id"), round(cosine(col("vec"), col("qv")), 6).as("sim"))
+      .orderBy(desc("sim"), asc("id"))
+      .limit(k)
+  }
+
+  /** The missing last step of [[ivfTopK]] at 100 TB: materialize the
+    * IVF-assigned corpus AT REST, Hive-partitioned by `cell`, plus its
+    * centroid table — so a probe query's `cell IN (...)` predicate becomes
+    * a PARTITION filter and the scan touches only the `nprobe` probed
+    * directories (the partition-pruning twin of the A8 point lookup).
+    * Layout: `{dir}/corpus/cell=N/` parquet parts and `{dir}/centroids`
+    * (cell → centroid vector). Assignment is the only full-data pass, a
+    * stateless typed map; each cell directory is coalesced by a
+    * cell-keyed repartition so the index does not shatter into
+    * tasks × cells small files.
+    */
+  def ivfBuildIndex(df: DataFrame, idCol: String, vecCol: String, dir: String,
+                    nlist: Int = 16, iters: Int = 3,
+                    sampleN: Int = 2048, seed: Long = 42L): Unit = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val typed = df
+      .select(col(idCol).cast("long"), transform(col(vecCol), x => x.cast("double")))
+      .as[(Long, Array[Double])]
+    val sample = typed.toDF("id", "vec")
+      .orderBy(xxhash64(col("id"), lit(seed)), col("id")).limit(sampleN)
+      .as[(Long, Array[Double])].collect()
+    require(sample.nonEmpty, "empty input")
+    val centroids = trainCentroids(sample.map(_._2), nlist, iters)
+    val bcC = spark.sparkContext.broadcast(centroids)
+    typed.mapPartitions { rows =>
+        val cs = bcC.value
+        rows.map { case (id, v) => (id, v, nearestCell(v, cs)) }
+      }
+      .toDF("id", "vec", "cell")
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/corpus")
+    centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cell", "centroid")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/centroids")
+  }
+
+  /** Probe an [[ivfBuildIndex]] index: rank cells by the (tiny) centroid
+    * table, then scan ONLY those cell directories — the `cell IN probed`
+    * filter is a partition filter, so at corpus scale the probe reads
+    * `nprobe/nlist` of the data (asserted on the physical scan in tests).
+    */
+  def ivfProbeIndex(spark: SparkSession, dir: String, queryVec: Array[Double],
+                    k: Int, nprobe: Int): DataFrame = {
+    import spark.implicits._
+    val centroids = spark.read.parquet(s"$dir/centroids")
+      .orderBy(col("cell"))
+      .select(col("centroid")).as[Seq[Double]].collect().map(_.toArray)
+    val probed = probeCells(queryVec, centroids, nprobe)
+    spark.read.parquet(s"$dir/corpus")
+      .where(col("cell").isin(probed.map(Integer.valueOf): _*))
+      .select(col("id"), round(cosine(col("vec"), typedLit(queryVec.toSeq)), 6).as("sim"))
       .orderBy(desc("sim"), asc("id"))
       .limit(k)
   }

@@ -170,10 +170,16 @@ object Checkpoint {
     // First-run probe by directory listing, not read-and-catch: the caught
     // AnalysisException used to print a stack trace that polluted stderr
     // right before Bench's JSON line (VERDICT.md "What's wrong" #3b).
-    val manifestFiles = Option(new java.io.File(manifestDir).listFiles())
-      .getOrElse(Array.empty)
+    // The listing goes through the Hadoop FileSystem API, NOT java.io.File:
+    // on HDFS/S3 a local-File probe sees nothing, resume() would anti-join
+    // against an empty manifest, and the run would reprocess everything.
+    val manifestPath = new org.apache.hadoop.fs.Path(manifestDir)
+    val manifestFs = manifestPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasManifest = manifestFs.exists(manifestPath) &&
+      Option(manifestFs.globStatus(new org.apache.hadoop.fs.Path(manifestDir, "*.parquet")))
+        .exists(_.nonEmpty)
     val manifest: DataFrame =
-      if (manifestFiles.exists(_.getName.endsWith(".parquet")))
+      if (hasManifest)
         spark.read.parquet(manifestDir)
       else {
         import spark.implicits._
@@ -218,8 +224,10 @@ object Checkpoint {
     * actively deletes expired per-hash files; here the memoization table
     * is compacted to live rows so dead entries stop accumulating at
     * scale). Write-temp-then-swap keeps the read and the overwrite off
-    * the same files; on a distributed FS the swap is the same
-    * write-to-side + rename pattern. Returns removed-row count.
+    * the same files; the swap runs through the Hadoop `FileSystem` API
+    * (delete + rename), so the same code works on HDFS and local FS
+    * alike — never `java.io.File`, which silently no-ops on a remote
+    * filesystem. Returns removed-row count.
     */
   def sweepExpired(spark: SparkSession, cacheDir: String,
                    asOf: Timestamp): Long = {
@@ -231,13 +239,11 @@ object Checkpoint {
     if (keep < total) {
       val tmp = cacheDir + ".compact"
       live.write.mode("overwrite").parquet(tmp)
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(); ()
-      }
-      val target = new java.io.File(cacheDir)
-      rm(target)
-      require(new java.io.File(tmp).renameTo(target), s"swap failed for $cacheDir")
+      val target = new org.apache.hadoop.fs.Path(cacheDir)
+      val side = new org.apache.hadoop.fs.Path(tmp)
+      val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      require(fs.delete(target, true), s"could not remove old cache at $cacheDir")
+      require(fs.rename(side, target), s"swap failed for $cacheDir")
     }
     total - keep
   }

@@ -82,9 +82,9 @@ object StreamingRun {
     * after a restart — is suppressed, because the per-hash seen-bit
     * lives in the streaming state store under `checkpointDir`. Custom
     * state is exactly what `flatMapGroupsWithState` exists for; no
-    * timeout is set because a dedup key never expires (a TTL'd variant
-    * would pass `GroupStateTimeout.ProcessingTimeTimeout` — the
-    * streaming rendition of the 24 h cache TTL, C6).
+    * timeout is set because a dedup key never expires here —
+    * [[dedupStreamTtl]] is the TTL'd variant (the streaming rendition of
+    * the 24 h cache TTL, C6).
     *
     * Within one batch the surviving row is the minimum url of the hash
     * group (deterministic, not arrival-order). Emits `(content_hash,
@@ -113,15 +113,79 @@ object StreamingRun {
             Iterator.single((hash, rows.map(_._1).min))
           })
       .toDF("content_hash", "url")
+    commitNovel(spark, novel, outDir, checkpointDir)
+  }
+
+  /** TTL'd variant of [[dedupStreamAvailableNow]] — the streaming
+    * rendition of the reference's 24 h cache TTL (C6,
+    * `cache_manager.py:47-49`): a hash suppresses duplicates only while
+    * its entry is younger than `ttlMs`; once expired the next arrival is
+    * re-admitted (re-emitted) and a fresh TTL window starts, exactly like
+    * the batch `isFresh` predicate re-admitting an expired cache row.
+    *
+    * State per hash is the expiry deadline (processing-time ms): an
+    * arrival whose stored deadline has passed is re-admitted and stamps a
+    * fresh window; within the window duplicates are suppressed and the
+    * ORIGINAL deadline stands — TTL runs from first write, not last
+    * access, the reference's semantics (cache set() stamps TTL once).
+    *
+    * Deliberately NO `ProcessingTimeTimeout` timers here:
+    * `FlatMapGroupsWithStateExec.shouldRunAnotherBatch` returns true
+    * unconditionally under that conf, so an `AvailableNow` drain would
+    * schedule no-data micro-batches forever waiting for wall-clock timers
+    * and `awaitTermination` would never return. The deadline check alone
+    * carries the TTL semantics; expired entries are overwritten in place
+    * on their next arrival, so the store is bounded by distinct hashes —
+    * exactly the footprint of [[dedupStreamAvailableNow]]. A continuous
+    * deployment (`Trigger.ProcessingTime`) that wants idle expired keys
+    * REAPED would arm timers in a long-lived query it never drains.
+    */
+  def dedupStreamTtl(spark: SparkSession, pagesDir: String,
+                     outDir: String, checkpointDir: String,
+                     ttlMs: Long,
+                     maxFilesPerBatch: Int = 1000): Long = {
+    import spark.implicits._
+    val schema = spark.read.parquet(pagesDir).schema
+    val hashed = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerBatch)
+      .parquet(pagesDir)
+      .select(col("url"), sha2(col("html"), 256).as("content_hash"))
+      .as[(String, String)]
+    val novel = hashed
+      .groupByKey(_._2)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (hash: String, rows: Iterator[(String, String)], state: GroupState[Long]) => {
+          val now = state.getCurrentProcessingTimeMs()
+          if (!state.exists || state.get <= now) {
+            state.update(now + ttlMs)
+            Iterator.single((hash, rows.map(_._1).min))
+          } else Iterator.empty
+        })
+      .toDF("content_hash", "url")
+    commitNovel(spark, novel, outDir, checkpointDir)
+  }
+
+  /** Exactly-once commit for the dedup streams: `foreachBatch` has no
+    * sink batch log, so a crash between the write and the checkpoint
+    * commit replays the micro-batch — a plain append would then duplicate
+    * its rows. Leading the partition spec with `batch_id` + dynamic
+    * partition overwrite makes the replay overwrite exactly its own
+    * directory instead (the same idempotent-sink shape as
+    * [[runAvailableNow]]). Returns the number of novel rows committed.
+    */
+  private def commitNovel(spark: SparkSession, novel: DataFrame,
+                          outDir: String, checkpointDir: String): Long = {
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     var emitted = 0L
     val q = novel.writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        // count + append in one pass; novel rows only, so plain append
-        // is idempotent per the sink's batch log
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val n = batch.persist().count()
-        batch.write.mode("append").parquet(outDir)
+        batch.withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite").partitionBy("batch_id")
+          .parquet(outDir)
         batch.unpersist()
         emitted += n
         ()

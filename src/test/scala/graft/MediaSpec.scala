@@ -118,6 +118,121 @@ class MediaSpec extends AnyFunSuite {
     }
   }
 
+  private def maxErr(got: Array[Int], want: Array[Int]): Int =
+    got.zip(want).map { case (a, b) => math.abs(a - b) }.max
+
+  test("jpeg: grayscale round-trip within coefficient-rounding tolerance") {
+    val r = new scala.util.Random(31)
+    val (w, h) = (37, 22) // partial edge blocks on both axes
+    val img = Array.fill(w * h)(r.nextInt(256))
+    val d = graft.kernel.Jpeg.decode(
+      MediaGen.jpeg(img, w, h, color = false))
+    assert(d.codec === "jpeg" && d.width === w && d.height === h)
+    // quant tables are all-ones, so the only loss is FDCT coefficient
+    // rounding: per-sample error stays within a few levels
+    val e = maxErr(d.samples, img)
+    info(s"grayscale max |err| = $e")
+    assert(e <= 4, s"round-trip error $e exceeds the rounding bound")
+    // a constant image is exactly representable (DC only, integral)
+    val flat = Array.fill(16 * 16)(200)
+    assert(graft.kernel.Jpeg.decode(MediaGen.jpeg(flat, 16, 16)).samples.toSeq
+      === flat.toSeq)
+  }
+
+  test("jpeg: 4:4:4 and 4:2:0 colour scans decode luma through interleaved MCUs") {
+    val r = new scala.util.Random(32)
+    val (w, h) = (33, 17)
+    val img = Array.fill(w * h)(r.nextInt(256))
+    for (ss <- Seq(1, 2)) {
+      val d = graft.kernel.Jpeg.decode(
+        MediaGen.jpeg(img, w, h, color = true, subsample = ss))
+      assert(d.width === w && d.height === h, s"subsample $ss")
+      val e = maxErr(d.samples, img)
+      info(s"colour ss=$ss max |err| = $e")
+      assert(e <= 4, s"subsample $ss error $e")
+    }
+  }
+
+  test("jpeg: restart markers reset predictors mid-scan") {
+    val r = new scala.util.Random(33)
+    val (w, h) = (48, 40) // 6x5 MCUs at 4:4:4 grayscale
+    val img = Array.fill(w * h)(r.nextInt(256))
+    val d = graft.kernel.Jpeg.decode(
+      MediaGen.jpeg(img, w, h, restartInterval = 4))
+    val e = maxErr(d.samples, img)
+    info(s"restart-interval max |err| = $e")
+    assert(e <= 4)
+  }
+
+  test("jpeg: fuzz round-trips across shapes, modes and restart intervals") {
+    val r = new scala.util.Random(34)
+    (1 to 60).foreach { k =>
+      val w = 1 + r.nextInt(50); val h = 1 + r.nextInt(40)
+      val img = Array.fill(w * h)(r.nextInt(256))
+      val color = r.nextBoolean()
+      val ss = if (color && r.nextBoolean()) 2 else 1
+      val ri = if (r.nextBoolean()) 0 else 1 + r.nextInt(5)
+      val d = graft.kernel.Jpeg.decode(
+        MediaGen.jpeg(img, w, h, color = color, subsample = ss, restartInterval = ri))
+      assert(d.width === w && d.height === h, s"sample #$k dims")
+      val e = maxErr(d.samples, img)
+      assert(e <= 4, s"sample #$k (w=$w h=$h color=$color ss=$ss ri=$ri) err=$e")
+    }
+  }
+
+  test("jpeg: malformed and unsupported inputs are rejected, not mis-decoded") {
+    val img = Array.fill(16 * 16)(128)
+    val good = MediaGen.jpeg(img, 16, 16)
+    // progressive SOF2 must be rejected explicitly
+    val prog = good.clone()
+    val sof = (0 until prog.length - 1).find(i =>
+      (prog(i) & 0xff) == 0xff && (prog(i + 1) & 0xff) == 0xc0).get
+    prog(sof + 1) = 0xc2.toByte
+    intercept[Exception](graft.kernel.Jpeg.decode(prog))
+    // truncated scan
+    intercept[Exception](graft.kernel.Jpeg.decode(good.take(good.length - 8)))
+    // not a JPEG at all
+    intercept[Exception](graft.kernel.Jpeg.decode(Array[Byte](1, 2, 3)))
+  }
+
+  test("adversarial payloads fail fast — never hang, never kill the task") {
+    val r = new scala.util.Random(7)
+    val img = Array.fill[Byte](8 * 8 * 3)(r.nextInt(256).toByte)
+    val goodPng = MediaGen.png(img, 8, 8, 3)
+    // zlib FDICT (preset dictionary) bit set in the IDAT stream header:
+    // Inflater.inflate() then returns 0 with needsInput()==false and
+    // finished()==false forever — the decoder must throw, not spin
+    // (CRC is not validated, so mutating the chunk body is enough)
+    val fdict = goodPng.clone()
+    val at = (0 until fdict.length - 3).find(i =>
+      fdict(i) == 'I' && fdict(i + 1) == 'D' && fdict(i + 2) == 'A' && fdict(i + 3) == 'T').get
+    // data[0]=CMF stays 0x78; FLG 0x20 sets FDICT with a valid FCHECK
+    // ((0x7800 + 0x20) % 31 == 0)
+    fdict(at + 5) = 0x20
+    intercept[Exception](Media.decodePng(fdict))
+
+    // crafted WAV data-chunk length near Int.MaxValue: Int math would wrap
+    // the bound check negative and attempt a multi-GB allocation whose
+    // OutOfMemoryError escapes a per-row catch — must throw an Exception
+    val wavBytes = MediaGen.wav(Array.tabulate(100)(i => i.toShort), 8000)
+    val huge = wavBytes.clone()
+    // data chunk length field at bytes 40..43 (LE) → 0x7FFFFFF0
+    huge(40) = 0xf0.toByte; huge(41) = 0xff.toByte
+    huge(42) = 0xff.toByte; huge(43) = 0x7f.toByte
+    intercept[Exception](Media.decodeWav(huge))
+
+    // same FDICT stream through the PDF FlateDecode path
+    intercept[Exception](graft.kernel.Pdf.inflate(Array[Byte](0x78, 0x20, 1, 2, 3)))
+  }
+
+  test("audio thumbnail survives >34M samples (index math must not wrap Int)") {
+    val samples = new Array[Int](34200000) // > Int.MaxValue / 63
+    samples((63L * samples.length / 64).toInt) = 12800
+    val t = graft.ops.Multimodal.thumbnail1d(samples)
+    assert(t.length === 64)
+    assert(t(63) === ((12800 >> 8) & 0xff).toByte)
+  }
+
   test("writers are deterministic byte generators") {
     val r1 = MediaGen.media(40).map(_.payload.toSeq)
     val r2 = MediaGen.media(40).map(_.payload.toSeq)

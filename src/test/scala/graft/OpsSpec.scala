@@ -206,6 +206,83 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
     assert(again === part)
   }
 
+  test("capped LSH: hot bucket collapses to a star, cold buckets unaffected") {
+    // pathological corpus: one saturated bucket (300 identical texts — the
+    // mirror-farm case where every band of every member collides) plus an
+    // ordinary near-dup pair in its own cold buckets
+    val hotN = 300
+    val hot = Seq.tabulate(hotN)(i =>
+      (i.toLong, "the same boilerplate page body repeated across a mirror farm"))
+    // identical pair ⇒ collides in every band, bucket size 2 stays cold
+    val cold = Seq(
+      (5000L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (5001L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+    val df = (hot ++ cold).toDF("id", "text")
+
+    val capped = Dedup.minhashNearDupPairs(df, "id", "text",
+      shingleK = 3, numHashes = 32, numBands = 8, threshold = 0.8,
+      maxBucket = 50)
+      .as[(Long, Long, Double)].collect()
+    // star topology: m−1 hot edges (all anchored at the min id) + the cold
+    // pair — NOT the m(m−1)/2 ≈ 45k pair explosion
+    val hotEdges = capped.filter(_._1 < 5000L)
+    assert(hotEdges.length === hotN - 1,
+      s"expected ${hotN - 1} star edges, got ${hotEdges.length}")
+    assert(hotEdges.forall(e => e._1 === 0L && e._3 === 1.0),
+      "hot edges must anchor at the bucket representative (min id)")
+    // cluster connectivity preserved: every hot member reachable via rep
+    assert(hotEdges.map(_._2).toSet === (1L until hotN.toLong).toSet)
+    // cold buckets keep the exact full pair enumeration
+    assert(capped.count(p => p._1 === 5000L && p._2 === 5001L) === 1,
+      "cold near-dup pair must survive the cap untouched")
+
+    // cap wide enough to touch nothing ⇒ identical to the exact variant
+    val exact = Dedup.minhashNearDupPairs(corpusDf, "id", "text",
+      shingleK = 3, numHashes = 32, numBands = 8, threshold = 0.8)
+      .as[(Long, Long, Double)].collect().toSet
+    val wide = Dedup.minhashNearDupPairs(corpusDf, "id", "text",
+      shingleK = 3, numHashes = 32, numBands = 8, threshold = 0.8,
+      maxBucket = 100000)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(wide === exact, "an unreached cap must not change the result")
+  }
+
+  test("ivf at-rest index: probe equals in-memory twin and scans only nprobe cells") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-idx").toString
+    Similarity.ivfBuildIndex(emb, "vec_id", "embedding", dir, nlist = 16)
+    val qv = emb.where($"vec_id" === 7L)
+      .select(expr("transform(embedding, x -> cast(x as double))"))
+      .as[Array[Double]].head()
+
+    val stored = Similarity.ivfProbeIndex(spark, dir, qv, 10, nprobe = 4)
+      .as[(Long, Double)].collect().toSeq
+    // same seed/sample/iters → identical centroids → identical result to
+    // the in-memory operator
+    val twin = Similarity.ivfTopK(emb, "vec_id", "embedding", 7L, 10,
+      nlist = 16, nprobe = 4).as[(Long, Double)].collect().toSeq
+    assert(stored === twin)
+    assert(stored.head === ((7L, 1.0)))
+
+    // the pruning proof: the probe's cell filter is a PARTITION filter, so
+    // the scan must touch exactly the nprobe cell directories (one file
+    // per cell by construction), not all nlist
+    val centroids = spark.read.parquet(s"$dir/centroids").orderBy($"cell")
+      .select($"centroid").as[Seq[Double]].collect().map(_.toArray)
+    assert(centroids.length === 16)
+    val probed = Similarity.probeCells(qv, centroids, 4)
+    val pruned = spark.read.parquet(s"$dir/corpus")
+      .where($"cell".isin(probed.map(Integer.valueOf): _*))
+    pruned.collect()
+    val scan = pruned.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.head
+    val filesRead = scan.metrics("numFiles").value
+    val totalFiles = spark.read.parquet(s"$dir/corpus").inputFiles.length.toLong
+    info(s"IVF probe read $filesRead of $totalFiles index files (nprobe=4/nlist=16)")
+    assert(totalFiles === 16L, "index must lay out one file per cell")
+    assert(filesRead === 4L, s"probe must scan only the probed cells, read $filesRead")
+  }
+
   test("columnar langId agrees with the kernel Lang.detect") {
     val texts = PageGen.pages(150).map(_.text)
     val got = texts.toDF("text").select(TextOps.langId($"text")).as[String].collect()
@@ -230,9 +307,9 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
     assert(feats.count() === 200)
     assert(feats.where(!$"ok").count() === 0)
     assert(feats.select($"kind").distinct().count() === 3)
-    // all six codecs present: three real decoders + three stub containers
+    // all seven codecs present: four real decoders + three stub containers
     assert(feats.select($"codec").distinct().as[String].collect().toSet
-      === Set("bmp", "wav", "png", "img1", "aud1", "vid1"))
+      === Set("jpeg", "bmp", "wav", "png", "img1", "aud1", "vid1"))
     assert(feats.where($"kind" === "image" && ($"width" <= 0 || $"height" <= 0)).count() === 0)
     assert(feats.where($"kind" === "audio" && $"sample_rate" <= 0).count() === 0)
     // histogram mass reconciles with what was actually decoded:
@@ -240,12 +317,12 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
     // luminance sample per pixel; WAV covers one amplitude per frame
     val mass = expr("aggregate(hist8, 0L, (a, x) -> a + x)")
     assert(feats.where($"codec" === "img1" && mass =!= ($"n_bytes" - 12)).count() === 0)
-    assert(feats.where($"codec".isin("bmp", "png") &&
+    assert(feats.where($"codec".isin("bmp", "png", "jpeg") &&
       mass =!= ($"width" * $"height").cast("long")).count() === 0)
     assert(feats.where($"codec" === "wav" && mass =!= $"n_frames".cast("long")).count() === 0)
     // real resize: image thumbnails are <= 8x8 luminance bytes, and a
     // constant image thumbnails to the constant
-    assert(feats.where($"codec".isin("bmp", "png") && $"thumb_bytes" > 64).count() === 0)
+    assert(feats.where($"codec".isin("bmp", "png", "jpeg") && $"thumb_bytes" > 64).count() === 0)
     val const = Multimodal.thumbnail2d(Array.fill(20 * 10)(77), 20, 10)
     assert(const.length === 64 && const.forall(_ === 77.toByte))
     val stats = Multimodal.featureStats(feats.toDF())

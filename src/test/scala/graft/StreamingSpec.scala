@@ -83,6 +83,51 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
       "copied payloads must never win (their hash was seen in run 1)")
   }
 
+  test("TTL'd streaming dedup: suppressed within TTL, re-admitted after expiry") {
+    // Phase A — within-TTL suppression, with a TTL far wider than any
+    // startup/scheduling jitter (state timers are wall-clock)
+    val tmpA = Files.createTempDirectory("graft-sttl-a").toString
+    val wave1 = PageGen.pages(60)
+    Checkpoint.writePages(spark.createDataset(wave1).toDF(), s"$tmpA/pages")
+    val uniq1 = wave1.map(_.html.toSeq).distinct.size
+    val n1 = StreamingRun.dedupStreamTtl(spark, s"$tmpA/pages", s"$tmpA/novel",
+      s"$tmpA/ckpt", ttlMs = 600000L, maxFilesPerBatch = 8)
+    assert(n1 === uniq1.toLong)
+    val copies = wave1.take(20).map(p => p.copy(url = p.url + "?early"))
+    Checkpoint.withPartitionCols(spark.createDataset(copies).toDF())
+      .repartition(2)
+      .write.mode("append").partitionBy("ts_day", "url_bucket").parquet(s"$tmpA/pages")
+    val n2 = StreamingRun.dedupStreamTtl(spark, s"$tmpA/pages", s"$tmpA/novel",
+      s"$tmpA/ckpt", ttlMs = 600000L, maxFilesPerBatch = 8)
+    assert(n2 === 0L, "within-TTL duplicates must be suppressed")
+    val outA = spark.read.parquet(s"$tmpA/novel")
+    assert(outA.count() === uniq1.toLong)
+    assert(outA.where($"url".endsWith("?early")).count() === 0)
+    // idempotent-sink shape: every committed row carries its batch lineage
+    assert(outA.columns.contains("batch_id"))
+
+    // Phase B — expiry: a short TTL, a sleep past it, and the same hashes
+    // re-admit, exactly like the batch isFresh predicate re-admitting an
+    // expired cache row (C6)
+    val tmpB = Files.createTempDirectory("graft-sttl-b").toString
+    val ttlMs = 1500L
+    Checkpoint.writePages(spark.createDataset(wave1).toDF(), s"$tmpB/pages")
+    val m1 = StreamingRun.dedupStreamTtl(spark, s"$tmpB/pages", s"$tmpB/novel",
+      s"$tmpB/ckpt", ttlMs, maxFilesPerBatch = 8)
+    assert(m1 === uniq1.toLong)
+    Thread.sleep(ttlMs + 1000)
+    val late = wave1.take(20).map(p => p.copy(url = p.url + "?late"))
+    Checkpoint.withPartitionCols(spark.createDataset(late).toDF())
+      .repartition(2)
+      .write.mode("append").partitionBy("ts_day", "url_bucket").parquet(s"$tmpB/pages")
+    val m2 = StreamingRun.dedupStreamTtl(spark, s"$tmpB/pages", s"$tmpB/novel",
+      s"$tmpB/ckpt", ttlMs, maxFilesPerBatch = 8)
+    val expected = late.map(_.html.toSeq).distinct.size
+    assert(m2 === expected.toLong, "expired hashes must be re-admitted")
+    val outB = spark.read.parquet(s"$tmpB/novel")
+    assert(outB.where($"url".endsWith("?late")).count() === expected.toLong)
+  }
+
   test("streaming output matches the batch run byte-for-byte") {
     val tmp = Files.createTempDirectory("graft-stream-eq").toString
     val fixture = PageGen.pages(120)
