@@ -140,6 +140,9 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
+    // belt-and-braces for log-decorating runners: name the authoritative
+    // output file FIRST, then print the same JSON as the LAST line too
+    println("BENCH_SELF_FILE=/root/repo/BENCH_SELF.json")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val nDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "1500000").toLong

@@ -44,6 +44,23 @@ object ExplainProbe {
     graft.ops.Similarity.ivfTopK(emb, "vec_id", "embedding",
       queryId = 7L, k = 10, nlist = 16, nprobe = 4).explain("formatted")
 
+    println("==== pipe19 IVF at-rest probe (want: PartitionFilters on cell, nprobe dirs scanned) ====")
+    locally {
+      val idxDir = java.nio.file.Files.createTempDirectory("graft-explain-ivf").toString
+      graft.ops.Similarity.ivfBuildIndex(emb, "vec_id", "embedding", idxDir, nlist = 16)
+      val qv = emb.where(col("vec_id") === 7)
+        .select(expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+        .as[Array[Double]].head()
+      val probe = graft.ops.Similarity.ivfProbeIndex(s, idxDir, qv, k = 10, nprobe = 4)
+      probe.explain("formatted")
+      probe.collect()
+      val scan = probe.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.head
+      println(s"files read: ${scan.metrics("numFiles").value} of " +
+        s"${s.read.parquet(s"$idxDir/corpus").inputFiles.length} (nprobe=4, nlist=16)")
+    }
+
     println("==== q30 to_json projection (want: 2-column ReadSchema + limit pushdown) ====")
     s.read.parquet(s"$sfDir/documents.parquet").orderBy(asc("doc_id")).limit(100)
       .select(col("doc_id"),

@@ -284,6 +284,28 @@ object SparkEntry {
       graft.ops.Similarity.ivfTopK(t(s, dir, "embeddings"),
         "vec_id", "embedding", queryId = 7L, k = 10, nlist = 16, nprobe = 4)
     }),
+    // the IVF index AT REST: corpus written partitionBy(cell) so the
+    // probe's cell filter prunes partitions — OpsSpec asserts the scan
+    // touches exactly nprobe of nlist files; equals the in-memory twin
+    "pipe19_ivf_index" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("graft-pipe19").toString
+      val emb = t(s, dir, "embeddings")
+      graft.ops.Similarity.ivfBuildIndex(emb, "vec_id", "embedding", tmp, nlist = 16)
+      val qv = emb.where(col("vec_id") === 7)
+        .select(expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+        .as[Array[Double]].head()
+      graft.ops.Similarity.ivfProbeIndex(s, tmp, qv, k = 10, nprobe = 4)
+    }),
+    // hot-bucket-capped LSH over the near-dup-saturated synthetic corpus
+    // (band buckets over 16 members collapse to star edges — the Ω(m²)
+    // mirror-farm defense); candidates still exact-verified
+    "pipe20_lsh_capped" -> ((s, dir) => {
+      graft.ops.Dedup.minhashNearDupPairs(
+        t(s, dir, "documents").where(col("doc_id") < 2000), "doc_id", "text",
+        shingleK = 3, numHashes = 32, numBands = 8, threshold = 0.8,
+        maxBucket = 16)
+    }),
     "pipe11_media_features" -> ((s, _) => {
       import s.implicits._
       val media = s.createDataset(graft.fixtures.MediaGen.media(300))
