@@ -74,7 +74,22 @@ object MediaGen {
     * implement all five reconstruction filters to get the pixels back.
     */
   def png(img: Array[Byte], w: Int, h: Int, channels: Int): Array[Byte] = {
-    require(img.length == w * h * channels && (channels == 1 || channels == 3))
+    require(channels == 1 || channels == 3)
+    pngOf(img, w, h, channels, colorType = if (channels == 1) 0 else 2, palette = null)
+  }
+
+  /** Indexed-colour PNG (colour type 3): one palette index per pixel +
+    * a PLTE chunk of RGB triples.
+    */
+  def pngIndexed(indices: Array[Byte], w: Int, h: Int,
+                 palette: Array[Byte]): Array[Byte] = {
+    require(palette.nonEmpty && palette.length % 3 == 0 && palette.length <= 768)
+    pngOf(indices, w, h, channels = 1, colorType = 3, palette = palette)
+  }
+
+  private def pngOf(img: Array[Byte], w: Int, h: Int, channels: Int,
+                    colorType: Int, palette: Array[Byte]): Array[Byte] = {
+    require(img.length == w * h * channels)
     val stride = w * channels
     def paeth(a: Int, b: Int, c: Int): Int = {
       val pp = a + b - c
@@ -115,10 +130,11 @@ object MediaGen {
       crc.update(typ.getBytes); crc.update(data)
       be32(data.length) ++ typ.getBytes ++ data ++ be32(crc.getValue.toInt)
     }
-    val colorType = if (channels == 1) 0 else 2
     val ihdr = be32(w) ++ be32(h) ++ Array[Byte](8, colorType.toByte, 0, 0, 0)
+    val plte = if (palette == null) Array.empty[Byte] else chunk("PLTE", palette)
     Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte) ++
-      chunk("IHDR", ihdr) ++ chunk("IDAT", idat.toByteArray) ++ chunk("IEND", Array.empty)
+      chunk("IHDR", ihdr) ++ plte ++
+      chunk("IDAT", idat.toByteArray) ++ chunk("IEND", Array.empty)
   }
 
   // ----------------------------------------------------------- JPEG writer
@@ -328,6 +344,301 @@ object MediaGen {
     out.toByteArray
   }
 
+  /** Progressive (SOF2) JFIF writer over the same luminance plane as
+    * [[jpeg]] — spectral selection + successive approximation per T.81
+    * Annex G, emitting the four scan kinds the decoder must handle:
+    *
+    *  1. DC first (interleaved when colour), Al=1;
+    *  2. Y AC first, band 1–63 at Al=1, with CROSS-BLOCK EOB runs;
+    *  3. DC refinement (Ah=1 → Al=0): one raw bit per block;
+    *  4. Y AC refinement: newly-significant ±1 coefficients with
+    *     zero-history runs, correction bits for already-significant ones
+    *     (buffered across EOB runs exactly as the decoder consumes them);
+    *  5. (colour) chroma AC first+refinement scans — all-zero bands, pure
+    *     EOB runs (neutral chroma), well-formed but skippable.
+    *
+    * `restartInterval > 0` inserts RST markers (with EOB-run flush +
+    * predictor reset) into every scan. Quant all-ones, so the decode is
+    * bit-identical to the baseline twin's coefficients.
+    */
+  def jpegProgressive(luma: Array[Int], w: Int, h: Int, color: Boolean = false,
+                      subsample: Int = 1, restartInterval: Int = 0): Array[Byte] = {
+    require(luma.length == w * h && w > 0 && h > 0)
+    require(subsample == 1 || subsample == 2)
+    val out = new java.io.ByteArrayOutputStream()
+    def word(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+    def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
+    marker(0xd8)
+    marker(0xdb); word(2 + 65); out.write(0x00)
+    (0 until 64).foreach(_ => out.write(1))
+    val nc = if (color) 3 else 1
+    val ss = if (color) subsample else 1
+    marker(0xc2); word(8 + 3 * nc); out.write(8) // SOF2
+    word(h); word(w); out.write(nc)
+    out.write(1); out.write((ss << 4) | ss); out.write(0)
+    if (color) {
+      out.write(2); out.write(0x11); out.write(0)
+      out.write(3); out.write(0x11); out.write(0)
+    }
+    def dht(tc: Int, bits: Array[Int], vals: Array[Int]): Unit = {
+      marker(0xc4); word(2 + 1 + 16 + vals.length)
+      out.write((tc << 4) | 0)
+      (1 to 16).foreach(l => out.write(bits(l)))
+      vals.foreach(out.write)
+    }
+    dht(0, DcBits, DcVals)
+    dht(1, AcBits, AcVals)
+    if (restartInterval > 0) { marker(0xdd); word(4); word(restartInterval) }
+
+    // ---- precompute Y coefficients (zigzag order) over the padded grid
+    val mcusX = (w + 8 * ss - 1) / (8 * ss); val mcusY = (h + 8 * ss - 1) / (8 * ss)
+    val ybw = mcusX * ss; val ybh = mcusY * ss
+    val blk = new Array[Double](64)
+    val yCoefs = Array.tabulate(ybw * ybh) { bi =>
+      val bx = bi % ybw; val by = bi / ybw
+      var yy = 0
+      while (yy < 8) {
+        var xx = 0
+        while (xx < 8) {
+          val px = math.min(w - 1, bx * 8 + xx)
+          val py = math.min(h - 1, by * 8 + yy)
+          blk(yy * 8 + xx) = luma(py * w + px) - 128.0
+          xx += 1
+        }
+        yy += 1
+      }
+      val nat = fdctQuantBlock(blk)
+      Array.tabulate(64)(k => nat(graft.kernel.Jpeg.ZigZag(k)))
+    }
+
+    def sos(ids: Seq[Int], sStart: Int, sEnd: Int, ah: Int, al: Int): Unit = {
+      marker(0xda); word(6 + 2 * ids.length); out.write(ids.length)
+      ids.foreach { id => out.write(id); out.write(0x00) }
+      out.write(sStart); out.write(sEnd); out.write((ah << 4) | al)
+    }
+    def category(v: Int): Int = { var t = 0; var a = math.abs(v); while (a > 0) { a >>= 1; t += 1 }; t }
+    def magnitude(v: Int, t: Int): Int = if (v >= 0) v else v + (1 << t) - 1
+
+    // ---- scan 1: DC first, Al=1, interleaved over all components ----
+    sos((1 to nc), 0, 0, 0, 1)
+    locally {
+      val bw = new BitWriter(out)
+      var pred = 0 // chroma DC is all-zero: its predictor chain never moves
+      var rst = 0; var since = 0
+      var my = 0
+      while (my < mcusY) {
+        var mx = 0
+        while (mx < mcusX) {
+          if (restartInterval > 0 && since == restartInterval) {
+            bw.flush(); marker(0xd0 + (rst & 7)); rst += 1; since = 0; pred = 0
+          }
+          var by = 0
+          while (by < ss) {
+            var bx = 0
+            while (bx < ss) {
+              val v = yCoefs((my * ss + by) * ybw + (mx * ss + bx))(0) >> 1
+              val diff = v - pred; pred = v
+              val t = category(diff)
+              val (c, l) = DcCodes(t); bw.put(c, l)
+              if (t > 0) bw.put(magnitude(diff, t), t)
+              bx += 1
+            }
+            by += 1
+          }
+          if (color) { // two all-zero chroma DC diffs (category 0)
+            val (c, l) = DcCodes(0); bw.put(c, l); bw.put(c, l)
+          }
+          since += 1
+          mx += 1
+        }
+        my += 1
+      }
+      bw.flush()
+    }
+
+    // blocks visited by single-component scans: the component's own grid
+    val lbw = (w + 7) / 8; val lbh = (h + 7) / 8
+
+    // ---- scan 2: Y AC first, band 1..63, Al=1, cross-block EOB runs ----
+    sos(Seq(1), 1, 63, 0, 1)
+    locally {
+      val bw = new BitWriter(out)
+      var eobrun = 0
+      def flushEob(): Unit = while (eobrun > 0) {
+        val n = math.min(eobrun, 32767)
+        val rr = 31 - Integer.numberOfLeadingZeros(n)
+        val (c, l) = AcCodes(rr << 4); bw.put(c, l)
+        if (rr > 0) bw.put(n - (1 << rr), rr)
+        eobrun -= n
+      }
+      var rst = 0; var since = 0
+      var bi = 0
+      while (bi < lbw * lbh) {
+        if (restartInterval > 0 && since == restartInterval) {
+          flushEob(); bw.flush(); marker(0xd0 + (rst & 7)); rst += 1; since = 0
+        }
+        val zz = yCoefs((bi / lbw) * ybw + (bi % lbw))
+        var last = 0
+        var k = 1
+        // sent value is |v|>>Al with sign (toward zero), so ±1 sends as 0
+        while (k < 64) { if (math.abs(zz(k)) >> 1 != 0) last = k; k += 1 }
+        if (last == 0) eobrun += 1
+        else {
+          flushEob()
+          var r = 0
+          k = 1
+          while (k <= last) {
+            val v = { val a = zz(k); if (a >= 0) a >> 1 else -((-a) >> 1) }
+            if (v == 0) r += 1
+            else {
+              while (r > 15) { val (zc, zl) = AcCodes(0xf0); bw.put(zc, zl); r -= 16 }
+              val s = category(v)
+              val (c, l) = AcCodes((r << 4) | s); bw.put(c, l)
+              bw.put(magnitude(v, s), s)
+              r = 0
+            }
+            k += 1
+          }
+          if (last < 63) eobrun += 1
+        }
+        since += 1
+        bi += 1
+      }
+      flushEob(); bw.flush()
+    }
+
+    // ---- scan 3: DC refinement (Ah=1, Al=0): one raw bit per block ----
+    sos((1 to nc), 0, 0, 1, 0)
+    locally {
+      val bw = new BitWriter(out)
+      var rst = 0; var since = 0
+      var my = 0
+      while (my < mcusY) {
+        var mx = 0
+        while (mx < mcusX) {
+          if (restartInterval > 0 && since == restartInterval) {
+            bw.flush(); marker(0xd0 + (rst & 7)); rst += 1; since = 0
+          }
+          var by = 0
+          while (by < ss) {
+            var bx = 0
+            while (bx < ss) {
+              bw.put(yCoefs((my * ss + by) * ybw + (mx * ss + bx))(0) & 1, 1)
+              bx += 1
+            }
+            by += 1
+          }
+          if (color) { bw.put(0, 1); bw.put(0, 1) } // chroma DC bits (zero)
+          since += 1
+          mx += 1
+        }
+        my += 1
+      }
+      bw.flush()
+    }
+
+    // ---- scan 4: Y AC refinement, band 1..63, Ah=1 → Al=0 ----
+    sos(Seq(1), 1, 63, 1, 0)
+    locally {
+      val bw = new BitWriter(out)
+      var eobrun = 0
+      val runBits = scala.collection.mutable.ArrayBuffer.empty[Int]
+      def flushEob(): Unit = if (eobrun > 0) {
+        // eobrun is capped at 32767 before it grows past one symbol, so
+        // the buffered correction bits always belong to this one run
+        val n = eobrun
+        val rr = 31 - Integer.numberOfLeadingZeros(n)
+        val (c, l) = AcCodes(rr << 4); bw.put(c, l)
+        if (rr > 0) bw.put(n - (1 << rr), rr)
+        runBits.foreach(b => bw.put(b, 1)); runBits.clear()
+        eobrun = 0
+      }
+      var rst = 0; var since = 0
+      var bi = 0
+      while (bi < lbw * lbh) {
+        if (restartInterval > 0 && since == restartInterval) {
+          flushEob(); bw.flush(); marker(0xd0 + (rst & 7)); rst += 1; since = 0
+        }
+        val zz = yCoefs((bi / lbw) * ybw + (bi % lbw))
+        var any = false
+        var k = 1
+        while (k < 64 && !any) { any = math.abs(zz(k)) == 1; k += 1 }
+        if (!any) {
+          // EOB-only block: queue its correction bits behind the run
+          k = 1
+          while (k < 64) { if (zz(k) != 0) runBits += (math.abs(zz(k)) & 1); k += 1 }
+          eobrun += 1
+          if (eobrun == 32767) flushEob()
+        } else {
+          flushEob()
+          val pending = scala.collection.mutable.ArrayBuffer.empty[Int]
+          def flushPending(): Unit = { pending.foreach(b => bw.put(b, 1)); pending.clear() }
+          var r = 0
+          // pending ZRLs must flush at ANY nonzero coefficient (correction
+          // or newly significant): a correction bit buffered while r > 15
+          // would otherwise ride a ZRL whose decoder-side span ends at the
+          // 16th zero — before the coefficient the bit belongs to
+          def zrls(): Unit =
+            while (r > 15) { val (zc, zl) = AcCodes(0xf0); bw.put(zc, zl); flushPending(); r -= 16 }
+          k = 1
+          while (k < 64) {
+            val a = math.abs(zz(k))
+            if (a == 0) r += 1
+            else if (a > 1) { zrls(); pending += (a & 1) }
+            else {
+              zrls()
+              val (c, l) = AcCodes((r << 4) | 1); bw.put(c, l)
+              bw.put(if (zz(k) > 0) 1 else 0, 1)
+              flushPending()
+              r = 0
+            }
+            k += 1
+          }
+          if (r > 0 || pending.nonEmpty) {
+            runBits ++= pending; eobrun += 1 // block's tail rides the next EOB run
+          }
+        }
+        since += 1
+        bi += 1
+      }
+      flushEob(); bw.flush()
+    }
+
+    // ---- chroma AC scans (all-zero bands — pure EOB runs) ----
+    if (color) {
+      val cbw = ((w + ss - 1) / ss + 7) / 8
+      val cbh = ((h + ss - 1) / ss + 7) / 8
+      def emitEobOnlyScan(compId: Int, ah: Int, al: Int): Unit = {
+        sos(Seq(compId), 1, 63, ah, al)
+        val bw = new BitWriter(out)
+        // EOB runs cannot span restart boundaries — split per interval
+        val group = if (restartInterval > 0) restartInterval else Int.MaxValue
+        var n = cbw * cbh
+        var rst = 0
+        var first = true
+        while (n > 0) {
+          if (!first) { bw.flush(); marker(0xd0 + (rst & 7)); rst += 1 }
+          first = false
+          var take = math.min(n, math.min(group, 32767))
+          n -= take
+          while (take > 0) {
+            val part = math.min(take, 32767)
+            val rr = 31 - Integer.numberOfLeadingZeros(part)
+            val (c, l) = AcCodes(rr << 4); bw.put(c, l)
+            if (rr > 0) bw.put(part - (1 << rr), rr)
+            take -= part
+          }
+        }
+        bw.flush()
+      }
+      emitEobOnlyScan(2, 0, 1); emitEobOnlyScan(2, 1, 0)
+      emitEobOnlyScan(3, 0, 1); emitEobOnlyScan(3, 1, 0)
+    }
+
+    marker(0xd9)
+    out.toByteArray
+  }
+
   def media(n: Int, seed: Long = 42L): IndexedSeq[Media] = {
     val r = new Random(seed)
     (0 until n).map { i =>
@@ -338,9 +649,12 @@ object MediaGen {
           val px = Array.fill(w * h)(r.nextInt(256))
           val color = r.nextBoolean()
           val ss = if (color && r.nextBoolean()) 2 else 1
+          val ri = if (r.nextBoolean()) 0 else 2
           Media(i.toLong, s"https://host$host.example.com/img/$i.jpg", "image",
-            jpeg(px, w, h, color = color, subsample = ss,
-              restartInterval = if (r.nextBoolean()) 0 else 2))
+            if (r.nextBoolean())
+              jpeg(px, w, h, color = color, subsample = ss, restartInterval = ri)
+            else
+              jpegProgressive(px, w, h, color = color, subsample = ss, restartInterval = ri))
         case 0 =>
           val w = 8 + r.nextInt(56); val h = 8 + r.nextInt(40)
           Media(i.toLong, s"https://host$host.example.com/img/$i", "image",

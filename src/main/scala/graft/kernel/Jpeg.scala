@@ -1,27 +1,33 @@
 package graft.kernel
 
-/** From-scratch baseline JPEG (JFIF/ITU-T T.81) decoder — no codec
-  * library, same per-spec discipline as [[Media.decodePng]]. Retires the
-  * last real multimodal stub: a web crawl's image column is overwhelmingly
-  * JPEG (the reference's raster path rasterizes PDFs to exactly this kind
-  * of image before OCR, `/root/reference/app/services/vision.py`).
+/** From-scratch JPEG (JFIF/ITU-T T.81) decoder — no codec library, same
+  * per-spec discipline as [[Media.decodePng]]. Retires the last real
+  * multimodal stub: a web crawl's image column is overwhelmingly JPEG
+  * (the reference's raster path rasterizes PDFs to exactly this kind of
+  * image before OCR, `/root/reference/app/services/vision.py`).
   *
-  * Supported — the baseline web-JPEG envelope:
+  * Supported — the web-JPEG envelope:
   *  - SOF0 (baseline sequential DCT, 8-bit), 1 or 3 components,
   *    sampling factors 1–2 in each axis (4:4:4, 4:2:2, 4:2:0);
+  *  - SOF2 (progressive DCT): spectral selection + successive
+  *    approximation per T.81 Annex G — DC first/refinement scans
+  *    (interleaved or single-component), AC first/refinement band scans
+  *    with EOB runs and correction bits;
   *  - DQT 8-bit tables, DHT DC/AC canonical Huffman tables (the spec's
   *    DECODE procedure over BITS/HUFFVAL), DRI restart intervals with
-  *    FFD0–FFD7 markers (bit-buffer flush + DC predictor reset);
+  *    FFD0–FFD7 markers (bit-buffer flush + DC predictor/EOB-run reset);
   *  - entropy-coded data with FF00 byte stuffing.
   *
-  * Rejected explicitly (never mis-decoded): progressive (SOF2) and all
-  * other SOF types, 16-bit quant tables, arithmetic coding.
+  * Rejected explicitly (never mis-decoded): lossless/hierarchical SOF
+  * types, 16-bit quant tables, arithmetic coding.
   *
   * Output is the LUMINANCE plane only (that is what the feature kernel
-  * consumes): Y blocks are dequantized + IDCT'd; chroma blocks are
-  * entropy-decoded — the bitstream cannot be advanced otherwise — but
-  * their IDCT is skipped. JPEG's Y channel IS BT.601 luma, so this matches
-  * the other decoders' grey output exactly.
+  * consumes): Y blocks are dequantized + IDCT'd. In baseline scans chroma
+  * blocks are entropy-decoded — the interleaved bitstream cannot be
+  * advanced otherwise — but their IDCT is skipped; in progressive mode
+  * whole chroma-only scans are skipped outright (each scan's entropy data
+  * self-terminates at the next marker). JPEG's Y channel IS BT.601 luma,
+  * so this matches the other decoders' grey output exactly.
   *
   * Every malformed input throws (C5: garbage fails the row, never hangs
   * the task — all loops bound on explicit lengths or throw on truncation).
@@ -191,6 +197,11 @@ object Jpeg {
     var width = 0; var height = 0
     var comps: Array[Comp] = null
     var restartInterval = 0
+    var progressive = false
+    // progressive state: luma coefficients (zigzag order per block) over
+    // the MCU-padded block grid, accumulated across scans
+    var lumaCoefs: Array[Int] = null
+    var lumaBlocksW = 0; var lumaBlocksH = 0
     var pos = 2
 
     def segLen(at: Int): Int = {
@@ -239,15 +250,19 @@ object Jpeg {
             o += 17 + total
           }
           pos += len
-        case 0xc0 => // SOF0 baseline
+        case m if m == 0xc0 || m == 0xc2 => // SOF0 baseline / SOF2 progressive
+          progressive = m == 0xc2
           val len = segLen(pos)
           require((p(pos + 2) & 0xff) == 8, "only 8-bit precision supported")
           height = be16(p, pos + 3); width = be16(p, pos + 5)
           val nc = p(pos + 7) & 0xff
           require(nc == 1 || nc == 3, s"$nc components unsupported (1 or 3)")
-          require(width > 0 && height > 0 && width.toLong * height <= (64L << 20),
+          // progressive holds the full luma coefficient grid in memory —
+          // a tighter dims cap bounds that footprint
+          val maxPx = if (progressive) 16L << 20 else 64L << 20
+          require(width > 0 && height > 0 && width.toLong * height <= maxPx,
             s"implausible dims ${width}x$height")
-          require(len == 8 + 3 * nc, "bad SOF0 length")
+          require(len == 8 + 3 * nc, "bad SOF length")
           comps = Array.tabulate(nc) { i =>
             val o = pos + 8 + 3 * i
             val c = Comp(p(o) & 0xff, (p(o + 1) & 0xff) >> 4, p(o + 1) & 0x0f, p(o + 2) & 0xff)
@@ -255,34 +270,52 @@ object Jpeg {
               s"sampling ${c.h}x${c.v} or quant ${c.tq} unsupported")
             c
           }
+          require(comps(0).h == comps.map(_.h).max && comps(0).v == comps.map(_.v).max,
+            "luma must carry the max sampling factors")
           pos += len
-        case m if m == 0xc1 || m == 0xc2 || m == 0xc3 ||
+        case m if m == 0xc1 || m == 0xc3 ||
           (m >= 0xc5 && m <= 0xc7) || (m >= 0xc9 && m <= 0xcf && m != 0xcc) =>
           throw new IllegalArgumentException(
-            f"non-baseline SOF 0x$m%02x unsupported (progressive/arithmetic)")
+            f"non-baseline SOF 0x$m%02x unsupported (lossless/arithmetic)")
         case 0xdd => // DRI
           val len = segLen(pos)
           require(len == 4, "bad DRI")
           restartInterval = be16(p, pos + 2)
           pos += len
-        case 0xda => // SOS — decode the single baseline scan
-          require(comps != null, "SOS before SOF0")
+        case 0xda => // SOS
+          require(comps != null, "SOS before SOF")
           val len = segLen(pos)
           val ns = p(pos + 2) & 0xff
-          require(ns == comps.length, "partial scans unsupported (baseline)")
-          var i = 0
-          while (i < ns) {
+          require(ns >= 1 && ns <= comps.length && len == 6 + 2 * ns, "bad SOS header")
+          val scanComps = Array.tabulate(ns) { i =>
             val cs = p(pos + 3 + 2 * i) & 0xff
             val c = comps.find(_.id == cs).getOrElse(
               throw new IllegalArgumentException(s"scan references unknown component $cs"))
             c.dcTab = (p(pos + 4 + 2 * i) & 0xff) >> 4
             c.acTab = p(pos + 4 + 2 * i) & 0x0f
-            i += 1
+            c
           }
+          val ss = p(pos + 3 + 2 * ns) & 0xff
+          val se = p(pos + 4 + 2 * ns) & 0xff
+          val ah = (p(pos + 5 + 2 * ns) & 0xff) >> 4
+          val al = p(pos + 5 + 2 * ns) & 0x0f
           pos += len
-          luma = decodeScan(p, pos, comps, quant, dcTabs, acTabs,
-            width, height, restartInterval) match {
-            case (plane, endPos) => pos = endPos; plane
+          if (!progressive) {
+            require(ns == comps.length, "partial scans unsupported (baseline)")
+            luma = decodeScan(p, pos, comps, quant, dcTabs, acTabs,
+              width, height, restartInterval) match {
+              case (plane, endPos) => pos = endPos; plane
+            }
+          } else {
+            if (lumaCoefs == null) {
+              val hMax = comps.map(_.h).max; val vMax = comps.map(_.v).max
+              lumaBlocksW = ((width + 8 * hMax - 1) / (8 * hMax)) * comps(0).h
+              lumaBlocksH = ((height + 8 * vMax - 1) / (8 * vMax)) * comps(0).v
+              lumaCoefs = new Array[Int](lumaBlocksW * lumaBlocksH * 64)
+            }
+            pos = progressiveScan(p, pos, scanComps, comps, dcTabs, acTabs,
+              lumaCoefs, lumaBlocksW, width, height, ss, se, ah, al,
+              restartInterval)
           }
         case m if m >= 0xd0 && m <= 0xd7 =>
           throw new IllegalArgumentException("RST marker outside scan")
@@ -291,8 +324,250 @@ object Jpeg {
           pos += segLen(pos)
       }
     }
+    if (luma == null && lumaCoefs != null) {
+      // progressive: all scans accumulated — dequantize + IDCT once
+      require(quant(comps(0).tq) != null, "missing luma quant table")
+      luma = reconstructLuma(lumaCoefs, lumaBlocksW, width, height, quant(comps(0).tq))
+    }
     require(luma != null, "no scan data")
     Media.Decoded("jpeg", width, height, 0, 1, luma, 255)
+  }
+
+  // ------------------------------------------------- progressive (SOF2)
+
+  /** Skip a scan whose components carry no luma: entropy data
+    * self-terminates at the next non-RST marker (FF00 stuffing and
+    * FFD0–D7 restarts belong to the scan).
+    */
+  private def skipToMarker(p: Array[Byte], start: Int): Int = {
+    var i = start
+    while (i + 1 < p.length) {
+      if ((p(i) & 0xff) == 0xff) {
+        val m = p(i + 1) & 0xff
+        if (m != 0x00 && !(m >= 0xd0 && m <= 0xd7)) return i
+        i += 2
+      } else i += 1
+    }
+    throw new IllegalArgumentException("unterminated scan")
+  }
+
+  /** AC first scan (Ah=0) for one block's band; returns the remaining
+    * EOB run (T.81 G.1.2.2).
+    */
+  private def acFirst(r: BitReader, acH: Huff, coefs: Array[Int], base: Int,
+                      ss: Int, se: Int, al: Int, eobrunIn: Int): Int = {
+    if (eobrunIn > 0) return eobrunIn - 1 // whole band zero in this block
+    var k = ss
+    while (k <= se) {
+      val rs = r.decode(acH)
+      val run = rs >> 4; val s = rs & 0x0f
+      if (s == 0) {
+        if (run == 15) k += 16 // ZRL
+        else return (1 << run) - 1 + (if (run > 0) r.bits(run) else 0)
+      } else {
+        k += run
+        require(k <= se, "AC run past band end")
+        coefs(base + k) = extend(r.bits(s), s) << al
+        k += 1
+      }
+    }
+    0
+  }
+
+  /** AC refinement scan (Ah=Al+1 → Al) for one block's band; returns the
+    * remaining EOB run (T.81 G.1.2.3): newly-significant coefficients
+    * arrive as ±2^Al with zero-history run lengths; every
+    * previously-nonzero coefficient passed on the way contributes one
+    * correction bit.
+    */
+  private def acRefine(r: BitReader, acH: Huff, coefs: Array[Int], base: Int,
+                       ss: Int, se: Int, al: Int, eobrunIn: Int): Int = {
+    val p1 = 1 << al
+    def correct(idx: Int): Unit =
+      if (r.bit() == 1 && (math.abs(coefs(idx)) & p1) == 0)
+        coefs(idx) += (if (coefs(idx) >= 0) p1 else -p1)
+    var k = ss
+    def sweep(): Unit = while (k <= se) { if (coefs(base + k) != 0) correct(base + k); k += 1 }
+    if (eobrunIn > 0) { sweep(); return eobrunIn - 1 }
+    var eobrun = 0
+    while (k <= se && eobrun == 0) {
+      val rs = r.decode(acH)
+      var run = rs >> 4
+      val s = rs & 0x0f
+      var newVal = 0
+      if (s == 0) {
+        if (run < 15) {
+          eobrun = (1 << run) - 1 + (if (run > 0) r.bits(run) else 0) + 1
+          // +1 marks "EOB read" — the current block's sweep happens below,
+          // and eobrun-1 future blocks remain
+        }
+        // run == 15 (ZRL): skip 15 zero-history coefficients and stop
+        // right AFTER the 16th — correction bits past it belong to the
+        // NEXT symbol (T.81 G.1.2.3; the libjpeg --r<0 break)
+      } else {
+        require(s == 1, "refinement scan with size > 1")
+        newVal = if (r.bit() == 1) p1 else -p1
+      }
+      if (eobrun == 0) {
+        // advance to the (run+1)-th zero-history coefficient, correcting
+        // nonzero-history ones along the way; place newVal there (s==1)
+        var stop = false
+        while (k <= se && !stop) {
+          val idx = base + k
+          if (coefs(idx) != 0) { correct(idx); k += 1 }
+          else if (run > 0) { run -= 1; k += 1 }
+          else stop = true
+        }
+        if (k <= se) {
+          if (newVal != 0) coefs(base + k) = newVal
+          k += 1 // move past the target zero-history coefficient
+        }
+      }
+    }
+    if (eobrun > 0) { sweep(); eobrun - 1 } else 0
+  }
+
+  /** One progressive scan (any of the four kinds). Chroma-only scans are
+    * skipped wholesale; scans containing luma are fully entropy-decoded
+    * (interleaved DC scans decode chroma DC diffs too — predictors must
+    * advance — but only luma coefficients are stored).
+    */
+  private def progressiveScan(p: Array[Byte], start: Int,
+                              scanComps: Array[Comp], comps: Array[Comp],
+                              dcTabs: Array[Huff], acTabs: Array[Huff],
+                              lumaCoefs: Array[Int], lumaBlocksW: Int,
+                              width: Int, height: Int,
+                              ss: Int, se: Int, ah: Int, al: Int,
+                              restartInterval: Int): Int = {
+    require(ss <= se && se <= 63 && al <= 13, "bad spectral/approximation params")
+    require(ss > 0 || se == 0, "a DC scan must have Se=0 (progressive)")
+    val lumaComp = comps(0)
+    if (!scanComps.exists(_ eq lumaComp)) return skipToMarker(p, start)
+    val hMax = comps.map(_.h).max; val vMax = comps.map(_.v).max
+    val r = new BitReader(p, start)
+    var eobrun = 0
+    var rstCount = 0
+    var sinceRst = 0
+    def restartCheck(): Unit =
+      if (restartInterval > 0 && sinceRst == restartInterval) {
+        r.restart(rstCount & 7)
+        rstCount += 1; sinceRst = 0; eobrun = 0
+        scanComps.foreach(_.pred = 0)
+      }
+    scanComps.foreach(_.pred = 0)
+
+    if (ss == 0 && scanComps.length > 1) {
+      // interleaved DC scan (first or refinement), MCU walk
+      require(se == 0, "interleaved AC scan is not allowed (progressive)")
+      val mcusX = (width + 8 * hMax - 1) / (8 * hMax)
+      val mcusY = (height + 8 * vMax - 1) / (8 * vMax)
+      var my = 0
+      while (my < mcusY) {
+        var mx = 0
+        while (mx < mcusX) {
+          restartCheck()
+          var ci = 0
+          while (ci < scanComps.length) {
+            val c = scanComps(ci)
+            val isLuma = c eq lumaComp
+            var by = 0
+            while (by < c.v) {
+              var bx = 0
+              while (bx < c.h) {
+                val base = ((my * c.v + by) * lumaBlocksW + (mx * c.h + bx)) * 64
+                if (ah == 0) {
+                  val t = r.decode(dcTabs(c.dcTab))
+                  require(t <= 11, "DC category out of range")
+                  c.pred += extend(r.bits(t), t)
+                  if (isLuma) lumaCoefs(base) = c.pred << al
+                } else if (r.bit() == 1 && isLuma) lumaCoefs(base) |= 1 << al
+                bx += 1
+              }
+              by += 1
+            }
+            ci += 1
+          }
+          sinceRst += 1
+          mx += 1
+        }
+        my += 1
+      }
+    } else {
+      // single-component scan over the component's own block grid; only
+      // luma reaches here (chroma-only scans were skipped above)
+      require(scanComps.length == 1, "AC scans must be single-component")
+      val c = scanComps(0)
+      val bw = (width * c.h / hMax + 7) / 8
+      val bh = (height * c.v / vMax + 7) / 8
+      val dcH = if (ss == 0 && ah == 0) dcTabs(c.dcTab) else null
+      val acH = if (ss > 0) acTabs(c.acTab) else null
+      if (ss > 0) require(acH != null, s"missing AC table ${c.acTab}")
+      var by = 0
+      while (by < bh) {
+        var bx = 0
+        while (bx < bw) {
+          restartCheck()
+          val base = (by * lumaBlocksW + bx) * 64
+          if (ss == 0) {
+            if (ah == 0) {
+              val t = r.decode(dcH)
+              require(t <= 11, "DC category out of range")
+              c.pred += extend(r.bits(t), t)
+              lumaCoefs(base) = c.pred << al
+            } else if (r.bit() == 1) lumaCoefs(base) |= 1 << al
+          } else if (ah == 0)
+            eobrun = acFirst(r, acH, lumaCoefs, base, ss, se, al, eobrun)
+          else
+            eobrun = acRefine(r, acH, lumaCoefs, base, ss, se, al, eobrun)
+          sinceRst += 1
+          bx += 1
+        }
+        by += 1
+      }
+    }
+    r.pos
+  }
+
+  /** Dequantize + IDCT the accumulated luma coefficient grid into the
+    * full-resolution plane (edge blocks clipped).
+    */
+  private def reconstructLuma(lumaCoefs: Array[Int], lumaBlocksW: Int,
+                              width: Int, height: Int,
+                              q: Array[Int]): Array[Int] = {
+    val luma = new Array[Int](width * height)
+    val coef = new Array[Double](64)
+    val block = new Array[Int](64)
+    val bw = (width + 7) / 8; val bh = (height + 7) / 8
+    var by = 0
+    while (by < bh) {
+      var bx = 0
+      while (bx < bw) {
+        val base = (by * lumaBlocksW + bx) * 64
+        var k = 0
+        while (k < 64) {
+          coef(ZigZag(k)) = lumaCoefs(base + k).toDouble * q(ZigZag(k))
+          k += 1
+        }
+        idct8x8(coef, block)
+        val x0 = bx * 8; val y0 = by * 8
+        var yy = 0
+        while (yy < 8) {
+          val py = y0 + yy
+          if (py < height) {
+            var xx = 0
+            while (xx < 8) {
+              val px = x0 + xx
+              if (px < width) luma(py * width + px) = block(yy * 8 + xx)
+              xx += 1
+            }
+          }
+          yy += 1
+        }
+        bx += 1
+      }
+      by += 1
+    }
+    luma
   }
 
   /** Decode the entropy-coded scan; returns (luma plane, position after

@@ -144,16 +144,18 @@ object Media {
     if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
   }
 
-  /** PNG (8-bit depth, colour types 0/2/6, non-interlaced) → per-pixel
+  /** PNG (8-bit depth, colour types 0/2/3/6, non-interlaced) → per-pixel
     * 0–255 luminance. IDAT chunks are concatenated, inflated with the JDK
     * `Inflater`, and each row reconstructed from its filter byte exactly
-    * per the spec (None/Sub/Up/Average/Paeth). Adam7 interlacing and
-    * sub-byte depths are rejected explicitly, not mis-decoded.
+    * per the spec (None/Sub/Up/Average/Paeth); indexed-colour images
+    * resolve through their PLTE table. Adam7 interlacing and sub-byte
+    * depths are rejected explicitly, not mis-decoded.
     */
   def decodePng(p: Array[Byte]): Decoded = {
     require(isPng(p), "not a PNG")
     var off = 8
-    var w = 0; var h = 0; var channels = 0
+    var w = 0; var h = 0; var channels = 0; var colorType = -1
+    var palette: Array[Byte] = null
     val idat = new java.io.ByteArrayOutputStream()
     var sawEnd = false
     while (!sawEnd && off + 8 <= p.length) {
@@ -164,23 +166,28 @@ object Media {
         case "IHDR" =>
           w = be32(p, off + 8); h = be32(p, off + 12)
           val depth = p(off + 16) & 0xff
-          val colorType = p(off + 17) & 0xff
+          colorType = p(off + 17) & 0xff
           val interlace = p(off + 20) & 0xff
           require(depth == 8, s"bit depth $depth unsupported (8 only)")
           require(interlace == 0, "Adam7 interlacing unsupported")
           channels = colorType match {
             case 0 => 1
             case 2 => 3
+            case 3 => 1 // indexed: one palette index per pixel
             case 6 => 4
             case t => throw new IllegalArgumentException(s"colour type $t unsupported")
           }
           require(w > 0 && h > 0 && w.toLong * h <= (64L << 20), s"implausible dims ${w}x$h")
+        case "PLTE" =>
+          require(len > 0 && len % 3 == 0 && len <= 768, s"bad PLTE length $len")
+          palette = java.util.Arrays.copyOfRange(p, off + 8, off + 8 + len)
         case "IDAT" => idat.write(p, off + 8, len)
         case "IEND" => sawEnd = true
         case _ => () // ancillary chunks skipped
       }
       off += 12 + len
     }
+    require(colorType != 3 || palette != null, "indexed PNG missing PLTE")
     require(w > 0 && idat.size() > 0, "missing IHDR/IDAT")
     val stride = w * channels
     val raw = new Array[Byte]((1 + stride) * h)
@@ -226,11 +233,17 @@ object Media {
       y += 1
     }
     val out = new Array[Int](w * h)
+    val nPal = if (palette == null) 0 else palette.length / 3
     var i = 0
     while (i < w * h) {
       val o = i * channels
       out(i) =
-        if (channels == 1) img(o) & 0xff
+        if (colorType == 3) {
+          val idx = img(o) & 0xff
+          require(idx < nPal, s"palette index $idx out of range ($nPal entries)")
+          ((palette(idx * 3) & 0xff) * 299 + (palette(idx * 3 + 1) & 0xff) * 587 +
+            (palette(idx * 3 + 2) & 0xff) * 114) / 1000
+        } else if (channels == 1) img(o) & 0xff
         else ((img(o) & 0xff) * 299 + (img(o + 1) & 0xff) * 587 + (img(o + 2) & 0xff) * 114) / 1000
       i += 1
     }

@@ -27,6 +27,29 @@ class MediaSpec extends AnyFunSuite {
     }
   }
 
+  test("png: indexed-colour (type 3) resolves through the PLTE table") {
+    val r = new scala.util.Random(13)
+    val nEntries = 200
+    val palette = Array.fill[Byte](nEntries * 3)(r.nextInt(256).toByte)
+    val (w, h) = (19, 11)
+    val idx = Array.fill[Byte](w * h)(r.nextInt(nEntries).toByte)
+    val d = Media.decodePng(MediaGen.pngIndexed(idx, w, h, palette))
+    assert(d.codec === "png" && d.width === w && d.height === h)
+    val want = idx.map { b =>
+      val i = b & 0xff
+      ((palette(i * 3) & 0xff) * 299 + (palette(i * 3 + 1) & 0xff) * 587 +
+        (palette(i * 3 + 2) & 0xff) * 114) / 1000
+    }
+    assert(d.samples.toSeq === want.toSeq)
+    // an index past the palette must fail the row, not read garbage
+    val tooBig = Array.fill[Byte](w * h)(250.toByte) // >= 200 entries
+    intercept[Exception](Media.decodePng(MediaGen.pngIndexed(tooBig, w, h, palette)))
+    // missing PLTE rejected
+    val noPlte = MediaGen.png(idx, w, h, 1)
+    val typed = noPlte.clone(); typed(25) = 3 // IHDR colour-type byte
+    intercept[Exception](Media.decodePng(typed))
+  }
+
   test("bmp: bottom-up padded rows decode to top-down luminance") {
     // top half pure white, bottom half pure black — if the decoder gets
     // the bottom-up file order wrong, the halves swap
@@ -168,7 +191,11 @@ class MediaSpec extends AnyFunSuite {
     val r = new scala.util.Random(34)
     (1 to 60).foreach { k =>
       val w = 1 + r.nextInt(50); val h = 1 + r.nextInt(40)
-      val img = Array.fill(w * h)(r.nextInt(256))
+      val img = r.nextInt(3) match {
+        case 0 => Array.fill(w * h)(r.nextInt(256))
+        case 1 => Array.tabulate(w * h)(i => (i * 13 + 7) % 256)
+        case _ => Array.tabulate(w * h)(i => if ((i / w + i % w) % 9 == 0) 255 else 16)
+      }
       val color = r.nextBoolean()
       val ss = if (color && r.nextBoolean()) 2 else 1
       val ri = if (r.nextBoolean()) 0 else 1 + r.nextInt(5)
@@ -180,15 +207,64 @@ class MediaSpec extends AnyFunSuite {
     }
   }
 
+  test("jpeg progressive: successive-approximation scans reconstruct the baseline exactly") {
+    val r = new scala.util.Random(35)
+    for ((w, h, color, ss, ri) <- Seq(
+        (37, 22, false, 1, 0),  // grayscale, partial edge blocks
+        (24, 16, true, 2, 0),   // 4:2:0 interleaved DC scans
+        (48, 40, false, 1, 3),  // restart markers in every scan kind
+        (33, 17, true, 1, 2))) { // 4:4:4 colour + restarts
+      val img = Array.fill(w * h)(r.nextInt(256))
+      val prog = graft.kernel.Jpeg.decode(
+        MediaGen.jpegProgressive(img, w, h, color = color, subsample = ss, restartInterval = ri))
+      assert(prog.codec === "jpeg" && prog.width === w && prog.height === h,
+        s"(w=$w h=$h color=$color ss=$ss ri=$ri)")
+      // progressive transmits the SAME quantized coefficients as the
+      // baseline twin — the decoded planes must be bit-identical
+      val base = graft.kernel.Jpeg.decode(
+        MediaGen.jpeg(img, w, h, color = color, subsample = ss, restartInterval = ri))
+      assert(prog.samples.toSeq === base.samples.toSeq,
+        s"progressive != baseline (w=$w h=$h color=$color ss=$ss ri=$ri)")
+      assert(maxErr(prog.samples, img) <= 4)
+    }
+  }
+
+  test("jpeg progressive: fuzz round-trips across shapes, modes and restarts") {
+    val r = new scala.util.Random(36)
+    (1 to 60).foreach { k =>
+      val w = 1 + r.nextInt(50); val h = 1 + r.nextInt(40)
+      // mix content classes: noise rarely yields the long zero-history
+      // runs that exercise ZRL-in-refinement; gradients and sparse
+      // structure do (the bug class the first fuzz missed)
+      val img = r.nextInt(3) match {
+        case 0 => Array.fill(w * h)(r.nextInt(256))
+        case 1 => Array.tabulate(w * h)(i => (i * 13 + 7) % 256)
+        case _ => Array.tabulate(w * h)(i => if ((i / w + i % w) % 9 == 0) 255 else 16)
+      }
+      val color = r.nextBoolean()
+      val ss = if (color && r.nextBoolean()) 2 else 1
+      val ri = if (r.nextBoolean()) 0 else 1 + r.nextInt(5)
+      val d = graft.kernel.Jpeg.decode(
+        MediaGen.jpegProgressive(img, w, h, color = color, subsample = ss, restartInterval = ri))
+      assert(d.width === w && d.height === h, s"sample #$k dims")
+      val e = maxErr(d.samples, img)
+      assert(e <= 4, s"sample #$k (w=$w h=$h color=$color ss=$ss ri=$ri) err=$e")
+    }
+  }
+
   test("jpeg: malformed and unsupported inputs are rejected, not mis-decoded") {
     val img = Array.fill(16 * 16)(128)
     val good = MediaGen.jpeg(img, 16, 16)
-    // progressive SOF2 must be rejected explicitly
+    // flipping SOF0 → SOF2 leaves a baseline full-band scan header, which
+    // is malformed progressive (a DC scan with Se=63) — must throw
     val prog = good.clone()
     val sof = (0 until prog.length - 1).find(i =>
       (prog(i) & 0xff) == 0xff && (prog(i + 1) & 0xff) == 0xc0).get
     prog(sof + 1) = 0xc2.toByte
     intercept[Exception](graft.kernel.Jpeg.decode(prog))
+    // a lossless SOF3 is rejected explicitly
+    val lossless = good.clone(); lossless(sof + 1) = 0xc3.toByte
+    intercept[Exception](graft.kernel.Jpeg.decode(lossless))
     // truncated scan
     intercept[Exception](graft.kernel.Jpeg.decode(good.take(good.length - 8)))
     // not a JPEG at all
