@@ -344,6 +344,105 @@ object MediaGen {
     out.toByteArray
   }
 
+  // ------------------------------------------------------------ GIF writer
+  /** GIF89a writer: global colour table, optional 4-pass interlacing,
+    * real LZW compression (variable-width codes with the decoder-lag
+    * width rule, CLEAR on table overflow), `extraFrames` additional 1×1
+    * image blocks to make the file an animation (the decoder counts
+    * them without decoding their data).
+    */
+  def gif(indices: Array[Byte], w: Int, h: Int, palette: Array[Byte],
+          interlaced: Boolean = false, extraFrames: Int = 0): Array[Byte] = {
+    require(indices.length == w * h && w > 0 && h > 0)
+    require(palette.length >= 6 && palette.length % 3 == 0 && palette.length <= 768)
+    val nColors = palette.length / 3
+    var sizeField = 0
+    while ((2 << sizeField) < nColors) sizeField += 1
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("GIF89a".getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    out.write(le16(w)); out.write(le16(h))
+    out.write(0x80 | sizeField); out.write(0); out.write(0)
+    out.write(palette)
+    (0 until (2 << sizeField) * 3 - palette.length).foreach(_ => out.write(0))
+
+    def lzwBlock(data: Array[Byte], minCode: Int): Unit = {
+      out.write(minCode)
+      val body = new java.io.ByteArrayOutputStream()
+      var acc = 0L; var accN = 0
+      var width = minCode + 1
+      val clear = 1 << minCode; val end = clear + 1
+      def emit(code: Int): Unit = {
+        acc |= code.toLong << accN; accN += width
+        while (accN >= 8) { body.write((acc & 0xff).toInt); acc >>>= 8; accN -= 8 }
+      }
+      val dict = new java.util.HashMap[Integer, Integer]()
+      var next = end + 1
+      emit(clear)
+      var prefix = data(0) & 0xff
+      var i = 1
+      while (i < data.length) {
+        val c = data(i) & 0xff
+        val key = Integer.valueOf((prefix << 8) | c)
+        val hit = dict.get(key)
+        if (hit != null) prefix = hit.intValue()
+        else {
+          emit(prefix)
+          if (next < 4096) {
+            dict.put(key, Integer.valueOf(next)); next += 1
+            // decoder adds its entry one code later, so the width grows
+            // one step after the power-of-two boundary (the GIF "+1" rule)
+            if (next == (1 << width) + 1 && width < 12) width += 1
+          } else {
+            emit(clear)
+            dict.clear(); next = end + 1; width = minCode + 1
+          }
+          prefix = c
+        }
+        i += 1
+      }
+      emit(prefix); emit(end)
+      if (accN > 0) body.write((acc & 0xff).toInt)
+      val bytes = body.toByteArray
+      var o = 0
+      while (o < bytes.length) {
+        val n = math.min(255, bytes.length - o)
+        out.write(n); out.write(bytes, o, n)
+        o += n
+      }
+      out.write(0) // block terminator
+    }
+
+    // frame 1: full canvas
+    out.write(0x2c)
+    out.write(le16(0)); out.write(le16(0)); out.write(le16(w)); out.write(le16(h))
+    out.write(if (interlaced) 0x40 else 0x00)
+    val ordered =
+      if (!interlaced) indices
+      else {
+        val o2 = new Array[Byte](indices.length)
+        var r = 0
+        for ((start, step) <- Seq((0, 8), (4, 8), (2, 4), (1, 2))) {
+          var y = start
+          while (y < h) {
+            System.arraycopy(indices, y * w, o2, r * w, w)
+            r += 1; y += step
+          }
+        }
+        o2
+      }
+    val minCode = math.max(2, 32 - Integer.numberOfLeadingZeros(nColors - 1))
+    lzwBlock(ordered, minCode)
+    // animation frames: 1×1 blocks the decoder counts but does not decode
+    (0 until extraFrames).foreach { _ =>
+      out.write(0x2c)
+      out.write(le16(0)); out.write(le16(0)); out.write(le16(1)); out.write(le16(1))
+      out.write(0x00)
+      lzwBlock(Array[Byte](0), minCode)
+    }
+    out.write(0x3b)
+    out.toByteArray
+  }
+
   /** Progressive (SOF2) JFIF writer over the same luminance plane as
     * [[jpeg]] — spectral selection + successive approximation per T.81
     * Annex G, emitting the four scan kinds the decoder must handle:
@@ -643,7 +742,15 @@ object MediaGen {
     val r = new Random(seed)
     (0 until n).map { i =>
       val host = r.nextInt(20)
-      r.nextInt(7) match {
+      r.nextInt(8) match {
+        case 7 =>
+          val w = 4 + r.nextInt(28); val h = 4 + r.nextInt(20)
+          val nColors = 2 + r.nextInt(254)
+          val pal = body(r, nColors * 3)
+          val idx = Array.tabulate(w * h)(_ => r.nextInt(nColors).toByte)
+          Media(i.toLong, s"https://host$host.example.com/img/$i.gif", "image",
+            gif(idx, w, h, pal, interlaced = r.nextBoolean(),
+              extraFrames = if (r.nextBoolean()) 0 else r.nextInt(8)))
         case 6 =>
           val w = 4 + r.nextInt(28); val h = 4 + r.nextInt(20)
           val px = Array.fill(w * h)(r.nextInt(256))

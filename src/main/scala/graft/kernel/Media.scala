@@ -42,6 +42,9 @@ object Media {
   private val PngSig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
   def isPng(p: Array[Byte]): Boolean =
     p.length >= 8 && java.util.Arrays.equals(java.util.Arrays.copyOf(p, 8), PngSig)
+  def isGif(p: Array[Byte]): Boolean =
+    p.length >= 6 && p(0) == 'G' && p(1) == 'I' && p(2) == 'F' && p(3) == '8' &&
+      (p(4) == '7' || p(4) == '9') && p(5) == 'a'
 
   /** BMP → per-pixel 0–255 luminance (BT.601 integer weights for 24/32
     * bpp; the raw index byte for 8 bpp — palettes carry presentation, not
@@ -136,6 +139,191 @@ object Media {
       i += 1
     }
     Decoded("wav", 0, 0, rate, n, out, 32768)
+  }
+
+  /** GIF87a/89a → first frame's per-pixel 0–255 luminance (palette
+    * resolved, BT.601) on the full logical-screen canvas; `frames` counts
+    * every image block in the file (animation length). LZW is decoded
+    * from scratch (variable-width codes, CLEAR/END, 4096-entry table);
+    * both interlaced (4-pass) and sequential row orders are supported.
+    * Frames after the first only contribute to the count — their data
+    * sub-blocks are skipped structurally (no LZW work), so a long
+    * animation costs one frame's decode.
+    */
+  def decodeGif(p: Array[Byte]): Decoded = {
+    require(isGif(p), "not a GIF")
+    require(p.length >= 13, "truncated GIF header")
+    val w = le16(p, 6); val h = le16(p, 8)
+    require(w > 0 && h > 0 && w.toLong * h <= (64L << 20), s"implausible dims ${w}x$h")
+    val flags = p(10) & 0xff
+    var off = 13
+    var gct: Array[Byte] = null
+    if ((flags & 0x80) != 0) {
+      val n = 3 * (2 << (flags & 7))
+      require(off + n <= p.length, "truncated global colour table")
+      gct = java.util.Arrays.copyOfRange(p, off, off + n)
+      off += n
+    }
+    def lumaOf(pal: Array[Byte], idx: Int): Int = {
+      require(idx * 3 + 2 < pal.length, s"palette index $idx out of range")
+      ((pal(idx * 3) & 0xff) * 299 + (pal(idx * 3 + 1) & 0xff) * 587 +
+        (pal(idx * 3 + 2) & 0xff) * 114) / 1000
+    }
+    def skipSubBlocks(at: Int): Int = {
+      var o = at
+      while ({ require(o < p.length, "truncated sub-blocks"); (p(o) & 0xff) != 0 }) {
+        o += 1 + (p(o) & 0xff)
+        require(o <= p.length, "truncated sub-block")
+      }
+      o + 1
+    }
+    var frames = 0
+    var canvas: Array[Int] = null
+    var done = false
+    while (!done) {
+      require(off < p.length, "missing trailer")
+      (p(off) & 0xff) match {
+        case 0x3b => done = true // trailer
+        case 0x21 => // extension: label + sub-blocks
+          require(off + 2 <= p.length, "truncated extension")
+          off = skipSubBlocks(off + 2)
+        case 0x2c => // image descriptor
+          require(off + 10 <= p.length, "truncated image descriptor")
+          val ix = le16(p, off + 1); val iy = le16(p, off + 3)
+          val iw = le16(p, off + 5); val ih = le16(p, off + 7)
+          val f = p(off + 9) & 0xff
+          off += 10
+          var lct: Array[Byte] = null
+          if ((f & 0x80) != 0) {
+            val n = 3 * (2 << (f & 7))
+            require(off + n <= p.length, "truncated local colour table")
+            lct = java.util.Arrays.copyOfRange(p, off, off + n)
+            off += n
+          }
+          require(off < p.length, "missing LZW code size")
+          val minCode = p(off) & 0xff
+          off += 1
+          frames += 1
+          if (canvas != null || frames > 1) {
+            // later frames: structure-skip only
+            off = skipSubBlocks(off)
+          } else {
+            require(iw > 0 && ih > 0 && ix.toLong + iw <= w && iy.toLong + ih <= h,
+              "frame exceeds canvas")
+            val pal = if (lct != null) lct else gct
+            require(pal != null, "no colour table")
+            val indices = lzwDecode(p, off, minCode, iw * ih)
+            off = skipSubBlocks(off)
+            canvas = new Array[Int](w * h)
+            val interlaced = (f & 0x40) != 0
+            // 4-pass interlace row order per the GIF spec
+            val rowOf: Int => Int =
+              if (!interlaced) identity
+              else {
+                val order = new Array[Int](ih)
+                var r = 0
+                for ((start, step) <- Seq((0, 8), (4, 8), (2, 4), (1, 2))) {
+                  var y = start
+                  while (y < ih) { order(r) = y; r += 1; y += step }
+                }
+                order
+              }
+            var ry = 0
+            while (ry < ih) {
+              val y = rowOf(ry)
+              var x = 0
+              while (x < iw) {
+                canvas((iy + y) * w + (ix + x)) = lumaOf(pal, indices(ry * iw + x))
+                x += 1
+              }
+              ry += 1
+            }
+          }
+        case other => throw new IllegalArgumentException(f"unknown GIF block 0x$other%02x")
+      }
+    }
+    require(canvas != null, "GIF with no image data")
+    Decoded("gif", w, h, 0, frames, canvas, 255)
+  }
+
+  /** GIF LZW: variable-width codes (minCode+1 .. 12 bits), CLEAR resets
+    * the table, END terminates; emits exactly `nOut` palette indices.
+    * Sub-block framing is handled inline (the bitstream crosses block
+    * boundaries). Bounded: the table caps at 4096 and every loop advances
+    * the input or the output, so crafted input fails, never hangs.
+    */
+  private def lzwDecode(p: Array[Byte], start: Int, minCode: Int,
+                        nOut: Int): Array[Int] = {
+    require(minCode >= 1 && minCode <= 11, s"bad LZW min code size $minCode")
+    val clear = 1 << minCode
+    val end = clear + 1
+    val out = new Array[Int](nOut)
+    var outN = 0
+    // table: prefix link + last byte per code
+    val prefix = new Array[Int](4096)
+    val suffix = new Array[Int](4096)
+    var next = end + 1
+    var width = minCode + 1
+    var prev = -1
+    // bit reader over sub-blocks
+    var o = start
+    var blockLeft = 0
+    var acc = 0L
+    var accN = 0
+    def fill(): Boolean = {
+      while (accN < width) {
+        if (blockLeft == 0) {
+          require(o < p.length, "truncated LZW stream")
+          blockLeft = p(o) & 0xff; o += 1
+          if (blockLeft == 0) return false // block terminator: stream over
+        }
+        require(o < p.length, "truncated LZW stream")
+        acc |= (p(o) & 0xffL) << accN
+        accN += 8; o += 1; blockLeft -= 1
+      }
+      true
+    }
+    val stack = new Array[Int](4096)
+    while (outN < nOut) {
+      require(fill(), "LZW stream ended early")
+      val code = (acc & ((1 << width) - 1)).toInt
+      acc >>>= width; accN -= width
+      if (code == clear) {
+        next = end + 1; width = minCode + 1; prev = -1
+      } else if (code == end) {
+        throw new IllegalArgumentException(s"LZW END with ${nOut - outN} pixels missing")
+      } else {
+        require(code < next || (code == next && prev >= 0), s"LZW code $code out of range")
+        // expand code (KwKwK case: code == next uses prev + firstChar(prev))
+        var sp = 0
+        var c = code
+        if (c == next) {
+          // will push firstChar(prev) at the end — placeholder via prev expansion
+          c = prev
+          stack(sp) = -1; sp += 1 // mark: append first char of prev after expansion
+        }
+        while (c >= clear + 2) { stack(sp) = suffix(c); sp += 1; c = prefix(c) }
+        require(c < clear, s"corrupt LZW chain at $c")
+        val first = c
+        // emit: first char, then stack reversed (resolving the KwKwK marker)
+        var emitFirstOfPrev = false
+        if (sp > 0 && stack(0) == -1) { emitFirstOfPrev = true }
+        out(outN) = first; outN += 1
+        var i = sp - 1
+        while (i >= (if (emitFirstOfPrev) 1 else 0) && outN < nOut) {
+          out(outN) = stack(i); outN += 1; i -= 1
+        }
+        if (emitFirstOfPrev && outN < nOut) { out(outN) = first; outN += 1 }
+        // add table entry prev+first
+        if (prev >= 0 && next < 4096) {
+          prefix(next) = prev; suffix(next) = first
+          next += 1
+          if (next < 4096 && (next & (next - 1)) == 0 && width < 12) width += 1
+        }
+        prev = code
+      }
+    }
+    out
   }
 
   private def paeth(a: Int, b: Int, c: Int): Int = {

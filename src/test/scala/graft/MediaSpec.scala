@@ -144,6 +144,47 @@ class MediaSpec extends AnyFunSuite {
   private def maxErr(got: Array[Int], want: Array[Int]): Int =
     got.zip(want).map { case (a, b) => math.abs(a - b) }.max
 
+  test("gif: LZW round-trips exactly, sequential and interlaced, with frame counts") {
+    val r = new scala.util.Random(41)
+    for ((w, h, interlaced, extra) <- Seq(
+        (23, 14, false, 0), (32, 21, true, 0), (17, 9, false, 5), (40, 33, true, 3))) {
+      val nColors = 2 + r.nextInt(254)
+      val pal = Array.fill[Byte](nColors * 3)(r.nextInt(256).toByte)
+      val idx = Array.tabulate(w * h)(_ => r.nextInt(nColors).toByte)
+      val d = Media.decodeGif(MediaGen.gif(idx, w, h, pal, interlaced, extra))
+      assert(d.codec === "gif" && d.width === w && d.height === h)
+      assert(d.frames === 1 + extra, s"frame count (interlaced=$interlaced)")
+      val want = idx.map { b =>
+        val i = b & 0xff
+        ((pal(i * 3) & 0xff) * 299 + (pal(i * 3 + 1) & 0xff) * 587 +
+          (pal(i * 3 + 2) & 0xff) * 114) / 1000
+      }
+      assert(d.samples.toSeq === want.toSeq, s"pixels (interlaced=$interlaced extra=$extra)")
+    }
+    // long repetitive runs force LZW table overflow + CLEAR mid-stream
+    val pal2 = Array.fill[Byte](256 * 3)(r.nextInt(256).toByte)
+    val big = Array.tabulate(300 * 200)(i => ((i / 7) % 256).toByte)
+    val d2 = Media.decodeGif(MediaGen.gif(big, 300, 200, pal2))
+    assert(d2.width === 300 && d2.samples.length === 300 * 200)
+    val want2 = big.map { b =>
+      val i = b & 0xff
+      ((pal2(i * 3) & 0xff) * 299 + (pal2(i * 3 + 1) & 0xff) * 587 +
+        (pal2(i * 3 + 2) & 0xff) * 114) / 1000
+    }
+    assert(d2.samples.toSeq === want2.toSeq, "table-overflow stream must round-trip")
+    // two-colour image exercises the min code size floor (2)
+    val tiny = Media.decodeGif(MediaGen.gif(
+      Array.tabulate(12 * 5)(i => (i % 2).toByte), 12, 5,
+      Array[Byte](0, 0, 0, -1, -1, -1)))
+    assert(tiny.samples.toSeq === Seq.tabulate(12 * 5)(i => if (i % 2 == 0) 0 else 255))
+
+    // malformed: truncated stream and out-of-range palette index throw
+    val good = MediaGen.gif(Array.tabulate(8 * 8)(i => (i % 4).toByte), 8, 8,
+      Array.fill[Byte](4 * 3)(60))
+    intercept[Exception](Media.decodeGif(good.take(good.length / 2)))
+    intercept[Exception](Media.decodeGif("GIF89a".getBytes ++ Array[Byte](1, 2)))
+  }
+
   test("jpeg: grayscale round-trip within coefficient-rounding tolerance") {
     val r = new scala.util.Random(31)
     val (w, h) = (37, 22) // partial edge blocks on both axes

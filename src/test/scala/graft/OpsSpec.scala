@@ -307,9 +307,9 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
     assert(feats.count() === 200)
     assert(feats.where(!$"ok").count() === 0)
     assert(feats.select($"kind").distinct().count() === 3)
-    // all seven codecs present: four real decoders + three stub containers
+    // all eight codecs present: five real decoders + three stub containers
     assert(feats.select($"codec").distinct().as[String].collect().toSet
-      === Set("jpeg", "bmp", "wav", "png", "img1", "aud1", "vid1"))
+      === Set("jpeg", "gif", "bmp", "wav", "png", "img1", "aud1", "vid1"))
     assert(feats.where($"kind" === "image" && ($"width" <= 0 || $"height" <= 0)).count() === 0)
     assert(feats.where($"kind" === "audio" && $"sample_rate" <= 0).count() === 0)
     // histogram mass reconciles with what was actually decoded:
@@ -317,12 +317,12 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
     // luminance sample per pixel; WAV covers one amplitude per frame
     val mass = expr("aggregate(hist8, 0L, (a, x) -> a + x)")
     assert(feats.where($"codec" === "img1" && mass =!= ($"n_bytes" - 12)).count() === 0)
-    assert(feats.where($"codec".isin("bmp", "png", "jpeg") &&
+    assert(feats.where($"codec".isin("bmp", "png", "jpeg", "gif") &&
       mass =!= ($"width" * $"height").cast("long")).count() === 0)
     assert(feats.where($"codec" === "wav" && mass =!= $"n_frames".cast("long")).count() === 0)
     // real resize: image thumbnails are <= 8x8 luminance bytes, and a
     // constant image thumbnails to the constant
-    assert(feats.where($"codec".isin("bmp", "png", "jpeg") && $"thumb_bytes" > 64).count() === 0)
+    assert(feats.where($"codec".isin("bmp", "png", "jpeg", "gif") && $"thumb_bytes" > 64).count() === 0)
     val const = Multimodal.thumbnail2d(Array.fill(20 * 10)(77), 20, 10)
     assert(const.length === 64 && const.forall(_ === 77.toByte))
     val stats = Multimodal.featureStats(feats.toDF())
