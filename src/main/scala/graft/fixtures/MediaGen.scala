@@ -58,14 +58,37 @@ object MediaGen {
 
   /** RIFF/WAVE PCM, 16-bit mono. */
   def wav(samples: Array[Short], rate: Int): Array[Byte] = {
+    val body = new java.io.ByteArrayOutputStream()
+    samples.foreach(s => body.write(le16(s & 0xffff)))
+    wavOf(body.toByteArray, rate, format = 1, channels = 1, bits = 16)
+  }
+
+  /** Generic mono RIFF/WAVE over raw sample bytes: `format` 1 = PCM
+    * (8/16/24/32-bit), 3 = IEEE float32, 6 = A-law, 7 = μ-law; set
+    * `extensible` to wrap the code in a WAVE_FORMAT_EXTENSIBLE fmt chunk
+    * (SubFormat GUID leads with the real code).
+    */
+  def wavOf(data: Array[Byte], rate: Int, format: Int, channels: Int,
+            bits: Int, extensible: Boolean = false): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
-    out.write("RIFF".getBytes); out.write(le32(36 + samples.length * 2))
+    val fmtLen = if (extensible) 40 else 16
+    out.write("RIFF".getBytes); out.write(le32(12 + 8 + fmtLen + 8 + data.length - 8))
     out.write("WAVE".getBytes)
-    out.write("fmt ".getBytes); out.write(le32(16)); out.write(le16(1))
-    out.write(le16(1)); out.write(le32(rate)); out.write(le32(rate * 2))
-    out.write(le16(2)); out.write(le16(16))
-    out.write("data".getBytes); out.write(le32(samples.length * 2))
-    samples.foreach(s => out.write(le16(s & 0xffff)))
+    out.write("fmt ".getBytes); out.write(le32(fmtLen))
+    out.write(le16(if (extensible) 0xfffe else format))
+    out.write(le16(channels)); out.write(le32(rate))
+    out.write(le32(rate * channels * bits / 8))
+    out.write(le16(channels * bits / 8)); out.write(le16(bits))
+    if (extensible) {
+      out.write(le16(22)) // cbSize
+      out.write(le16(bits)) // valid bits
+      out.write(le32(0)) // channel mask
+      out.write(le16(format)) // SubFormat GUID: format code first, 14-byte tail
+      out.write(Array[Byte](0, 0, 0, 0, 0x10, 0, 0x80.toByte, 0, 0,
+        0xaa.toByte, 0, 0x38, 0x9b.toByte, 0x71))
+    }
+    out.write("data".getBytes); out.write(le32(data.length))
+    out.write(data)
     out.toByteArray
   }
 
@@ -87,40 +110,74 @@ object MediaGen {
     pngOf(indices, w, h, channels = 1, colorType = 3, palette = palette)
   }
 
+  /** Grey/RGB PNG with explicit bit depth (8 or 16 — 16-bit samples are
+    * big-endian pairs in `img`) and optional Adam7 interlacing.
+    */
+  def pngAdvanced(img: Array[Byte], w: Int, h: Int, channels: Int,
+                  depth: Int = 8, interlaced: Boolean = false): Array[Byte] = {
+    require(channels == 1 || channels == 3)
+    pngOf(img, w, h, channels, colorType = if (channels == 1) 0 else 2,
+      palette = null, depth = depth, interlaced = interlaced)
+  }
+
   private def pngOf(img: Array[Byte], w: Int, h: Int, channels: Int,
-                    colorType: Int, palette: Array[Byte]): Array[Byte] = {
-    require(img.length == w * h * channels)
-    val stride = w * channels
+                    colorType: Int, palette: Array[Byte],
+                    depth: Int = 8, interlaced: Boolean = false): Array[Byte] = {
+    require(depth == 8 || depth == 16)
+    val bytesPerSample = depth / 8
+    val bpp = channels * bytesPerSample
+    require(img.length == w * h * bpp)
     def paeth(a: Int, b: Int, c: Int): Int = {
       val pp = a + b - c
       val pa = math.abs(pp - a); val pb = math.abs(pp - b); val pc = math.abs(pp - c)
       if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
     }
-    val raw = new Array[Byte]((1 + stride) * h)
-    var y = 0
-    while (y < h) {
-      val f = y % 5
-      raw(y * (1 + stride)) = f.toByte
-      var x = 0
-      while (x < stride) {
-        val cur = img(y * stride + x) & 0xff
-        val a = if (x >= channels) img(y * stride + x - channels) & 0xff else 0
-        val b = if (y > 0) img((y - 1) * stride + x) & 0xff else 0
-        val c = if (y > 0 && x >= channels) img((y - 1) * stride + x - channels) & 0xff else 0
-        val pred = f match {
-          case 0 => 0
-          case 1 => a
-          case 2 => b
-          case 3 => (a + b) / 2
-          case 4 => paeth(a, b, c)
+    val rawOut = new java.io.ByteArrayOutputStream()
+    val passes = if (interlaced) graft.kernel.Media.Adam7 else Array((0, 0, 1, 1))
+    passes.foreach { case (xs, ys, xstep, ystep) =>
+      val pw = math.max(0, (w - xs + xstep - 1) / xstep)
+      val ph = math.max(0, (h - ys + ystep - 1) / ystep)
+      if (pw > 0 && ph > 0) {
+        val stride = pw * bpp
+        // gather the pass's pixels into a contiguous sub-image
+        val sub = new Array[Byte](stride * ph)
+        var y = 0
+        while (y < ph) {
+          var x = 0
+          while (x < pw) {
+            val srcPix = ((ys + y * ystep) * w + (xs + x * xstep)) * bpp
+            System.arraycopy(img, srcPix, sub, (y * pw + x) * bpp, bpp)
+            x += 1
+          }
+          y += 1
         }
-        raw(y * (1 + stride) + 1 + x) = ((cur - pred) & 0xff).toByte
-        x += 1
+        // forward-filter rows cycling all five filter types
+        y = 0
+        while (y < ph) {
+          val f = y % 5
+          rawOut.write(f)
+          var x = 0
+          while (x < stride) {
+            val cur = sub(y * stride + x) & 0xff
+            val a = if (x >= bpp) sub(y * stride + x - bpp) & 0xff else 0
+            val b = if (y > 0) sub((y - 1) * stride + x) & 0xff else 0
+            val c = if (y > 0 && x >= bpp) sub((y - 1) * stride + x - bpp) & 0xff else 0
+            val pred = f match {
+              case 0 => 0
+              case 1 => a
+              case 2 => b
+              case 3 => (a + b) / 2
+              case 4 => paeth(a, b, c)
+            }
+            rawOut.write((cur - pred) & 0xff)
+            x += 1
+          }
+          y += 1
+        }
       }
-      y += 1
     }
     val defl = new java.util.zip.Deflater()
-    defl.setInput(raw); defl.finish()
+    defl.setInput(rawOut.toByteArray); defl.finish()
     val idat = new java.io.ByteArrayOutputStream()
     val buf = new Array[Byte](8192)
     while (!defl.finished()) idat.write(buf, 0, defl.deflate(buf))
@@ -130,7 +187,8 @@ object MediaGen {
       crc.update(typ.getBytes); crc.update(data)
       be32(data.length) ++ typ.getBytes ++ data ++ be32(crc.getValue.toInt)
     }
-    val ihdr = be32(w) ++ be32(h) ++ Array[Byte](8, colorType.toByte, 0, 0, 0)
+    val ihdr = be32(w) ++ be32(h) ++
+      Array[Byte](depth.toByte, colorType.toByte, 0, 0, if (interlaced) 1 else 0)
     val plte = if (palette == null) Array.empty[Byte] else chunk("PLTE", palette)
     Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte) ++
       chunk("IHDR", ihdr) ++ plte ++
@@ -782,14 +840,23 @@ object MediaGen {
             bmp(body(r, w * h * 3), w, h))
         case 4 =>
           val rate = 8000 + 4000 * r.nextInt(3); val ns = 64 + r.nextInt(512)
-          val samples = Array.tabulate(ns)(_ => r.nextInt(65536).toShort)
-          Media(i.toLong, s"https://host$host.example.com/aud/$i.wav", "audio",
-            wav(samples, rate))
+          val payload = r.nextInt(4) match {
+            case 0 => wavOf(body(r, ns), rate, format = 7, channels = 1, bits = 8) // μ-law
+            case 1 => wavOf(body(r, ns), rate, format = 6, channels = 1, bits = 8) // A-law
+            case 2 => // extensible-wrapped 16-bit PCM
+              wavOf(body(r, ns * 2), rate, format = 1, channels = 1, bits = 16,
+                extensible = true)
+            case _ => wav(Array.tabulate(ns)(_ => r.nextInt(65536).toShort), rate)
+          }
+          Media(i.toLong, s"https://host$host.example.com/aud/$i.wav", "audio", payload)
         case _ =>
           val ch = if (r.nextBoolean()) 1 else 3
           val w = 4 + r.nextInt(28); val h = 4 + r.nextInt(20)
-          Media(i.toLong, s"https://host$host.example.com/img/$i.png", "image",
-            png(body(r, w * h * ch), w, h, ch))
+          val depth = if (r.nextInt(4) == 0) 16 else 8
+          val payload = pngOf(body(r, w * h * ch * (depth / 8)), w, h, ch,
+            colorType = if (ch == 1) 0 else 2, palette = null,
+            depth = depth, interlaced = r.nextInt(3) == 0)
+          Media(i.toLong, s"https://host$host.example.com/img/$i.png", "image", payload)
       }
     }
   }

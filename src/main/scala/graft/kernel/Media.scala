@@ -89,8 +89,32 @@ object Media {
     Decoded("bmp", w, h, 0, 1, out, 255)
   }
 
-  /** WAV (RIFF PCM) → signed sample amplitudes per frame (multi-channel
-    * frames averaged); 8-bit unsigned samples recentred to signed.
+  /** ITU-T G.711 μ-law byte → 16-bit linear (the public reference
+    * expansion: bias 0x84, 3-bit exponent segments).
+    */
+  def mulawToLinear(b: Int): Int = {
+    val u = ~b & 0xff
+    var t = ((u & 0x0f) << 3) + 0x84
+    t <<= (u & 0x70) >> 4
+    if ((u & 0x80) != 0) 0x84 - t else t - 0x84
+  }
+
+  /** ITU-T G.711 A-law byte → 16-bit linear (0x55 toggle, segmented). */
+  def alawToLinear(b: Int): Int = {
+    val a = b ^ 0x55
+    val seg = (a & 0x70) >> 4
+    var t = (a & 0x0f) << 4
+    if (seg == 0) t += 8
+    else if (seg == 1) t += 0x108
+    else { t += 0x108; t <<= seg - 1 }
+    if ((a & 0x80) != 0) t else -t
+  }
+
+  /** WAV (RIFF) → signed 16-bit-domain sample amplitudes per frame
+    * (multi-channel frames averaged). Formats: PCM 8 (unsigned,
+    * recentred) / 16 / 24 / 32-bit, IEEE float32, G.711 A-law and μ-law;
+    * WAVE_FORMAT_EXTENSIBLE resolves through its SubFormat GUID. Wider
+    * PCM is scaled down to the 16-bit domain (high bits kept).
     */
   def decodeWav(p: Array[Byte]): Decoded = {
     require(isWav(p), "not a RIFF/WAVE")
@@ -99,7 +123,7 @@ object Media {
     // an Int bound check into a multi-GB allocation whose OutOfMemoryError
     // is not an Exception and escapes the per-row catch) — C5 again
     var off = 12L
-    var rate = 0; var channels = 0; var bits = 0
+    var rate = 0; var channels = 0; var bits = 0; var format = 0
     var dataOff = -1; var dataLen = 0
     while (off + 8 <= p.length) {
       val o = off.toInt // safe: off + 8 <= p.length <= Int.MaxValue
@@ -109,14 +133,25 @@ object Media {
       // garbage must fail the row, never hang the task (C5)
       require(len >= 0, s"negative chunk length in $id")
       if (id == "fmt ") {
-        require(le16(p, o + 8) == 1, "non-PCM WAV unsupported")
+        format = le16(p, o + 8)
         channels = le16(p, o + 10)
         rate = le32(p, o + 12)
         bits = le16(p, o + 22)
+        if (format == 0xfffe) { // WAVE_FORMAT_EXTENSIBLE: code leads the GUID
+          require(len >= 40, "truncated extensible fmt chunk")
+          format = le16(p, o + 8 + 24)
+        }
       } else if (id == "data") { dataOff = o + 8; dataLen = len }
       off += 8L + len + (len & 1) // chunks are word-aligned
     }
-    require(rate > 0 && channels > 0 && (bits == 8 || bits == 16), "missing/odd fmt chunk")
+    val bitsOk = format match {
+      case 1 => bits == 8 || bits == 16 || bits == 24 || bits == 32 // PCM
+      case 3 => bits == 32 // IEEE float
+      case 6 | 7 => bits == 8 // G.711 A-law / μ-law
+      case _ => false
+    }
+    require(rate > 0 && channels > 0 && bitsOk,
+      s"missing/odd fmt chunk (format $format, $bits bits)")
     require(dataOff >= 0 && dataOff.toLong + dataLen.toLong <= p.length,
       "missing/truncated data chunk")
     val bytesPerSample = bits / 8
@@ -129,9 +164,20 @@ object Media {
       var c = 0
       while (c < channels) {
         val o = dataOff + i * frame + c * bytesPerSample
-        val s =
-          if (bits == 16) le16(p, o).toShort.toInt
-          else ((p(o) & 0xff) - 128) << 8 // 8-bit unsigned → signed, 16-bit scale
+        val s = format match {
+          case 1 =>
+            if (bits == 16) le16(p, o).toShort.toInt
+            else if (bits == 8) ((p(o) & 0xff) - 128) << 8 // unsigned → 16-bit scale
+            else if (bits == 24)
+              (((p(o) & 0xff) | ((p(o + 1) & 0xff) << 8) | (p(o + 2) << 16)) >> 8)
+            else le32(p, o) >> 16 // 32-bit PCM → high 16
+          case 3 =>
+            val f = java.lang.Float.intBitsToFloat(le32(p, o))
+            require(!f.isNaN, "NaN float sample")
+            math.rint(math.max(-1.0f, math.min(1.0f, f)) * 32767.0).toInt
+          case 6 => alawToLinear(p(o) & 0xff)
+          case _ => mulawToLinear(p(o) & 0xff)
+        }
         acc += s
         c += 1
       }
@@ -332,17 +378,27 @@ object Media {
     if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
   }
 
-  /** PNG (8-bit depth, colour types 0/2/3/6, non-interlaced) → per-pixel
-    * 0–255 luminance. IDAT chunks are concatenated, inflated with the JDK
-    * `Inflater`, and each row reconstructed from its filter byte exactly
-    * per the spec (None/Sub/Up/Average/Paeth); indexed-colour images
-    * resolve through their PLTE table. Adam7 interlacing and sub-byte
-    * depths are rejected explicitly, not mis-decoded.
+  /** Adam7 pass geometry: (xStart, yStart, xStep, yStep) per the PNG
+    * spec; a non-interlaced image is the single pass (0,0,1,1).
+    */
+  private[graft] val Adam7 = Array(
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+  /** PNG (8/16-bit depth, colour types 0/2/3/6, sequential or Adam7
+    * interlaced) → per-pixel 0–255 luminance. IDAT chunks are
+    * concatenated, inflated with the JDK `Inflater`, and each row of each
+    * pass reconstructed from its filter byte exactly per the spec
+    * (None/Sub/Up/Average/Paeth); indexed-colour images resolve through
+    * their PLTE table; 16-bit samples keep their high byte (the spec's
+    * own 16→8 reduction). Sub-byte depths are rejected explicitly, not
+    * mis-decoded.
     */
   def decodePng(p: Array[Byte]): Decoded = {
     require(isPng(p), "not a PNG")
     var off = 8
     var w = 0; var h = 0; var channels = 0; var colorType = -1
+    var depth = 0; var interlace = 0
     var palette: Array[Byte] = null
     val idat = new java.io.ByteArrayOutputStream()
     var sawEnd = false
@@ -353,11 +409,12 @@ object Media {
       typ match {
         case "IHDR" =>
           w = be32(p, off + 8); h = be32(p, off + 12)
-          val depth = p(off + 16) & 0xff
+          depth = p(off + 16) & 0xff
           colorType = p(off + 17) & 0xff
-          val interlace = p(off + 20) & 0xff
-          require(depth == 8, s"bit depth $depth unsupported (8 only)")
-          require(interlace == 0, "Adam7 interlacing unsupported")
+          interlace = p(off + 20) & 0xff
+          require(depth == 8 || (depth == 16 && colorType != 3),
+            s"bit depth $depth unsupported for colour type $colorType")
+          require(interlace <= 1, s"interlace method $interlace invalid")
           channels = colorType match {
             case 0 => 1
             case 2 => 3
@@ -377,8 +434,20 @@ object Media {
     }
     require(colorType != 3 || palette != null, "indexed PNG missing PLTE")
     require(w > 0 && idat.size() > 0, "missing IHDR/IDAT")
-    val stride = w * channels
-    val raw = new Array[Byte]((1 + stride) * h)
+    val bytesPerSample = depth / 8
+    val bpp = channels * bytesPerSample
+    val passes: Array[(Int, Int, Int, Int)] =
+      if (interlace == 0) Array((0, 0, 1, 1)) else Adam7
+    def passDims(pass: (Int, Int, Int, Int)): (Int, Int) = {
+      val (xs, ys, xstep, ystep) = pass
+      (math.max(0, (w - xs + xstep - 1) / xstep), math.max(0, (h - ys + ystep - 1) / ystep))
+    }
+    val rawLen = passes.map { pass =>
+      val (pw, ph) = passDims(pass)
+      if (pw == 0 || ph == 0) 0L else ph.toLong * (1 + pw.toLong * bpp)
+    }.sum
+    require(rawLen <= Int.MaxValue, "raw image too large")
+    val raw = new Array[Byte](rawLen.toInt)
     val inf = new java.util.zip.Inflater()
     inf.setInput(idat.toByteArray)
     var got = 0
@@ -394,46 +463,63 @@ object Media {
     }
     inf.end()
     require(got == raw.length, s"IDAT inflated to $got, expected ${raw.length}")
-    // defilter in place into `img`
-    val img = new Array[Byte](stride * h)
-    var y = 0
-    while (y < h) {
-      val f = raw(y * (1 + stride)) & 0xff
-      val src = y * (1 + stride) + 1
-      val dst = y * stride
-      var x = 0
-      while (x < stride) {
-        val cur = raw(src + x) & 0xff
-        val a = if (x >= channels) img(dst + x - channels) & 0xff else 0
-        val b = if (y > 0) img(dst - stride + x) & 0xff else 0
-        val c = if (y > 0 && x >= channels) img(dst - stride + x - channels) & 0xff else 0
-        val v = f match {
-          case 0 => cur
-          case 1 => cur + a
-          case 2 => cur + b
-          case 3 => cur + (a + b) / 2
-          case 4 => cur + paeth(a, b, c)
-          case other => throw new IllegalArgumentException(s"filter $other invalid")
-        }
-        img(dst + x) = (v & 0xff).toByte
-        x += 1
-      }
-      y += 1
-    }
-    val out = new Array[Int](w * h)
+
     val nPal = if (palette == null) 0 else palette.length / 3
-    var i = 0
-    while (i < w * h) {
-      val o = i * channels
-      out(i) =
-        if (colorType == 3) {
-          val idx = img(o) & 0xff
-          require(idx < nPal, s"palette index $idx out of range ($nPal entries)")
-          ((palette(idx * 3) & 0xff) * 299 + (palette(idx * 3 + 1) & 0xff) * 587 +
-            (palette(idx * 3 + 2) & 0xff) * 114) / 1000
-        } else if (channels == 1) img(o) & 0xff
-        else ((img(o) & 0xff) * 299 + (img(o + 1) & 0xff) * 587 + (img(o + 2) & 0xff) * 114) / 1000
-      i += 1
+    def lumaAt(img: Array[Byte], o: Int): Int =
+      if (colorType == 3) {
+        val idx = img(o) & 0xff
+        require(idx < nPal, s"palette index $idx out of range ($nPal entries)")
+        ((palette(idx * 3) & 0xff) * 299 + (palette(idx * 3 + 1) & 0xff) * 587 +
+          (palette(idx * 3 + 2) & 0xff) * 114) / 1000
+      } else if (channels == 1) img(o) & 0xff
+      else ((img(o) & 0xff) * 299 + (img(o + bytesPerSample) & 0xff) * 587 +
+        (img(o + 2 * bytesPerSample) & 0xff) * 114) / 1000
+
+    val out = new Array[Int](w * h)
+    var rawOff = 0
+    passes.foreach { pass =>
+      val (xs, ys, xstep, ystep) = pass
+      val (pw, ph) = passDims(pass)
+      if (pw > 0 && ph > 0) {
+        val stride = pw * bpp
+        val img = new Array[Byte](stride * ph)
+        var y = 0
+        while (y < ph) {
+          val f = raw(rawOff + y * (1 + stride)) & 0xff
+          val src = rawOff + y * (1 + stride) + 1
+          val dst = y * stride
+          var x = 0
+          while (x < stride) {
+            val cur = raw(src + x) & 0xff
+            val a = if (x >= bpp) img(dst + x - bpp) & 0xff else 0
+            val b = if (y > 0) img(dst - stride + x) & 0xff else 0
+            val c = if (y > 0 && x >= bpp) img(dst - stride + x - bpp) & 0xff else 0
+            val v = f match {
+              case 0 => cur
+              case 1 => cur + a
+              case 2 => cur + b
+              case 3 => cur + (a + b) / 2
+              case 4 => cur + paeth(a, b, c)
+              case other => throw new IllegalArgumentException(s"filter $other invalid")
+            }
+            img(dst + x) = (v & 0xff).toByte
+            x += 1
+          }
+          y += 1
+        }
+        rawOff += ph * (1 + stride)
+        // scatter the pass's pixels onto the canvas (16-bit: high byte)
+        var py = 0
+        while (py < ph) {
+          var px = 0
+          while (px < pw) {
+            out((ys + py * ystep) * w + (xs + px * xstep)) =
+              lumaAt(img, (py * pw + px) * bpp)
+            px += 1
+          }
+          py += 1
+        }
+      }
     }
     Decoded("png", w, h, 0, 1, out, 255)
   }

@@ -144,6 +144,91 @@ class MediaSpec extends AnyFunSuite {
   private def maxErr(got: Array[Int], want: Array[Int]): Int =
     got.zip(want).map { case (a, b) => math.abs(a - b) }.max
 
+  test("png: Adam7 interlaced and 16-bit-depth images decode exactly") {
+    val r = new scala.util.Random(17)
+    // Adam7, grey and RGB, dims chosen so several passes have partial rows
+    for (ch <- Seq(1, 3); (w, h) <- Seq((21, 13), (8, 8), (3, 2), (1, 1))) {
+      val img = Array.fill[Byte](w * h * ch)(r.nextInt(256).toByte)
+      val d = Media.decodePng(MediaGen.pngAdvanced(img, w, h, ch, depth = 8, interlaced = true))
+      assert(d.width === w && d.height === h, s"adam7 ch=$ch ${w}x$h")
+      val want = Array.tabulate(w * h) { i =>
+        if (ch == 1) img(i) & 0xff
+        else ((img(i * 3) & 0xff) * 299 + (img(i * 3 + 1) & 0xff) * 587 +
+          (img(i * 3 + 2) & 0xff) * 114) / 1000
+      }
+      assert(d.samples.toSeq === want.toSeq, s"adam7 ch=$ch ${w}x$h pixels")
+    }
+    // 16-bit depth: the decoder keeps each sample's high byte
+    for (ch <- Seq(1, 3); interlaced <- Seq(false, true)) {
+      val (w, h) = (15, 11)
+      val img16 = Array.fill[Byte](w * h * ch * 2)(r.nextInt(256).toByte)
+      val d = Media.decodePng(MediaGen.pngAdvanced(img16, w, h, ch, depth = 16,
+        interlaced = interlaced))
+      val want = Array.tabulate(w * h) { i =>
+        def hi(c: Int) = img16((i * ch + c) * 2) & 0xff
+        if (ch == 1) hi(0) else (hi(0) * 299 + hi(1) * 587 + hi(2) * 114) / 1000
+      }
+      assert(d.samples.toSeq === want.toSeq, s"16-bit ch=$ch interlaced=$interlaced")
+    }
+  }
+
+  test("wav: G.711 mu-law/A-law, float32, 24-bit PCM and extensible headers") {
+    // independent expansion twins, from the published G.711 formulas
+    def mulaw(b: Int): Int = {
+      val u = ~b & 0xff
+      var t = ((u & 0x0f) << 3) + 0x84
+      t <<= (u & 0x70) >> 4
+      if ((u & 0x80) != 0) 0x84 - t else t - 0x84
+    }
+    def alaw(b: Int): Int = {
+      val a = b ^ 0x55
+      val seg = (a & 0x70) >> 4
+      var t = (a & 0x0f) << 4
+      if (seg == 0) t += 8 else if (seg == 1) t += 0x108 else { t += 0x108; t <<= seg - 1 }
+      if ((a & 0x80) != 0) t else -t
+    }
+    val allBytes = Array.tabulate(256)(_.toByte)
+    val du = Media.decodeWav(MediaGen.wavOf(allBytes, 8000, format = 7, channels = 1, bits = 8))
+    assert(du.codec === "wav" && du.sampleRate === 8000 && du.frames === 256)
+    assert(du.samples.toSeq === (0 until 256).map(mulaw))
+    // canonical anchors: 0x00 → -32124, 0xff/0x7f → 0
+    assert(du.samples(0) === -32124 && du.samples(0xff) === 0 && du.samples(0x7f) === 0)
+    val da = Media.decodeWav(MediaGen.wavOf(allBytes, 8000, format = 6, channels = 1, bits = 8))
+    assert(da.samples.toSeq === (0 until 256).map(alaw))
+    assert(da.samples(0x55) === -8 && da.samples(0xd5) === 8)
+
+    // float32: clamped and scaled to the 16-bit domain
+    val floats = Array(0.0f, 1.0f, -1.0f, 0.5f, -0.25f, 2.0f, -3.0f)
+    val fb = new java.io.ByteArrayOutputStream()
+    floats.foreach { f =>
+      val bits = java.lang.Float.floatToIntBits(f)
+      (0 until 4).foreach(i => fb.write((bits >> (8 * i)) & 0xff))
+    }
+    val df = Media.decodeWav(MediaGen.wavOf(fb.toByteArray, 16000, format = 3,
+      channels = 1, bits = 32))
+    assert(df.samples.toSeq === Seq(0, 32767, -32767, 16384, -8192, 32767, -32767))
+
+    // 24-bit PCM: high 16 bits kept, sign preserved
+    val vals24 = Seq(0, 1 << 8, -(1 << 8), (1 << 23) - 1, -(1 << 23))
+    val b24 = new java.io.ByteArrayOutputStream()
+    vals24.foreach(v => (0 until 3).foreach(i => b24.write((v >> (8 * i)) & 0xff)))
+    val d24 = Media.decodeWav(MediaGen.wavOf(b24.toByteArray, 44100, format = 1,
+      channels = 1, bits = 24))
+    assert(d24.samples.toSeq === vals24.map(_ >> 8))
+
+    // WAVE_FORMAT_EXTENSIBLE wrapping plain 16-bit PCM
+    val pcm = Array.tabulate(50)(i => (i * 321 - 8000).toShort)
+    val pb = new java.io.ByteArrayOutputStream()
+    pcm.foreach(s => { pb.write(s & 0xff); pb.write((s >> 8) & 0xff) })
+    val dx = Media.decodeWav(MediaGen.wavOf(pb.toByteArray, 22050, format = 1,
+      channels = 1, bits = 16, extensible = true))
+    assert(dx.samples.toSeq === pcm.map(_.toInt).toSeq)
+
+    // unknown format code still rejected
+    intercept[Exception](Media.decodeWav(
+      MediaGen.wavOf(allBytes, 8000, format = 2, channels = 1, bits = 8)))
+  }
+
   test("gif: LZW round-trips exactly, sequential and interlaced, with frame counts") {
     val r = new scala.util.Random(41)
     for ((w, h, interlaced, extra) <- Seq(
@@ -348,6 +433,35 @@ class MediaSpec extends AnyFunSuite {
     val t = graft.ops.Multimodal.thumbnail1d(samples)
     assert(t.length === 64)
     assert(t(63) === ((12800 >> 8) & 0xff).toByte)
+  }
+
+  test("garbage fuzz: random or bit-flipped payloads behind every magic fail the row, never hang") {
+    import graft.ops.Multimodal
+    val r = new scala.util.Random(99)
+    val magics = Seq[Array[Byte]](
+      Array('B', 'M'),
+      "RIFFWAVE".getBytes(java.nio.charset.StandardCharsets.ISO_8859_1),
+      Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte),
+      Array(0xff, 0xd8, 0xff).map(_.toByte),
+      "GIF89a".getBytes,
+      "IMG1".getBytes, "AUD1".getBytes, "VID1".getBytes)
+    (1 to 400).foreach { k =>
+      val body = new Array[Byte](r.nextInt(300))
+      r.nextBytes(body)
+      val payload = magics(r.nextInt(magics.length)) ++ body
+      val f = Multimodal.decodeOne(Multimodal.Media(k.toLong, "u", "x", payload))
+      assert(f.error != null, s"sample #$k must produce a row") // ok=false or a lucky decode
+    }
+    // bit-flip VALID payloads of every codec — same contract
+    MediaGen.media(80).foreach { m =>
+      val p = m.payload.clone()
+      (1 to 8).foreach { _ =>
+        val i = r.nextInt(p.length)
+        p(i) = (p(i) ^ (1 << r.nextInt(8))).toByte
+      }
+      val f = Multimodal.decodeOne(Multimodal.Media(m.media_id, m.doc_url, m.kind, p))
+      assert(f.error != null)
+    }
   }
 
   test("writers are deterministic byte generators") {
