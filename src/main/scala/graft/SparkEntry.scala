@@ -264,6 +264,60 @@ object SparkEntry {
         .withColumn("rank", row_number().over(
           Window.orderBy(desc("committed_ts"), asc("path"))))
     }),
+    // sessionization — the classic event-stream prep op: a new session
+    // starts after a 30,000 s gap; per-user session counts. Gap math runs
+    // on fractional epoch seconds (timestamp cast to double), identical
+    // in both engines; (ts, event_id) ordering makes window frames total
+    "q34_sessionize" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      // ts is TIMESTAMP_NTZ; route through LTZ (session tz is UTC, so the
+      // instant is unchanged) to get fractional epoch seconds like epoch()
+      def epochS(c: org.apache.spark.sql.Column) =
+        c.cast("timestamp_ltz").cast("double")
+      val gap = epochS(col("ts")) - epochS(lag(col("ts"), 1).over(w))
+      t(s, dir, "events")
+        .withColumn("new_sess", when(gap.isNull || gap > 30000d, 1L).otherwise(0L))
+        .withColumn("sess", sum(col("new_sess")).over(w))
+        .groupBy(col("user_id"), col("sess"))
+        .agg(count(lit(1)).as("session_events"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_sessions"),
+          max(col("session_events")).as("max_session_events"))
+    }),
+    // C4-style line dedup (Raffel et al. 2020: drop any "line" occurring
+    // more than once in the corpus): 3-token lines, global count, keep
+    // unique lines, reassemble per-doc text in original order. The only
+    // shuffles are the line-count aggregate and the rejoin — the same
+    // hash-partitioned shape at 100 TB
+    "q35_line_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
+      val lines = docs.select(col("doc_id"),
+          posexplode(transform(
+            sequence(lit(0), ceil(size(col("toks")) / lit(3.0)).cast("int") - 1),
+            i => array_join(slice(col("toks"), i * 3 + 1, lit(3)), " "))))
+        .withColumnRenamed("pos", "i").withColumnRenamed("col", "line")
+      val counts = lines.groupBy(col("line")).agg(count(lit(1)).as("c"))
+      lines.join(counts, Seq("line")).where(col("c") === 1)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("kept_lines"),
+          sha2(array_join(expr("transform(array_sort(collect_list(struct(i, line))), x -> x.line)"), " "), 256)
+            .as("new_text_hash"))
+    }),
+    // PII-style redaction: digit runs masked, content hash proves byte
+    // identity of the rewritten column ([0-9]+ is Java-regex/RE2 common)
+    "q36_redact" -> ((s, dir) => {
+      t(s, dir, "events").orderBy(asc("event_id")).limit(200)
+        .select(col("event_id"),
+          sha2(regexp_replace(col("props"), "[0-9]+", "<NUM>"), 256).as("redacted_hash"))
+    }),
+    // CUBE over two dims (all four grouping sets)
+    "q37_cube" -> ((s, dir) => {
+      t(s, dir, "lineitem").cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("l_quantity").cast("bigint")).as("sum_qty"))
+    }),
     "pipe08_minhash_lsh" -> ((s, _) => {
       graft.ops.Dedup.minhashNearDupPairs(
         fixturePages(s).select(col("url"), col("text")), "url", "text",
@@ -531,6 +585,18 @@ object SparkEntry {
     "q30_to_json" -> "SELECT doc_id, CAST(to_json(struct_pack(doc_id := doc_id, lang := lang, n_chars := n_chars)) AS VARCHAR) AS js FROM documents ORDER BY doc_id LIMIT 100",
     "q31_listing_order" -> "SELECT '/out/' || event_type AS path, max(ts) AS committed_ts, CAST(row_number() OVER (ORDER BY max(ts) DESC, '/out/' || event_type) AS INT) AS rank FROM events GROUP BY event_type",
     "q18_embedding_norm" -> "SELECT vec_id, round(sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS norm FROM embeddings ORDER BY vec_id LIMIT 100",
+    "q34_sessionize" -> ("WITH g AS (SELECT user_id, ts, event_id, epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap FROM events), " +
+      "s AS (SELECT user_id, sum(CASE WHEN gap IS NULL OR gap > 30000 THEN 1 ELSE 0 END) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sess FROM g), " +
+      "per AS (SELECT user_id, sess, count(*) AS session_events FROM s GROUP BY user_id, sess) " +
+      "SELECT user_id, count(*) AS n_sessions, max(session_events) AS max_session_events FROM per GROUP BY user_id"),
+    "q35_line_dedup" -> ("WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents), " +
+      "idx AS (SELECT doc_id, toks, unnest(range(0, CAST(ceil(len(toks)/3.0) AS BIGINT))) AS i FROM tok), " +
+      "lines AS (SELECT doc_id, i, array_to_string(toks[i*3+1 : i*3+3], ' ') AS line FROM idx), " +
+      "cnt AS (SELECT line, count(*) AS c FROM lines GROUP BY line) " +
+      "SELECT doc_id, count(*) AS kept_lines, sha256(string_agg(line, ' ' ORDER BY i)) AS new_text_hash " +
+      "FROM lines JOIN cnt USING (line) WHERE c = 1 GROUP BY doc_id"),
+    "q36_redact" -> "SELECT event_id, sha256(regexp_replace(props, '[0-9]+', '<NUM>', 'g')) AS redacted_hash FROM events ORDER BY event_id LIMIT 200",
+    "q37_cube" -> "SELECT l_returnflag, l_linestatus, count(*) AS cnt, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)",
     "q19_knn_bruteforce" -> ("SELECT e.vec_id, round(" +
       "(SELECT sum(CAST(a.v AS DOUBLE) * CAST(b.v AS DOUBLE)) FROM (SELECT unnest(e.embedding) AS v, generate_subscripts(e.embedding, 1) AS i) a JOIN (SELECT unnest(q.embedding) AS v, generate_subscripts(q.embedding, 1) AS i FROM embeddings q WHERE q.vec_id = 7) b ON a.i = b.i) " +
       "/ (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * (SELECT sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) FROM embeddings q WHERE q.vec_id = 7)), 6) AS sim " +
