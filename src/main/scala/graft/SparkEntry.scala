@@ -318,6 +318,50 @@ object SparkEntry {
         .agg(count(lit(1)).as("cnt"),
           sum(col("l_quantity").cast("bigint")).as("sum_qty"))
     }),
+    // AS-OF join (the time-series operator Spark lacks natively): every
+    // non-click event matched to the user's latest click state at-or-
+    // before its timestamp; one keyed shuffle (see ops/Relational).
+    // Oracle = DuckDB's native ASOF LEFT JOIN
+    "q38_asof_join" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val right = e.where(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts")).agg(max(col("value")).as("state_v"))
+      val left = e.where(col("event_type") =!= "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      graft.ops.Relational.asofJoin(left, right, "user_id", "ts")
+        .select(col("event_id"), col("user_id"),
+          col("_asof_ts").as("state_ts"), round(col("_r_state_v"), 2).as("state_v"))
+    }),
+    // point-in-interval range join via the binned equi-join rewrite
+    // (overlapping, non-grid-aligned intervals; bin width deliberately
+    // misaligned with the interval bounds — the residual filter decides)
+    "q39_range_join" -> ((s, dir) => {
+      import s.implicits._
+      val intervals = Seq(
+        (1, 0.0, 7.0), (2, 5.0, 23.0), (3, 20.0, 31.0), (4, 30.0, 55.0), (5, 2.0, 3.0))
+        .toDF("interval_id", "lo", "hi")
+      graft.ops.Relational.pointsInIntervals(
+          t(s, dir, "lineitem").select(col("l_quantity")), "l_quantity",
+          intervals, binWidth = 8.0)
+        .groupBy(col("interval_id"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("l_quantity").cast("bigint")).as("sum_qty"))
+    }),
+    // exact interpolated percentiles per group (Spark `percentile` ==
+    // DuckDB `quantile_cont`, both type R-7 linear interpolation)
+    "q40_percentiles" -> ((s, dir) => {
+      t(s, dir, "lineitem").groupBy(col("l_returnflag"))
+        .agg(round(expr("percentile(l_quantity, 0.5)"), 4).as("q50"),
+          round(expr("percentile(l_quantity, 0.9)"), 4).as("q90"),
+          round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25_price"))
+    }),
+    // HLL++ sketch next to the exact answer (rows-only: approximate by
+    // design; OpsSpec asserts the relative-error bound)
+    "pipe21_approx_distinct" -> ((s, dir) => {
+      t(s, dir, "events").groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+          countDistinct(col("user_id")).as("exact_users"))
+    }),
     "pipe08_minhash_lsh" -> ((s, _) => {
       graft.ops.Dedup.minhashNearDupPairs(
         fixturePages(s).select(col("url"), col("text")), "url", "text",
@@ -596,6 +640,16 @@ object SparkEntry {
       "SELECT doc_id, count(*) AS kept_lines, sha256(string_agg(line, ' ' ORDER BY i)) AS new_text_hash " +
       "FROM lines JOIN cnt USING (line) WHERE c = 1 GROUP BY doc_id"),
     "q36_redact" -> "SELECT event_id, sha256(regexp_replace(props, '[0-9]+', '<NUM>', 'g')) AS redacted_hash FROM events ORDER BY event_id LIMIT 200",
+    "q38_asof_join" -> ("WITH r AS (SELECT user_id, ts, max(value) AS state_v FROM events WHERE event_type = 'click' GROUP BY user_id, ts), " +
+      "l AS (SELECT event_id, user_id, ts FROM events WHERE event_type <> 'click') " +
+      "SELECT l.event_id, l.user_id, r.ts AS state_ts, round(r.state_v, 2) AS state_v " +
+      "FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts"),
+    "q39_range_join" -> ("WITH iv(interval_id, lo, hi) AS (VALUES (1, 0.0, 7.0), (2, 5.0, 23.0), (3, 20.0, 31.0), (4, 30.0, 55.0), (5, 2.0, 3.0)) " +
+      "SELECT iv.interval_id, count(*) AS cnt, CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS sum_qty " +
+      "FROM lineitem l JOIN iv ON l.l_quantity >= iv.lo AND l.l_quantity < iv.hi GROUP BY iv.interval_id"),
+    "q40_percentiles" -> ("SELECT l_returnflag, round(quantile_cont(l_quantity, 0.5), 4) AS q50, " +
+      "round(quantile_cont(l_quantity, 0.9), 4) AS q90, round(quantile_cont(l_extendedprice, 0.25), 4) AS p25_price " +
+      "FROM lineitem GROUP BY l_returnflag"),
     "q37_cube" -> "SELECT l_returnflag, l_linestatus, count(*) AS cnt, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)",
     "q19_knn_bruteforce" -> ("SELECT e.vec_id, round(" +
       "(SELECT sum(CAST(a.v AS DOUBLE) * CAST(b.v AS DOUBLE)) FROM (SELECT unnest(e.embedding) AS v, generate_subscripts(e.embedding, 1) AS i) a JOIN (SELECT unnest(q.embedding) AS v, generate_subscripts(q.embedding, 1) AS i FROM embeddings q WHERE q.vec_id = 7) b ON a.i = b.i) " +

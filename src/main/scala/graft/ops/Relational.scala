@@ -1,0 +1,77 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Relational operators Spark lacks natively, built scale-first on
+  * Catalyst primitives (no custom physical plan needed — both reduce to
+  * one hash-partitioned shuffle):
+  *
+  *  - AS-OF JOIN (each left row matched to the latest right row with
+  *    `ts_r <= ts_l` for the same key): the union + keyed-window
+  *    `last(ignoreNulls)` rendition. A sort-merge self-band-join would
+  *    shuffle both sides too; this shape shuffles each row exactly once
+  *    and never materializes candidate pairs.
+  *  - POINT-IN-INTERVAL RANGE JOIN: intervals are exploded onto a fixed
+  *    bin grid and the join becomes an EQUI join on the bin id with a
+  *    residual containment filter — the textbook binned range join. At
+  *    100 TB the bin equi-join hash-partitions like any other join (AQE
+  *    skew-splits hot bins); a naive `BETWEEN` theta-join would be a
+  *    broadcast nested loop over every pair.
+  */
+object Relational {
+
+  /** As-of join: for every left row, the latest right row of the same
+    * `keyCol` with `right.tsCol <= left.tsCol` (inclusive). Right value
+    * columns arrive as `_r_<name>`; the matched right timestamp as
+    * `_asof_ts` (null when no right row precedes — left-join semantics).
+    *
+    * `right` must be unique per (key, ts) — pre-aggregate otherwise
+    * (ties among right rows would make "the" latest row ambiguous in any
+    * engine). Exactly ONE shuffle: the union is partitioned by `keyCol`
+    * for the window; ties at equal ts order right-before-left, so a
+    * same-instant right row is visible to the left row (>= semantics,
+    * matching SQL ASOF JOIN).
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
+               tsCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rightVals = right.columns.filterNot(c => c == keyCol || c == tsCol).toSeq
+    val l2 = left.withColumn("_side", lit(1))
+    val r2 = right.select(
+        col(keyCol) +: col(tsCol) +: rightVals.map(c => col(c).as(s"_r_$c")): _*)
+      .withColumn("_side", lit(0))
+    val u = l2.unionByName(r2, allowMissingColumns = true)
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col("_side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withVals = rightVals.foldLeft(u) { (df, c) =>
+      df.withColumn(s"_r_$c", last(col(s"_r_$c"), ignoreNulls = true).over(w))
+    }
+    withVals
+      .withColumn("_asof_ts",
+        last(when(col("_side") === 0, col(tsCol)), ignoreNulls = true).over(w))
+      .where(col("_side") === 1)
+      .drop("_side")
+  }
+
+  /** Binned point-in-interval join: rows of `points` paired with every
+    * interval `[lo, hi)` containing `ptCol`. Both sides land on a
+    * `binWidth`-wide grid; the grid id is the equi-join key and the
+    * half-open containment predicate is re-checked as a residual filter,
+    * so bin width affects only performance, never the result. Intervals
+    * with `lo >= hi` are empty and dropped.
+    */
+  def pointsInIntervals(points: DataFrame, ptCol: String,
+                        intervals: DataFrame, binWidth: Double): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    val pB = points.withColumn("_bin", floor(col(ptCol) / binWidth).cast("long"))
+    val iB = intervals.where(col("lo") < col("hi"))
+      .withColumn("_bin", explode(sequence(
+        floor(col("lo") / binWidth).cast("long"),
+        ceil(col("hi") / binWidth).cast("long") - 1)))
+    pB.join(iB, "_bin")
+      .where(col(ptCol) >= col("lo") && col(ptCol) < col("hi"))
+      .drop("_bin")
+  }
+}

@@ -283,6 +283,58 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
     assert(filesRead === 4L, s"probe must scan only the probed cells, read $filesRead")
   }
 
+  test("asof join: equals the per-key brute-force oracle, inclusive at equal ts") {
+    import graft.ops.Relational
+    val r = new scala.util.Random(61)
+    val right = Seq.tabulate(60)(i => (i % 7L, 1000L + r.nextInt(500) * 10, i * 1.5))
+      .distinct.groupBy(t => (t._1, t._2)).map(_._2.head).toSeq // unique (key, ts)
+    val left = Seq.tabulate(120)(i => (100L + i, i % 9L, 1000L + r.nextInt(5200)))
+    val rightDf = right.toDF("k", "ts", "v")
+    val leftDf = left.toDF("id", "k", "ts")
+    val got = Relational.asofJoin(leftDf, rightDf, "k", "ts")
+      .select($"id", $"_asof_ts", $"_r_v")
+      .as[(Long, Option[Long], Option[Double])].collect()
+      .map { case (id, ts, v) => id -> ((ts, v)) }.toMap
+    assert(got.size === left.size, "left-join semantics: every left row survives")
+    left.foreach { case (id, k, ts) =>
+      val want = right.filter(t => t._1 == k && t._2 <= ts).sortBy(_._2).lastOption
+      assert(got(id) === ((want.map(_._2), want.map(_._3))), s"row $id (k=$k ts=$ts)")
+    }
+    // exactly one exchange: the window's hash partitioning on the key
+    val plan = Relational.asofJoin(leftDf, rightDf, "k", "ts")
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 1, plan)
+  }
+
+  test("binned range join: equals the naive theta join at any bin width") {
+    import graft.ops.Relational
+    val r = new scala.util.Random(62)
+    val pts = Seq.fill(400)(r.nextDouble() * 60).toDF("x")
+    val ivs = Seq((1, 0.0, 7.0), (2, 5.0, 23.0), (3, 20.0, 31.0),
+      (4, 30.0, 55.0), (5, 2.0, 3.0), (6, 9.0, 9.0)).toDF("interval_id", "lo", "hi")
+    val naive = pts.join(ivs, $"x" >= $"lo" && $"x" < $"hi")
+      .select($"interval_id", $"x").as[(Int, Double)].collect().sorted.toSeq
+    for (bw <- Seq(0.5, 8.0, 100.0)) {
+      val binned = Relational.pointsInIntervals(pts, "x", ivs, bw)
+        .select($"interval_id", $"x").as[(Int, Double)].collect().sorted.toSeq
+      assert(binned === naive, s"bin width $bw must not change the result")
+    }
+    assert(naive.nonEmpty && naive.count(_._1 == 6) === 0, "empty interval stays empty")
+  }
+
+  test("approx_count_distinct stays within the HLL rsd bound") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val rows = e.groupBy($"event_type")
+      .agg(approx_count_distinct($"user_id", 0.02).as("a"),
+        countDistinct($"user_id").as("x"))
+      .as[(String, Long, Long)].collect()
+    rows.foreach { case (t, a, x) =>
+      val rel = math.abs(a - x).toDouble / math.max(x, 1L)
+      info(f"$t: approx=$a exact=$x rel=$rel%.4f")
+      assert(rel <= 0.05, s"$t relative error $rel exceeds 5x rsd headroom")
+    }
+  }
+
   test("columnar langId agrees with the kernel Lang.detect") {
     val texts = PageGen.pages(150).map(_.text)
     val got = texts.toDF("text").select(TextOps.langId($"text")).as[String].collect()
