@@ -513,6 +513,36 @@ object SparkEntry {
         s, pagesDir, s"$tmp/novel", s"$tmp/ckpt", maxFilesPerBatch = 32)
       s.read.parquet(s"$tmp/novel")
     }),
+    // §2-I: event-time sessionization over the file stream —
+    // session_window + watermark, append-mode finalization; a fencepost
+    // event flushes the bounded backfill (StreamingSpec proves equality
+    // with the batch operator)
+    "pipe22_streaming_sessions" -> ((s, _) => {
+      import s.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("graft-pipe22").toString
+      val base = java.sql.Timestamp.valueOf("2024-01-05 00:00:00").getTime
+      val wave = for {
+        u <- 0L until 10L
+        burst <- 0 until 3
+        k <- 0 until 4
+      } yield (u * 1000 + burst * 10 + k,
+        new java.sql.Timestamp(base + u * 9000 + burst * 180000L + k * 7000L),
+        u, (k + 1).toDouble)
+      s.createDataset(wave.toIndexedSeq).toDF("event_id", "ts", "user_id", "value")
+        .repartition(2).write.parquet(s"$tmp/events")
+      graft.streaming.StreamingRun.sessionizeAvailableNow(
+        s, s"$tmp/events", s"$tmp/sessions", s"$tmp/ckpt",
+        gapSeconds = 30, watermarkDelaySeconds = 10)
+      s.createDataset(Seq((99999L, new java.sql.Timestamp(base + 100000000L), 999L, 0.0)))
+        .toDF("event_id", "ts", "user_id", "value")
+        .write.mode("append").parquet(s"$tmp/events")
+      graft.streaming.StreamingRun.sessionizeAvailableNow(
+        s, s"$tmp/events", s"$tmp/sessions", s"$tmp/ckpt",
+        gapSeconds = 30, watermarkDelaySeconds = 10)
+      s.read.parquet(s"$tmp/sessions").where(col("user_id") =!= 999L)
+        .select(col("user_id"), col("session_start"), col("session_end"),
+          col("events"), col("value_sum"))
+    }),
     // A7/F2: newest-first manifest listing (the reference's mtime-desc
     // file listing, routes.py:44-60)
     "pipe13_manifest_listing" -> ((s, _) => {

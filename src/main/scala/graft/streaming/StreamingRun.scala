@@ -166,6 +166,45 @@ object StreamingRun {
     commitNovel(spark, novel, outDir, checkpointDir)
   }
 
+  /** Event-time sessionization over a file-source event stream: the
+    * streaming rendition of the batch q34 operator, built on
+    * `session_window(gap)` + a watermark (append mode — a session is
+    * emitted exactly once, when the event-time watermark passes its
+    * close). The sink is the same batch_id-partitioned idempotent commit
+    * as the dedup streams.
+    *
+    * Watermark semantics to know when draining with `AvailableNow`:
+    * the watermark advances only when a batch processes data, to
+    * `max(event time seen) − delay` — so sessions closing within `delay`
+    * of the newest event stay in state awaiting later input. A bounded
+    * backfill that must flush everything appends a fencepost event far
+    * past the real data (the standard pattern); a live deployment simply
+    * keeps receiving events. Returns the number of sessions emitted by
+    * this drain.
+    */
+  def sessionizeAvailableNow(spark: SparkSession, eventsDir: String,
+                             outDir: String, checkpointDir: String,
+                             gapSeconds: Int, watermarkDelaySeconds: Int,
+                             maxFilesPerBatch: Int = 1000): Long = {
+    val schema = spark.read.parquet(eventsDir).schema
+    val sessions = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerBatch)
+      .parquet(eventsDir)
+      // event time must be an instant: NTZ event columns cast through LTZ
+      // (session timezone is UTC, so the instant is unchanged)
+      .withColumn("ts_ltz", col("ts").cast("timestamp_ltz"))
+      .withWatermark("ts_ltz", s"$watermarkDelaySeconds seconds")
+      .groupBy(col("user_id"),
+        session_window(col("ts_ltz"), s"$gapSeconds seconds"))
+      .agg(count(lit(1)).as("events"), sum(col("value")).as("value_sum"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("events"), round(col("value_sum"), 2).as("value_sum"))
+    commitNovel(spark, sessions, outDir, checkpointDir)
+  }
+
   /** Exactly-once commit for the dedup streams: `foreachBatch` has no
     * sink batch log, so a crash between the write and the checkpoint
     * commit replays the micro-batch — a plain append would then duplicate

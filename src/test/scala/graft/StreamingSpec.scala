@@ -128,6 +128,54 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     assert(outB.where($"url".endsWith("?late")).count() === expected.toLong)
   }
 
+  test("event-time sessionization: watermark-finalized sessions equal the batch operator") {
+    import org.apache.spark.sql.functions._
+    val tmp = Files.createTempDirectory("graft-ssess").toString
+    val (eventsDir, outDir, ckptDir) = (s"$tmp/events", s"$tmp/sessions", s"$tmp/ckpt")
+    val base = java.sql.Timestamp.valueOf("2024-01-05 00:00:00").getTime
+    // 3 users × bursts separated by > gap → multiple sessions each
+    val wave = for {
+      u <- 0L until 3L
+      burst <- 0 until 4
+      k <- 0 until 5
+    } yield (u * 1000 + burst * 10 + k,
+      new java.sql.Timestamp(base + u * 7000 + burst * 120000L + k * 5000L),
+      u, (k + 1).toDouble)
+    spark.createDataset(wave.toIndexedSeq).toDF("event_id", "ts", "user_id", "value")
+      .repartition(2).write.parquet(eventsDir)
+
+    val n1 = StreamingRun.sessionizeAvailableNow(spark, eventsDir, outDir, ckptDir,
+      gapSeconds = 30, watermarkDelaySeconds = 10)
+    // the watermark sits 10 s behind the newest event: the final sessions
+    // are still open in state
+    assert(n1 > 0 && n1 < 12, s"expected a partial drain, got $n1")
+
+    // fencepost event far past the data pushes the watermark over every
+    // real session close; its own session stays open (and is excluded)
+    spark.createDataset(Seq(
+        (9999L, new java.sql.Timestamp(base + 100000000L), 99L, 0.0)))
+      .toDF("event_id", "ts", "user_id", "value")
+      .write.mode("append").parquet(eventsDir)
+    val n2 = StreamingRun.sessionizeAvailableNow(spark, eventsDir, outDir, ckptDir,
+      gapSeconds = 30, watermarkDelaySeconds = 10)
+    assert(n1 + n2 === 12L, s"3 users x 4 bursts must finalize, got ${n1 + n2}")
+
+    val got = spark.read.parquet(outDir).where($"user_id" =!= 99L)
+      .select($"user_id", $"session_start", $"session_end", $"events", $"value_sum")
+      .as[(Long, java.sql.Timestamp, java.sql.Timestamp, Long, Double)]
+      .collect().sortBy(t => (t._1, t._2.getTime)).toSeq
+    val want = spark.read.parquet(eventsDir).where($"user_id" =!= 99L)
+      .withColumn("ts_ltz", $"ts".cast("timestamp_ltz"))
+      .groupBy($"user_id", session_window($"ts_ltz", "30 seconds"))
+      .agg(count(lit(1)).as("events"), sum($"value").as("value_sum"))
+      .select($"user_id", $"session_window.start".as("session_start"),
+        $"session_window.end".as("session_end"), $"events",
+        round($"value_sum", 2).as("value_sum"))
+      .as[(Long, java.sql.Timestamp, java.sql.Timestamp, Long, Double)]
+      .collect().sortBy(t => (t._1, t._2.getTime)).toSeq
+    assert(got === want, "streaming sessions must equal the batch operator")
+  }
+
   test("streaming output matches the batch run byte-for-byte") {
     val tmp = Files.createTempDirectory("graft-stream-eq").toString
     val fixture = PageGen.pages(120)
