@@ -61,6 +61,32 @@ object ExplainProbe {
         s"${s.read.parquet(s"$idxDir/corpus").inputFiles.length} (nprobe=4, nlist=16)")
     }
 
+    println("==== q38 as-of join (want: ONE hashpartitioning exchange, no join operator) ====")
+    locally {
+      val ev = s.read.parquet(s"$sfDir/events.parquet")
+      val right = ev.where(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts")).agg(max(col("value")).as("state_v"))
+      val left = ev.where(col("event_type") =!= "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val plan = graft.ops.Relational.asofJoin(left, right, "user_id", "ts")
+      plan.explain("formatted")
+      val exchanges = "Exchange hashpartitioning".r
+        .findAllIn(plan.queryExecution.executedPlan.toString).size
+      println(s"hash exchanges in as-of join plan: $exchanges")
+    }
+
+    println("==== q39 binned range join (want: equi-join on _bin, residual filter, no BNLJ) ====")
+    locally {
+      import s.implicits._
+      val intervals = Seq((1, 0.0, 7.0), (2, 5.0, 23.0), (3, 20.0, 31.0),
+        (4, 30.0, 55.0)).toDF("interval_id", "lo", "hi")
+      graft.ops.Relational.pointsInIntervals(
+          s.read.parquet(s"$sfDir/lineitem.parquet").select(col("l_quantity")),
+          "l_quantity", intervals, binWidth = 8.0)
+        .groupBy(col("interval_id")).agg(count(lit(1)).as("cnt"))
+        .explain("formatted")
+    }
+
     println("==== q30 to_json projection (want: 2-column ReadSchema + limit pushdown) ====")
     s.read.parquet(s"$sfDir/documents.parquet").orderBy(asc("doc_id")).limit(100)
       .select(col("doc_id"),

@@ -45,12 +45,14 @@ object Relational {
     val w = Window.partitionBy(col(keyCol))
       .orderBy(col(tsCol), col("_side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val withVals = rightVals.foldLeft(u) { (df, c) =>
-      df.withColumn(s"_r_$c", last(col(s"_r_$c"), ignoreNulls = true).over(w))
-    }
-    withVals
-      .withColumn("_asof_ts",
-        last(when(col("_side") === 0, col(tsCol)), ignoreNulls = true).over(w))
+    // every window column in ONE select → one Window operator (one pass
+    // over the sorted partition), not one per filled column
+    val filled = rightVals.map(c =>
+      last(col(s"_r_$c"), ignoreNulls = true).over(w).as(s"_r_$c")) :+
+      last(when(col("_side") === 0, col(tsCol)), ignoreNulls = true)
+        .over(w).as("_asof_ts")
+    val keep = u.columns.filterNot(_.startsWith("_r_")).map(col)
+    u.select(keep ++ filled: _*)
       .where(col("_side") === 1)
       .drop("_side")
   }
