@@ -355,6 +355,39 @@ object SparkEntry {
           round(expr("percentile(l_quantity, 0.9)"), 4).as("q90"),
           round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25_price"))
     }),
+    // pivot: event_type columns per user bucket (fixed value list keeps
+    // the schema static — the scale-correct form; dynamic pivot needs a
+    // driver-side distinct pass)
+    "q41_pivot" -> ((s, dir) => {
+      t(s, dir, "events")
+        .withColumn("user_bucket", pmod(col("user_id"), lit(10)))
+        .groupBy(col("user_bucket"))
+        .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+        .agg(count(lit(1)))
+        .na.fill(0) // absent combos: null under pivot, 0 under CASE-sums
+    }),
+    // EXCEPT (set difference with distinct semantics)
+    "q42_except" -> ((s, dir) => {
+      t(s, dir, "customer").select(col("c_nationkey").as("k"))
+        .except(t(s, dir, "supplier").select(col("s_nationkey").as("k")))
+        .orderBy(asc("k"))
+    }),
+    // the ranking-window family in one query: rank / dense_rank / ntile /
+    // lead / cume_dist over a per-flag price ordering (event_id-free
+    // total order via (l_orderkey, l_linenumber) tie-breaks)
+    "q43_window_suite" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("l_returnflag"))
+        .orderBy(desc("l_extendedprice"), asc("l_orderkey"), asc("l_linenumber"))
+      t(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+          rank().over(w).as("rnk"),
+          dense_rank().over(w).as("drnk"),
+          ntile(4).over(w).as("quartile"),
+          lead(col("l_orderkey"), 1).over(w).as("next_order"),
+          round(cume_dist().over(w), 6).as("cd"))
+        .where(col("rnk") <= 50)
+    }),
     // HLL++ sketch next to the exact answer (rows-only: approximate by
     // design; OpsSpec asserts the relative-error bound)
     "pipe21_approx_distinct" -> ((s, dir) => {
@@ -680,6 +713,20 @@ object SparkEntry {
     "q40_percentiles" -> ("SELECT l_returnflag, round(quantile_cont(l_quantity, 0.5), 4) AS q50, " +
       "round(quantile_cont(l_quantity, 0.9), 4) AS q90, round(quantile_cont(l_extendedprice, 0.25), 4) AS p25_price " +
       "FROM lineitem GROUP BY l_returnflag"),
+    "q41_pivot" -> ("SELECT user_id % 10 AS user_bucket, " +
+      "CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click, " +
+      "CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view, " +
+      "CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase, " +
+      "CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup, " +
+      "CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error " +
+      "FROM events GROUP BY 1"),
+    "q42_except" -> "SELECT k FROM (SELECT c_nationkey AS k FROM customer EXCEPT SELECT s_nationkey FROM supplier) t ORDER BY k",
+    "q43_window_suite" -> ("SELECT l_returnflag, l_orderkey, l_linenumber, rnk, drnk, quartile, next_order, cd FROM (" +
+      "SELECT l_returnflag, l_orderkey, l_linenumber, " +
+      "rank() OVER w AS rnk, dense_rank() OVER w AS drnk, ntile(4) OVER w AS quartile, " +
+      "lead(l_orderkey, 1) OVER w AS next_order, round(cume_dist() OVER w, 6) AS cd " +
+      "FROM lineitem WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber)) t " +
+      "WHERE rnk <= 50"),
     "q37_cube" -> "SELECT l_returnflag, l_linestatus, count(*) AS cnt, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)",
     "q19_knn_bruteforce" -> ("SELECT e.vec_id, round(" +
       "(SELECT sum(CAST(a.v AS DOUBLE) * CAST(b.v AS DOUBLE)) FROM (SELECT unnest(e.embedding) AS v, generate_subscripts(e.embedding, 1) AS i) a JOIN (SELECT unnest(q.embedding) AS v, generate_subscripts(q.embedding, 1) AS i FROM embeddings q WHERE q.vec_id = 7) b ON a.i = b.i) " +

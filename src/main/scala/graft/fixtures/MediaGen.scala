@@ -402,6 +402,32 @@ object MediaGen {
     out.toByteArray
   }
 
+  // ------------------------------------------------------ AVI/MJPEG writer
+  /** Minimal RIFF AVI containing a Motion-JPEG video stream: LIST hdrl
+    * (avih with µs/frame, frame count, dims) + LIST movi with one `00dc`
+    * chunk per baseline-JPEG frame (from [[jpeg]]).
+    */
+  def aviMjpeg(jpegFrames: Seq[Array[Byte]], w: Int, h: Int, fps: Int): Array[Byte] = {
+    require(jpegFrames.nonEmpty && fps > 0)
+    def chunk(id: String, data: Array[Byte]): Array[Byte] =
+      id.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1) ++ le32(data.length) ++
+        data ++ (if ((data.length & 1) == 1) Array[Byte](0) else Array.empty[Byte])
+    def list(typ: String, children: Array[Byte]): Array[Byte] =
+      chunk("LIST", typ.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1) ++ children)
+    val avih = new java.io.ByteArrayOutputStream()
+    avih.write(le32(1000000 / fps)) // dwMicroSecPerFrame
+    avih.write(le32(0)); avih.write(le32(0)); avih.write(le32(0))
+    avih.write(le32(jpegFrames.length)) // dwTotalFrames
+    avih.write(le32(0)); avih.write(le32(1)); avih.write(le32(0)) // 1 stream
+    avih.write(le32(w)); avih.write(le32(h))
+    (0 until 4).foreach(_ => avih.write(le32(0)))
+    val hdrl = list("hdrl", chunk("avih", avih.toByteArray))
+    val movi = list("movi", jpegFrames.map(f => chunk("00dc", f)).reduce(_ ++ _))
+    val body = "AVI ".getBytes(java.nio.charset.StandardCharsets.ISO_8859_1) ++ hdrl ++ movi
+    "RIFF".getBytes(java.nio.charset.StandardCharsets.ISO_8859_1) ++
+      le32(body.length) ++ body
+  }
+
   // ------------------------------------------------------------ GIF writer
   /** GIF89a writer: global colour table, optional 4-pass interlacing,
     * real LZW compression (variable-width codes with the decoder-lag
@@ -831,9 +857,14 @@ object MediaGen {
         case 2 =>
           val w = 8 + r.nextInt(24); val h = 8 + r.nextInt(16)
           val fps = 10 + r.nextInt(20); val frames = 1 + r.nextInt(30)
-          Media(i.toLong, s"https://host$host.example.com/vid/$i", "video",
-            "VID1".getBytes ++ be32(w) ++ be32(h) ++ be32(fps) ++ be32(frames) ++
-              body(r, math.min(w * h * frames, 4096)))
+          if (r.nextBoolean()) // real Motion-JPEG AVI
+            Media(i.toLong, s"https://host$host.example.com/vid/$i.avi", "video",
+              aviMjpeg(Seq.tabulate(frames)(_ =>
+                jpeg(Array.fill(w * h)(r.nextInt(256)), w, h)), w, h, fps))
+          else // stub container (stand-in for modern codecs)
+            Media(i.toLong, s"https://host$host.example.com/vid/$i", "video",
+              "VID1".getBytes ++ be32(w) ++ be32(h) ++ be32(fps) ++ be32(frames) ++
+                body(r, math.min(w * h * frames, 4096)))
         case 3 =>
           val w = 4 + r.nextInt(28); val h = 4 + r.nextInt(20)
           Media(i.toLong, s"https://host$host.example.com/img/$i.bmp", "image",

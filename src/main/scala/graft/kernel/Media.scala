@@ -45,6 +45,9 @@ object Media {
   def isGif(p: Array[Byte]): Boolean =
     p.length >= 6 && p(0) == 'G' && p(1) == 'I' && p(2) == 'F' && p(3) == '8' &&
       (p(4) == '7' || p(4) == '9') && p(5) == 'a'
+  def isAvi(p: Array[Byte]): Boolean =
+    p.length >= 12 && p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F' &&
+      p(8) == 'A' && p(9) == 'V' && p(10) == 'I' && p(11) == ' '
 
   /** BMP → per-pixel 0–255 luminance (BT.601 integer weights for 24/32
     * bpp; the raw index byte for 8 bpp — palettes carry presentation, not
@@ -185,6 +188,59 @@ object Media {
       i += 1
     }
     Decoded("wav", 0, 0, rate, n, out, 32768)
+  }
+
+  /** AVI (RIFF) with Motion-JPEG video → first frame's luminance via the
+    * from-scratch [[Jpeg]] decoder, plus the video frame count and frame
+    * rate from the `avih` header. The RIFF LIST tree is walked in Long
+    * (crafted lengths fail, never wrap); `00dc`/`00db` chunks inside
+    * `movi` are the video frames — later frames are counted structurally
+    * without decoding, so a long clip costs one frame's decode. This is
+    * the classic pre-codec-library video format a from-scratch engine CAN
+    * decode for real; modern codecs (H.264 etc.) remain behind the stub
+    * container.
+    */
+  def decodeAvi(p: Array[Byte]): Decoded = {
+    require(isAvi(p), "not a RIFF AVI")
+    var microSecPerFrame = 0L
+    var avihW = 0; var avihH = 0
+    var firstFrame: Array[Byte] = null
+    var frames = 0
+    def isVideoChunk(id: String): Boolean =
+      id.length == 4 && id(0).isDigit && id(1).isDigit &&
+        (id.substring(2) == "dc" || id.substring(2) == "db")
+    def walk(from: Long, to: Long, depth: Int): Unit = {
+      require(depth < 6, "RIFF nesting too deep")
+      var off = from
+      while (off + 8 <= to) {
+        val o = off.toInt
+        val id = new String(p, o, 4, java.nio.charset.StandardCharsets.ISO_8859_1)
+        val len = le32(p, o + 4)
+        require(len >= 0, s"negative chunk length in $id")
+        require(off + 8 + len <= to, s"truncated chunk $id")
+        if (id == "LIST") {
+          require(len >= 4, "short LIST")
+          walk(off + 12, off + 8 + len, depth + 1)
+        } else if (id == "avih") {
+          require(len >= 40, "short avih")
+          microSecPerFrame = le32(p, o + 8) & 0xffffffffL
+          avihW = le32(p, o + 40); avihH = le32(p, o + 44)
+        } else if (isVideoChunk(id)) {
+          frames += 1
+          if (firstFrame == null && len > 0)
+            firstFrame = java.util.Arrays.copyOfRange(p, o + 8, o + 8 + len)
+        }
+        off += 8L + len + (len & 1) // word-aligned
+      }
+    }
+    walk(12, math.min(p.length.toLong, 8L + le32(p, 4)), 0)
+    require(firstFrame != null, "no video frames")
+    require(Jpeg.isJpeg(firstFrame), "non-MJPEG video stream unsupported")
+    val d = Jpeg.decode(firstFrame)
+    require(avihW <= 0 || (d.width == avihW && d.height == avihH),
+      s"frame dims ${d.width}x${d.height} disagree with avih ${avihW}x$avihH")
+    val fps = if (microSecPerFrame > 0) math.round(1e6 / microSecPerFrame).toInt else 0
+    Decoded("mjpeg", d.width, d.height, fps, frames, d.samples, 255)
   }
 
   /** GIF87a/89a → first frame's per-pixel 0–255 luminance (palette

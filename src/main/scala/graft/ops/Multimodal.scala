@@ -8,11 +8,12 @@ import org.apache.spark.sql.functions._
   * resize / frame-sampling run per-partition over the binary batches.
   *
   * Decoding is REAL for the formats that dominate a web crawl's media
-  * columns — baseline JPEG via [[graft.kernel.Jpeg]] (from-scratch
-  * huffman + dequant + IDCT), and BMP, WAV-PCM, PNG via
-  * [[graft.kernel.Media]] (JDK `Inflater` + per-spec defiltering).
-  * Formats that genuinely need an external codec library (video codecs,
-  * progressive JPEG) are carried by the deterministic fixture container
+  * columns — baseline AND progressive JPEG via [[graft.kernel.Jpeg]]
+  * (from-scratch huffman + dequant + IDCT), and PNG (incl. indexed /
+  * Adam7 / 16-bit), GIF, Motion-JPEG AVI, BMP, WAV (PCM / float /
+  * G.711) via [[graft.kernel.Media]]. Formats that genuinely need an
+  * external codec library (H.264-era video/audio codecs) are carried by
+  * the deterministic fixture container
   * (`IMG1`/`AUD1`/`VID1`, see [[graft.fixtures.MediaGen]]) — those paths
   * are **STUBs for real codecs**: swap their bodies for ffmpeg bindings
   * and the rest (schema, typed Dataset plumbing, mapPartitions batch
@@ -119,6 +120,8 @@ object Multimodal {
   def decodeOne(m: Media): MediaFeatures = try {
     if (graft.kernel.Media.isBmp(m.payload))
       fromDecoded(m, graft.kernel.Media.decodeBmp(m.payload))
+    else if (graft.kernel.Media.isAvi(m.payload))
+      fromDecoded(m, graft.kernel.Media.decodeAvi(m.payload))
     else if (graft.kernel.Media.isWav(m.payload))
       fromDecoded(m, graft.kernel.Media.decodeWav(m.payload))
     else if (graft.kernel.Media.isPng(m.payload))

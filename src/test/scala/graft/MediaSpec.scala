@@ -270,6 +270,31 @@ class MediaSpec extends AnyFunSuite {
     intercept[Exception](Media.decodeGif("GIF89a".getBytes ++ Array[Byte](1, 2)))
   }
 
+  test("avi/mjpeg: first frame decodes via the jpeg kernel; frames and fps from the header") {
+    val r = new scala.util.Random(43)
+    val (w, h, fps, n) = (24, 16, 25, 7)
+    val first = Array.fill(w * h)(r.nextInt(256))
+    val frames = first +: Seq.fill(n - 1)(Array.fill(w * h)(r.nextInt(256)))
+    val payload = MediaGen.aviMjpeg(frames.map(f => MediaGen.jpeg(f, w, h)), w, h, fps)
+    val d = Media.decodeAvi(payload)
+    assert(d.codec === "mjpeg" && d.width === w && d.height === h)
+    assert(d.frames === n && d.sampleRate === fps)
+    // first frame's luma within jpeg rounding tolerance
+    assert(d.samples.zip(first).map { case (a, b) => math.abs(a - b) }.max <= 4)
+    // dispatch: RIFF AVI must not be mistaken for RIFF WAVE
+    val f = graft.ops.Multimodal.decodeOne(
+      graft.ops.Multimodal.Media(1L, "u", "video", payload))
+    assert(f.ok && f.codec === "mjpeg" && f.n_frames === n)
+    // truncated movi fails the row
+    intercept[Exception](Media.decodeAvi(payload.take(payload.length - 30)))
+    // dims disagreeing with avih are rejected, not silently accepted
+    val lying = payload.clone()
+    val avihAt = (0 until lying.length - 3).find(i =>
+      lying(i) == 'a' && lying(i + 1) == 'v' && lying(i + 2) == 'i' && lying(i + 3) == 'h').get
+    lying(avihAt + 8 + 32) = 99.toByte // dwWidth
+    intercept[Exception](Media.decodeAvi(lying))
+  }
+
   test("jpeg: grayscale round-trip within coefficient-rounding tolerance") {
     val r = new scala.util.Random(31)
     val (w, h) = (37, 22) // partial edge blocks on both axes
