@@ -388,6 +388,21 @@ object SparkEntry {
           round(cume_dist().over(w), 6).as("cd"))
         .where(col("rnk") <= 50)
     }),
+    // time-series rollup: date_trunc day buckets (NTZ-safe)
+    "q44_time_rollup" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("value_sum"))
+    }),
+    // JSON metadata extraction (crawl sidecar columns are JSON blobs):
+    // get_json_object path lookup, numeric cast, aggregate
+    "q45_json_extract" -> ((s, dir) => {
+      t(s, dir, "events")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("bigint").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("cnt"), sum(col("k")).as("k_sum"), max(col("k")).as("k_max"))
+    }),
     // HLL++ sketch next to the exact answer (rows-only: approximate by
     // design; OpsSpec asserts the relative-error bound)
     "pipe21_approx_distinct" -> ((s, dir) => {
@@ -721,6 +736,11 @@ object SparkEntry {
       "CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error " +
       "FROM events GROUP BY 1"),
     "q42_except" -> "SELECT k FROM (SELECT c_nationkey AS k FROM customer EXCEPT SELECT s_nationkey FROM supplier) t ORDER BY k",
+    "q44_time_rollup" -> "SELECT date_trunc('day', ts) AS day, event_type, count(*) AS cnt, round(sum(value), 2) AS value_sum FROM events GROUP BY 1, 2",
+    "q45_json_extract" -> ("SELECT event_type, count(*) AS cnt, " +
+      "CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum, " +
+      "CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_max " +
+      "FROM events GROUP BY event_type"),
     "q43_window_suite" -> ("SELECT l_returnflag, l_orderkey, l_linenumber, rnk, drnk, quartile, next_order, cd FROM (" +
       "SELECT l_returnflag, l_orderkey, l_linenumber, " +
       "rank() OVER w AS rnk, dense_rank() OVER w AS drnk, ntile(4) OVER w AS quartile, " +
