@@ -388,6 +388,19 @@ object SparkEntry {
           round(cume_dist().over(w), 6).as("cd"))
         .where(col("rnk") <= 50)
     }),
+    // deterministic train/val/test split — the reproducible sampler a
+    // training pipeline needs (NOT rand(): assignment must survive
+    // re-runs, repartitioning and engine changes). Split by the first
+    // hex byte of sha256(doc_id): 'cc'=204/256≈80 %, 'e6'=230/256≈10 %,
+    // rest test; lexicographic compare on lowercase hex is engine-stable
+    "q46_hash_split" -> ((s, dir) => {
+      val h = substring(sha2(col("doc_id").cast("string"), 256), 1, 2)
+      t(s, dir, "documents")
+        .withColumn("split",
+          when(h < "cc", "train").when(h < "e6", "val").otherwise("test"))
+        .groupBy(col("split"), col("lang"))
+        .agg(count(lit(1)).as("docs"), sum(col("n_chars")).as("chars"))
+    }),
     // time-series rollup: date_trunc day buckets (NTZ-safe)
     "q44_time_rollup" -> ((s, dir) => {
       t(s, dir, "events")
@@ -737,6 +750,9 @@ object SparkEntry {
       "FROM events GROUP BY 1"),
     "q42_except" -> "SELECT k FROM (SELECT c_nationkey AS k FROM customer EXCEPT SELECT s_nationkey FROM supplier) t ORDER BY k",
     "q44_time_rollup" -> "SELECT date_trunc('day', ts) AS day, event_type, count(*) AS cnt, round(sum(value), 2) AS value_sum FROM events GROUP BY 1, 2",
+    "q46_hash_split" -> ("SELECT CASE WHEN substr(sha256(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train' " +
+      "WHEN substr(sha256(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val' ELSE 'test' END AS split, " +
+      "lang, count(*) AS docs, CAST(sum(n_chars) AS BIGINT) AS chars FROM documents GROUP BY 1, 2"),
     "q45_json_extract" -> ("SELECT event_type, count(*) AS cnt, " +
       "CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum, " +
       "CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_max " +
