@@ -220,7 +220,7 @@ object MediaGen {
   // AC: EOB and 0x01 short (length 4), every other run/size byte at length
   // 10 — covers any symbol the encoder can emit, no all-ones code
   private val AcBits = Array(0, 0, 0, 0, 2, 0, 0, 0, 0, 0, 254, 0, 0, 0, 0, 0, 0)
-  private val AcVals = Array(0x00, 0x01) ++ (2 to 255).filterNot(v => v == 0x00 || v == 0x01)
+  private val AcVals = Array(0x00, 0x01) ++ (2 to 255)
   private lazy val DcCodes = canonicalCodes(DcBits, DcVals)
   private lazy val AcCodes = canonicalCodes(AcBits, AcVals)
 

@@ -443,6 +443,13 @@ object Jpeg {
     require(ss > 0 || se == 0, "a DC scan must have Se=0 (progressive)")
     val lumaComp = comps(0)
     if (!scanComps.exists(_ eq lumaComp)) return skipToMarker(p, start)
+    // fail descriptively (not NPE) when the scan references undefined DHTs
+    scanComps.foreach { c =>
+      if (ss == 0 && ah == 0)
+        require(dcTabs(c.dcTab) != null, s"missing DC huffman table ${c.dcTab}")
+      if (ss > 0)
+        require(acTabs(c.acTab) != null, s"missing AC huffman table ${c.acTab}")
+    }
     val hMax = comps.map(_.h).max; val vMax = comps.map(_.v).max
     val r = new BitReader(p, start)
     var eobrun = 0

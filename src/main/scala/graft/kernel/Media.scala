@@ -34,6 +34,13 @@ object Media {
     ((b(o) & 0xff) << 24) | ((b(o + 1) & 0xff) << 16) |
       ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
 
+  /** BT.601 integer luma — THE cross-decoder contract: every image
+    * decoder's grey output goes through these exact weights and this
+    * exact rounding, so decoders can never drift from one another.
+    */
+  private[kernel] def luma601(r: Int, g: Int, b: Int): Int =
+    (r * 299 + g * 587 + b * 114) / 1000
+
   def isBmp(p: Array[Byte]): Boolean =
     p.length >= 2 && p(0) == 'B' && p(1) == 'M'
   def isWav(p: Array[Byte]): Boolean =
@@ -81,7 +88,7 @@ object Media {
           if (bpp == 8) p(row) & 0xff
           else {
             val b = p(row) & 0xff; val g = p(row + 1) & 0xff; val r = p(row + 2) & 0xff
-            (r * 299 + g * 587 + b * 114) / 1000
+            luma601(r, g, b)
           }
         out(y * w + x) = v
         row += bytesPerPx
@@ -206,8 +213,10 @@ object Media {
     var avihW = 0; var avihH = 0
     var firstFrame: Array[Byte] = null
     var frames = 0
+    // stream 00 only: a multi-stream AVI (e.g. video + a second video or
+    // preview stream) must not have its chunk counts conflated
     def isVideoChunk(id: String): Boolean =
-      id.length == 4 && id(0).isDigit && id(1).isDigit &&
+      id.length == 4 && id(0) == '0' && id(1) == '0' &&
         (id.substring(2) == "dc" || id.substring(2) == "db")
     def walk(from: Long, to: Long, depth: Int): Unit = {
       require(depth < 6, "RIFF nesting too deep")
@@ -268,8 +277,7 @@ object Media {
     }
     def lumaOf(pal: Array[Byte], idx: Int): Int = {
       require(idx * 3 + 2 < pal.length, s"palette index $idx out of range")
-      ((pal(idx * 3) & 0xff) * 299 + (pal(idx * 3 + 1) & 0xff) * 587 +
-        (pal(idx * 3 + 2) & 0xff) * 114) / 1000
+      luma601(pal(idx * 3) & 0xff, pal(idx * 3 + 1) & 0xff, pal(idx * 3 + 2) & 0xff)
     }
     def skipSubBlocks(at: Int): Int = {
       var o = at
@@ -525,11 +533,11 @@ object Media {
       if (colorType == 3) {
         val idx = img(o) & 0xff
         require(idx < nPal, s"palette index $idx out of range ($nPal entries)")
-        ((palette(idx * 3) & 0xff) * 299 + (palette(idx * 3 + 1) & 0xff) * 587 +
-          (palette(idx * 3 + 2) & 0xff) * 114) / 1000
+        luma601(palette(idx * 3) & 0xff, palette(idx * 3 + 1) & 0xff,
+          palette(idx * 3 + 2) & 0xff)
       } else if (channels == 1) img(o) & 0xff
-      else ((img(o) & 0xff) * 299 + (img(o + bytesPerSample) & 0xff) * 587 +
-        (img(o + 2 * bytesPerSample) & 0xff) * 114) / 1000
+      else luma601(img(o) & 0xff, img(o + bytesPerSample) & 0xff,
+        img(o + 2 * bytesPerSample) & 0xff)
 
     val out = new Array[Int](w * h)
     var rawOff = 0

@@ -45,35 +45,46 @@ object Relational {
     val w = Window.partitionBy(col(keyCol))
       .orderBy(col(tsCol), col("_side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // every window column in ONE select → one Window operator (one pass
-    // over the sorted partition), not one per filled column
-    val filled = rightVals.map(c =>
-      last(col(s"_r_$c"), ignoreNulls = true).over(w).as(s"_r_$c")) :+
-      last(when(col("_side") === 0, col(tsCol)), ignoreNulls = true)
-        .over(w).as("_asof_ts")
+    // ONE window column carrying the whole right row as a struct: filling
+    // value columns independently would let a legitimately-NULL value in
+    // the true as-of row fall through to an OLDER row's value (a
+    // frankenrow mixing fields across right rows). The struct is non-null
+    // exactly on right rows, so last(ignoreNulls) picks one entire row —
+    // and a single window column is also a single Window pass.
+    val rowStruct = when(col("_side") === 0,
+      struct(col(tsCol).as("ts") +: rightVals.map(c => col(s"_r_$c").as(c)): _*))
     val keep = u.columns.filterNot(_.startsWith("_r_")).map(col)
-    u.select(keep ++ filled: _*)
+    u.select(keep :+ last(rowStruct, ignoreNulls = true).over(w).as("_asof"): _*)
       .where(col("_side") === 1)
-      .drop("_side")
+      .select((left.columns.map(col) :+ col("_asof.ts").as("_asof_ts")) ++
+        rightVals.map(c => col(s"_asof.$c").as(s"_r_$c")): _*)
   }
 
   /** Binned point-in-interval join: rows of `points` paired with every
-    * interval `[lo, hi)` containing `ptCol`. Both sides land on a
+    * interval `[loCol, hiCol)` containing `ptCol`. Both sides land on a
     * `binWidth`-wide grid; the grid id is the equi-join key and the
     * half-open containment predicate is re-checked as a residual filter,
     * so bin width affects only performance, never the result. Intervals
-    * with `lo >= hi` are empty and dropped.
+    * with `lo >= hi` are empty and dropped. The interval side's bound
+    * columns are aliased internally (and not echoed in the output), so
+    * the points side may carry columns of the same names without
+    * ambiguity; the output is points columns + the interval's OTHER
+    * columns (its identity).
     */
   def pointsInIntervals(points: DataFrame, ptCol: String,
-                        intervals: DataFrame, binWidth: Double): DataFrame = {
+                        intervals: DataFrame, binWidth: Double,
+                        loCol: String = "lo", hiCol: String = "hi"): DataFrame = {
     require(binWidth > 0, "binWidth must be positive")
     val pB = points.withColumn("_bin", floor(col(ptCol) / binWidth).cast("long"))
-    val iB = intervals.where(col("lo") < col("hi"))
+    val others = intervals.columns.filterNot(c => c == loCol || c == hiCol)
+    val iB = intervals
+      .select(others.map(col) :+ col(loCol).as("_lo") :+ col(hiCol).as("_hi"): _*)
+      .where(col("_lo") < col("_hi"))
       .withColumn("_bin", explode(sequence(
-        floor(col("lo") / binWidth).cast("long"),
-        ceil(col("hi") / binWidth).cast("long") - 1)))
+        floor(col("_lo") / binWidth).cast("long"),
+        ceil(col("_hi") / binWidth).cast("long") - 1)))
     pB.join(iB, "_bin")
-      .where(col(ptCol) >= col("lo") && col(ptCol) < col("hi"))
-      .drop("_bin")
+      .where(col(ptCol) >= col("_lo") && col(ptCol) < col("_hi"))
+      .drop("_bin", "_lo", "_hi")
   }
 }

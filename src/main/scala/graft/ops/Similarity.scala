@@ -92,13 +92,16 @@ object Similarity extends Serializable {
     * [[bruteForceTopK]] exactly (asserted in tests); smaller `nprobe`
     * trades recall for a ~nlist/nprobe scan reduction.
     */
-  /** Squared-L2 nearest centroid (sequential scan, deterministic). */
+  /** Squared-L2 nearest centroid (sequential scan, deterministic).
+    * Loops over the CENTROID's dimensionality: a shorter (corrupt)
+    * vector fails fast with an index error instead of being silently
+    * scored on a prefix and baked into the wrong cell.
+    */
   private[graft] def nearestCell(v: Array[Double], cs: Array[Array[Double]]): Int = {
     var best = 0; var bestD = Double.MaxValue; var c = 0
     while (c < cs.length) {
       val w = cs(c); var d = 0.0; var j = 0
-      val n = math.min(v.length, w.length)
-      while (j < n) { val t = v(j) - w(j); d += t * t; j += 1 }
+      while (j < w.length) { val t = v(j) - w(j); d += t * t; j += 1 }
       if (d < bestD) { bestD = d; best = c }
       c += 1
     }

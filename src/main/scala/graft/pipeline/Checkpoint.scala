@@ -165,7 +165,6 @@ object Checkpoint {
   def run(spark: SparkSession, pagesDir: String, outDir: String,
           manifestDir: String, metricsDir: String,
           runId: String, runTs: Timestamp): Long = {
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     val pages = spark.read.parquet(pagesDir)
     // First-run probe by directory listing, not read-and-catch: the caught
     // AnalysisException used to print a stack trace that polluted stderr
@@ -195,8 +194,12 @@ object Checkpoint {
       // partitioned write
       val docs = extractParted(todo)
         .persist() // consumed twice: partitioned write + metrics rollup
+      // dynamic overwrite scoped to THIS writer (a session-wide conf.set
+      // would silently change every later overwrite's semantics)
       docs.drop("extract_ns")
-        .write.mode("overwrite").partitionBy("ts_day", "url_bucket").parquet(outDir)
+        .write.mode("overwrite").partitionBy("ts_day", "url_bucket")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(outDir)
       metricsParted(todo, docs, runId).write.mode("append").parquet(metricsDir)
       manifestRows(todo, runId, runTs, outDir).write.mode("append").parquet(manifestDir)
       docs.unpersist()

@@ -38,7 +38,6 @@ object StreamingRun {
                       metricsDir: String, checkpointDir: String,
                       runId: String,
                       maxFilesPerBatch: Int = 1000): Long = {
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     // file stream sources need an explicit schema: one driver-side
     // metadata read of the existing layout (partition columns included)
     val schema = spark.read.parquet(pagesDir).schema
@@ -62,6 +61,7 @@ object StreamingRun {
         // versions — collapsing them is the dedup/compaction layer's job.
         docs.drop("extract_ns").withColumn("batch_id", lit(batchId))
           .write.mode("overwrite").partitionBy("batch_id", "ts_day", "url_bucket")
+          .option("partitionOverwriteMode", "dynamic") // scoped to this writer
           .parquet(outDir)
         Checkpoint.metricsParted(batch, docs, runId)
           .withColumn("batch_id", lit(batchId))
@@ -215,15 +215,18 @@ object StreamingRun {
     */
   private def commitNovel(spark: SparkSession, novel: DataFrame,
                           outDir: String, checkpointDir: String): Long = {
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     var emitted = 0L
     val q = novel.writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val n = batch.persist().count()
+        // partitionOverwriteMode scoped to THIS writer — a session-wide
+        // conf.set would silently turn every later overwrite in the same
+        // SparkSession dynamic (leaving stale partitions in place)
         batch.withColumn("batch_id", lit(batchId))
           .write.mode("overwrite").partitionBy("batch_id")
+          .option("partitionOverwriteMode", "dynamic")
           .parquet(outDir)
         batch.unpersist()
         emitted += n

@@ -304,6 +304,16 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
     val plan = Relational.asofJoin(leftDf, rightDf, "k", "ts")
       .queryExecution.executedPlan.toString
     assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 1, plan)
+
+    // a NULL value in the true as-of row must surface as NULL — not fall
+    // through to an older right row's value (the frankenrow bug class)
+    val rNull = Seq((1L, 100L, Some(5.0)), (1L, 200L, None))
+      .toDF("k", "ts", "v")
+    val lOne = Seq((7L, 1L, 300L)).toDF("id", "k", "ts")
+    val row = Relational.asofJoin(lOne, rNull, "k", "ts")
+      .select($"_asof_ts", $"_r_v").as[(Option[Long], Option[Double])].head()
+    assert(row === ((Some(200L), None)),
+      "as-of row with null value must not borrow an older row's value")
   }
 
   test("binned range join: equals the naive theta join at any bin width") {
