@@ -401,6 +401,32 @@ object SparkEntry {
         .groupBy(col("split"), col("lang"))
         .agg(count(lit(1)).as("docs"), sum(col("n_chars")).as("chars"))
     }),
+    // corpus bigram counts (contamination/dedup diagnostics): top-20 by
+    // count with a lexicographic tie-break so the cut is total
+    "q47_bigram_counts" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(split(trim(col("text")), "\\s+").as("toks"))
+        // guard: Spark's sequence(1, 0) DESCENDS, so 1-token docs need an
+        // explicit empty array, not an empty-looking sequence
+        .select(explode(expr(
+          "CASE WHEN size(toks) < 2 THEN array() ELSE " +
+            "transform(sequence(1, size(toks) - 1), i -> concat(toks[i - 1], ' ', toks[i])) END"))
+          .as("bigram"))
+        .groupBy(col("bigram")).agg(count(lit(1)).as("cnt"))
+        .orderBy(desc("cnt"), asc("bigram")).limit(20)
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy(desc("cnt"), asc("bigram"))))
+    }),
+    // eval-contamination screen: how many documents contain each probe
+    // phrase (exact substring; the broadcast-probes shape at corpus scale)
+    "q48_contamination" -> ((s, dir) => {
+      import s.implicits._
+      val probes = Seq("stream join", "window merge", "quantum blockchain synergy")
+        .toDF("probe")
+      t(s, dir, "documents").crossJoin(broadcast(probes))
+        .groupBy(col("probe"))
+        .agg(sum(when(col("text").contains(col("probe")), 1L).otherwise(0L)).as("hits"))
+    }),
     // time-series rollup: date_trunc day buckets (NTZ-safe)
     "q44_time_rollup" -> ((s, dir) => {
       t(s, dir, "events")
@@ -750,6 +776,14 @@ object SparkEntry {
       "FROM events GROUP BY 1"),
     "q42_except" -> "SELECT k FROM (SELECT c_nationkey AS k FROM customer EXCEPT SELECT s_nationkey FROM supplier) t ORDER BY k",
     "q44_time_rollup" -> "SELECT date_trunc('day', ts) AS day, event_type, count(*) AS cnt, round(sum(value), 2) AS value_sum FROM events GROUP BY 1, 2",
+    "q47_bigram_counts" -> ("WITH tok AS (SELECT regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents), " +
+      "b AS (SELECT toks[i] || ' ' || toks[i + 1] AS bigram FROM (SELECT toks, unnest(range(1, len(toks))) AS i FROM tok)), " +
+      "c AS (SELECT bigram, count(*) AS cnt FROM b GROUP BY bigram) " +
+      "SELECT bigram, cnt, CAST(row_number() OVER (ORDER BY cnt DESC, bigram) AS INT) AS rank " +
+      "FROM c ORDER BY cnt DESC, bigram LIMIT 20"),
+    "q48_contamination" -> ("WITH probes(probe) AS (VALUES ('stream join'), ('window merge'), ('quantum blockchain synergy')) " +
+      "SELECT probe, CAST(sum(CASE WHEN contains(text, probe) THEN 1 ELSE 0 END) AS BIGINT) AS hits " +
+      "FROM documents CROSS JOIN probes GROUP BY probe"),
     "q46_hash_split" -> ("SELECT CASE WHEN substr(sha256(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train' " +
       "WHEN substr(sha256(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val' ELSE 'test' END AS split, " +
       "lang, count(*) AS docs, CAST(sum(n_chars) AS BIGINT) AS chars FROM documents GROUP BY 1, 2"),
