@@ -402,6 +402,96 @@ object MediaGen {
     out.toByteArray
   }
 
+  // ---------------------------------------------------------- TIFF writer
+  /** Baseline TIFF writer: 8-bit gray (either photometric polarity) or
+    * RGB, one strip, Compression 1 or PackBits (32773), either byte
+    * order, plus `extraPages` chained 1×1 IFDs (multi-page scan shape).
+    */
+  def tiff(img: Array[Byte], w: Int, h: Int, channels: Int,
+           packBits: Boolean = false, bigEndian: Boolean = false,
+           whiteIsZero: Boolean = false, extraPages: Int = 0): Array[Byte] = {
+    require(img.length == w * h * channels && (channels == 1 || channels == 3))
+    require(!whiteIsZero || channels == 1)
+    val out = new java.io.ByteArrayOutputStream()
+    def w16(v: Int): Unit =
+      if (bigEndian) { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+      else { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    def w32(v: Int): Unit =
+      if (bigEndian) { out.write((v >> 24) & 0xff); out.write((v >> 16) & 0xff)
+        out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+      else { out.write(v & 0xff); out.write((v >> 8) & 0xff)
+        out.write((v >> 16) & 0xff); out.write((v >> 24) & 0xff) }
+
+    def packBitsCompress(data: Array[Byte]): Array[Byte] = {
+      val o = new java.io.ByteArrayOutputStream()
+      var i = 0
+      while (i < data.length) {
+        var run = 1
+        while (i + run < data.length && data(i + run) == data(i) && run < 128) run += 1
+        if (run >= 2) { o.write(1 - run); o.write(data(i)); i += run }
+        else {
+          var lit = 1
+          while (i + lit < data.length && lit < 128 &&
+            !(i + lit + 1 < data.length && data(i + lit + 1) == data(i + lit))) lit += 1
+          o.write(lit - 1); o.write(data, i, lit); i += lit
+        }
+      }
+      o.toByteArray
+    }
+    val strip = if (packBits) packBitsCompress(img) else img
+    val photometric = if (channels == 3) 2 else if (whiteIsZero) 0 else 1
+
+    // layout: header(8) | strip | [bits array] | IFD0 | per extra page:
+    // 1-byte strip + IFD
+    val stripOff = 8
+    var cursor = stripOff + strip.length
+    if ((cursor & 1) == 1) cursor += 1
+    val bitsOff = cursor
+    if (channels == 3) cursor += 6
+    val ifd0Off = cursor
+    val nEntries = 9
+    val ifdSize = 2 + nEntries * 12 + 4
+    // header
+    if (bigEndian) { out.write('M'); out.write('M'); out.write(0); out.write(42) }
+    else { out.write('I'); out.write('I'); out.write(42); out.write(0) }
+    w32(ifd0Off)
+    out.write(strip)
+    while (out.size() < bitsOff) out.write(0)
+    if (channels == 3) { w16(8); w16(8); w16(8) }
+    def entry(tag: Int, typ: Int, count: Int, value: Int): Unit = {
+      w16(tag); w16(typ); w32(count)
+      // inline values sit in the HIGH-order position of the 4-byte field
+      // for SHORTs: write as 16-bit then pad (endianness-correct)
+      if (typ == 3 && count == 1) { w16(value); w16(0) } else w32(value)
+    }
+    def writeIfd(iw: Int, ih: Int, ch: Int, sOff: Int, sCnt: Int,
+                 compression: Int, photo: Int, bOff: Int, next: Int): Unit = {
+      w16(nEntries)
+      entry(256, 4, 1, iw)
+      entry(257, 4, 1, ih)
+      if (ch == 3) entry(258, 3, 3, bOff) else entry(258, 3, 1, 8)
+      entry(259, 3, 1, compression)
+      entry(262, 3, 1, photo)
+      entry(273, 4, 1, sOff)
+      entry(277, 3, 1, ch)
+      entry(278, 4, 1, ih)
+      entry(279, 4, 1, sCnt)
+      w32(next)
+    }
+    var nextOff = if (extraPages > 0) ifd0Off + ifdSize else 0
+    writeIfd(w, h, channels, stripOff, strip.length,
+      if (packBits) 32773 else 1, photometric, bitsOff, nextOff)
+    // extra pages: 1×1 gray, data byte embedded right after each IFD
+    (0 until extraPages).foreach { k =>
+      val ifdOff = out.size()
+      val dataOff = ifdOff + ifdSize
+      val next = if (k == extraPages - 1) 0 else dataOff + 2
+      writeIfd(1, 1, 1, dataOff, 1, 1, 1, 0, next)
+      out.write(0x55); out.write(0) // sample + pad
+    }
+    out.toByteArray
+  }
+
   // ------------------------------------------------------ AVI/MJPEG writer
   /** Minimal RIFF AVI containing a Motion-JPEG video stream: LIST hdrl
     * (avih with µs/frame, frame count, dims) + LIST movi with one `00dc`
@@ -826,7 +916,14 @@ object MediaGen {
     val r = new Random(seed)
     (0 until n).map { i =>
       val host = r.nextInt(20)
-      r.nextInt(8) match {
+      r.nextInt(9) match {
+        case 8 =>
+          val ch = if (r.nextBoolean()) 1 else 3
+          val w = 4 + r.nextInt(28); val h = 4 + r.nextInt(20)
+          Media(i.toLong, s"https://host$host.example.com/img/$i.tif", "image",
+            tiff(body(r, w * h * ch), w, h, ch,
+              packBits = r.nextBoolean(), bigEndian = r.nextBoolean(),
+              extraPages = if (r.nextBoolean()) 0 else r.nextInt(4)))
         case 7 =>
           val w = 4 + r.nextInt(28); val h = 4 + r.nextInt(20)
           val nColors = 2 + r.nextInt(254)

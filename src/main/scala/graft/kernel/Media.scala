@@ -52,6 +52,9 @@ object Media {
   def isGif(p: Array[Byte]): Boolean =
     p.length >= 6 && p(0) == 'G' && p(1) == 'I' && p(2) == 'F' && p(3) == '8' &&
       (p(4) == '7' || p(4) == '9') && p(5) == 'a'
+  def isTiff(p: Array[Byte]): Boolean =
+    p.length >= 8 && ((p(0) == 'I' && p(1) == 'I' && p(2) == 42 && p(3) == 0) ||
+      (p(0) == 'M' && p(1) == 'M' && p(2) == 0 && p(3) == 42))
   def isAvi(p: Array[Byte]): Boolean =
     p.length >= 12 && p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F' &&
       p(8) == 'A' && p(9) == 'V' && p(10) == 'I' && p(11) == ' '
@@ -195,6 +198,135 @@ object Media {
       i += 1
     }
     Decoded("wav", 0, 0, rate, n, out, 32768)
+  }
+
+  /** Baseline TIFF → first page's per-pixel 0–255 luminance; `frames`
+    * counts the IFD chain (multi-page scans — the reference's OCR input
+    * domain). Supported: both byte orders (II/MM), 8-bit grayscale
+    * (either photometric polarity) and RGB, strip layout, Compression
+    * 1 (none) and 32773 (PackBits). LZW/CCITT/JPEG-in-TIFF are rejected
+    * explicitly. All offsets walked in Long; crafted values fail the row.
+    */
+  def decodeTiff(p: Array[Byte]): Decoded = {
+    require(isTiff(p), "not a TIFF")
+    val le = p(0) == 'I'
+    def u16(o: Int): Int = if (le) le16(p, o) else ((p(o) & 0xff) << 8) | (p(o + 1) & 0xff)
+    def u32(o: Int): Long =
+      (if (le) le32(p, o) else be32(p, o)) & 0xffffffffL
+    def checked(o: Long, need: Long): Int = {
+      require(o >= 0 && o + need <= p.length, s"offset $o past EOF")
+      o.toInt
+    }
+    // entry value as a Long array (SHORT/LONG; inline when it fits 4 bytes)
+    def values(entryOff: Int): Array[Long] = {
+      val typ = u16(entryOff + 2)
+      val n = u32(entryOff + 4)
+      require(n <= (1 << 20), "implausible tag count")
+      val width = typ match {
+        case 3 => 2 // SHORT
+        case 4 => 4 // LONG
+        case 1 => 1 // BYTE
+        case t => throw new IllegalArgumentException(s"unsupported TIFF tag type $t")
+      }
+      val at =
+        if (n * width <= 4) entryOff + 8
+        else checked(u32(entryOff + 8), n * width)
+      Array.tabulate(n.toInt) { i =>
+        width match {
+          case 1 => (p(at + i) & 0xff).toLong
+          case 2 => u16(at + 2 * i).toLong
+          case _ => u32(at + 4 * i)
+        }
+      }
+    }
+    var ifd = u32(4)
+    var canvas: Array[Int] = null
+    var (w, h) = (0, 0)
+    var frames = 0
+    while (ifd != 0) {
+      require(frames < 10000, "implausible page count")
+      val base = checked(ifd, 2)
+      val nEntries = u16(base)
+      checked(ifd + 2, nEntries.toLong * 12 + 4)
+      if (canvas == null) {
+        var width0 = 0L; var height0 = 0L
+        var bits: Array[Long] = Array(8)
+        var compression = 1L
+        var photometric = 1L
+        var samplesPerPx = 1L
+        var rowsPerStrip = Long.MaxValue
+        var stripOffsets: Array[Long] = null
+        var stripCounts: Array[Long] = null
+        var e = 0
+        while (e < nEntries) {
+          val eo = base + 2 + e * 12
+          u16(eo) match {
+            case 256 => width0 = values(eo)(0)
+            case 257 => height0 = values(eo)(0)
+            case 258 => bits = values(eo)
+            case 259 => compression = values(eo)(0)
+            case 262 => photometric = values(eo)(0)
+            case 273 => stripOffsets = values(eo)
+            case 277 => samplesPerPx = values(eo)(0)
+            case 278 => rowsPerStrip = values(eo)(0)
+            case 279 => stripCounts = values(eo)
+            case _ => () // other tags skipped
+          }
+          e += 1
+        }
+        require(width0 > 0 && height0 > 0 && width0 * height0 <= (64L << 20),
+          s"implausible dims ${width0}x$height0")
+        require(bits.forall(_ == 8), "only 8-bit samples supported")
+        require(samplesPerPx == 1 || samplesPerPx == 3,
+          s"samples/pixel $samplesPerPx unsupported")
+        require(photometric <= 2, s"photometric $photometric unsupported")
+        require(compression == 1 || compression == 32773,
+          s"compression $compression unsupported (none/PackBits only)")
+        require(stripOffsets != null && stripCounts != null &&
+          stripOffsets.length == stripCounts.length, "missing strip tags")
+        w = width0.toInt; h = height0.toInt
+        val spp = samplesPerPx.toInt
+        val expected = w.toLong * h * spp
+        val data = new java.io.ByteArrayOutputStream()
+        stripOffsets.indices.foreach { i =>
+          val at = checked(stripOffsets(i), stripCounts(i))
+          val cnt = stripCounts(i).toInt
+          if (compression == 1L) data.write(p, at, cnt)
+          else { // PackBits
+            var o = at; val end = at + cnt
+            while (o < end && data.size() < expected) {
+              val n = p(o); o += 1
+              if (n >= 0) {
+                require(o + n + 1 <= end, "PackBits literal past strip")
+                data.write(p, o, n + 1); o += n + 1
+              } else if (n != -128) {
+                require(o < end, "PackBits run past strip")
+                val b = p(o); o += 1
+                var k = 0
+                while (k < 1 - n) { data.write(b); k += 1 }
+              } // -128: no-op
+            }
+          }
+        }
+        require(data.size() >= expected, s"strip data ${data.size()} < $expected")
+        val img = data.toByteArray
+        canvas = new Array[Int](w * h)
+        var i = 0
+        while (i < w * h) {
+          val v =
+            if (spp == 1) {
+              val g = img(i) & 0xff
+              if (photometric == 0L) 255 - g else g // WhiteIsZero inverts
+            } else luma601(img(i * 3) & 0xff, img(i * 3 + 1) & 0xff, img(i * 3 + 2) & 0xff)
+          canvas(i) = v
+          i += 1
+        }
+      }
+      frames += 1
+      ifd = u32(checked(ifd + 2 + nEntries * 12, 4))
+    }
+    require(canvas != null, "TIFF with no pages")
+    Decoded("tiff", w, h, 0, frames, canvas, 255)
   }
 
   /** AVI (RIFF) with Motion-JPEG video → first frame's luminance via the

@@ -130,6 +130,8 @@ object Multimodal {
       fromDecoded(m, graft.kernel.Jpeg.decode(m.payload))
     else if (graft.kernel.Media.isGif(m.payload))
       fromDecoded(m, graft.kernel.Media.decodeGif(m.payload))
+    else if (graft.kernel.Media.isTiff(m.payload))
+      fromDecoded(m, graft.kernel.Media.decodeTiff(m.payload))
     else {
       val magic = new String(m.payload.take(4), java.nio.charset.StandardCharsets.ISO_8859_1)
       val (w, h, rate, frames, dataOff) = magic match {

@@ -270,6 +270,45 @@ class MediaSpec extends AnyFunSuite {
     intercept[Exception](Media.decodeGif("GIF89a".getBytes ++ Array[Byte](1, 2)))
   }
 
+  test("tiff: strips round-trip exactly across byte orders, PackBits and polarity") {
+    val r = new scala.util.Random(47)
+    for ((ch, pb, be) <- Seq((1, false, false), (1, true, true), (3, true, false), (3, false, true))) {
+      val (w, h) = (21, 13)
+      val img = Array.fill[Byte](w * h * ch)(r.nextInt(256).toByte)
+      val d = Media.decodeTiff(MediaGen.tiff(img, w, h, ch, packBits = pb, bigEndian = be))
+      assert(d.codec === "tiff" && d.width === w && d.height === h && d.frames === 1,
+        s"ch=$ch pb=$pb be=$be")
+      val want = Array.tabulate(w * h) { i =>
+        if (ch == 1) img(i) & 0xff
+        else ((img(i * 3) & 0xff) * 299 + (img(i * 3 + 1) & 0xff) * 587 +
+          (img(i * 3 + 2) & 0xff) * 114) / 1000
+      }
+      assert(d.samples.toSeq === want.toSeq, s"ch=$ch pb=$pb be=$be pixels")
+    }
+    // WhiteIsZero polarity inverts
+    val g = Array.tabulate[Byte](8 * 4)(i => i.toByte)
+    val inv = Media.decodeTiff(MediaGen.tiff(g, 8, 4, 1, whiteIsZero = true))
+    assert(inv.samples.toSeq === g.map(b => 255 - (b & 0xff)).toSeq)
+    // multi-page scans: frames counts the IFD chain
+    val mp = Media.decodeTiff(MediaGen.tiff(g, 8, 4, 1, extraPages = 3))
+    assert(mp.frames === 4 && mp.width === 8)
+    // PackBits with long runs (the >128 split path)
+    val runs = Array.fill[Byte](300 * 2)(7)
+    val dr = Media.decodeTiff(MediaGen.tiff(runs, 300, 2, 1, packBits = true))
+    assert(dr.samples.forall(_ === 7))
+    // unsupported compression (LZW=5) rejected; truncated strip fails
+    val good = MediaGen.tiff(g, 8, 4, 1)
+    val lzw = good.clone()
+    // compression tag value: find entry with tag 259 in IFD (LE)
+    val ifdOff = (good(4) & 0xff) | ((good(5) & 0xff) << 8)
+    val n = (good(ifdOff) & 0xff) | ((good(ifdOff + 1) & 0xff) << 8)
+    val at = (0 until n).map(e => ifdOff + 2 + e * 12)
+      .find(o => ((good(o) & 0xff) | ((good(o + 1) & 0xff) << 8)) == 259).get
+    lzw(at + 8) = 5
+    intercept[Exception](Media.decodeTiff(lzw))
+    intercept[Exception](Media.decodeTiff(good.take(20)))
+  }
+
   test("avi/mjpeg: first frame decodes via the jpeg kernel; frames and fps from the header") {
     val r = new scala.util.Random(43)
     val (w, h, fps, n) = (24, 16, 25, 7)
