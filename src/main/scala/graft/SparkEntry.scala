@@ -630,6 +630,29 @@ object SparkEntry {
         .select(col("user_id"), col("session_start"), col("session_end"),
           col("events"), col("value_sum"))
     }),
+    // co-located join via BUCKETED tables (the 100 TB join strategy the
+    // round brief names): both sides bucketed+sorted on the join key →
+    // SortMergeJoin with ZERO exchanges and zero sorts (OpsSpec asserts
+    // the plan); at corpus scale this is the difference between a join
+    // that reshuffles 100 TB and one that streams co-located buckets
+    "q49_bucketed_join" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-pipe23").toString
+      val db = "graft_bk"
+      s.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
+      s.sql(s"CREATE DATABASE $db LOCATION '$tmp'")
+      t(s, dir, "orders")
+        .write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .mode("overwrite").saveAsTable(s"$db.orders_bk")
+      t(s, dir, "customer")
+        .write.bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .mode("overwrite").saveAsTable(s"$db.customer_bk")
+      val o = s.table(s"$db.orders_bk")
+      val c = s.table(s"$db.customer_bk")
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("orders_cnt"),
+          sum(round(col("o_totalprice") * 100, 0).cast("bigint")).as("total_cents"))
+    }),
     // A7/F2: newest-first manifest listing (the reference's mtime-desc
     // file listing, routes.py:44-60)
     "pipe13_manifest_listing" -> ((s, _) => {
@@ -776,6 +799,9 @@ object SparkEntry {
       "FROM events GROUP BY 1"),
     "q42_except" -> "SELECT k FROM (SELECT c_nationkey AS k FROM customer EXCEPT SELECT s_nationkey FROM supplier) t ORDER BY k",
     "q44_time_rollup" -> "SELECT date_trunc('day', ts) AS day, event_type, count(*) AS cnt, round(sum(value), 2) AS value_sum FROM events GROUP BY 1, 2",
+    // identical answer to q05 — the point of q49 is the PLAN (bucketed
+    // co-located join, no exchange), asserted in OpsSpec
+    "q49_bucketed_join" -> "SELECT c.c_mktsegment, count(*) AS orders_cnt, CAST(sum(CAST(round(o.o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS total_cents FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey GROUP BY c.c_mktsegment",
     "q47_bigram_counts" -> ("WITH tok AS (SELECT regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents), " +
       "b AS (SELECT toks[i] || ' ' || toks[i + 1] AS bigram FROM (SELECT toks, unnest(range(1, len(toks))) AS i FROM tok)), " +
       "c AS (SELECT bigram, count(*) AS cnt FROM b GROUP BY bigram) " +

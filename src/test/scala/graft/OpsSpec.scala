@@ -332,6 +332,54 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
     assert(naive.nonEmpty && naive.count(_._1 == 6) === 0, "empty interval stays empty")
   }
 
+  test("bucketed join: co-located buckets join with zero exchanges and zero sorts") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bk-test").toString
+    val db = "graft_bk_spec"
+    spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
+    spark.sql(s"CREATE DATABASE $db LOCATION '$tmp'")
+    val dir = "/root/testdata/sf0.001"
+    spark.read.parquet(s"$dir/orders.parquet")
+      .write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .mode("overwrite").saveAsTable(s"$db.orders_bk")
+    spark.read.parquet(s"$dir/customer.parquet")
+      .write.bucketBy(8, "c_custkey").sortBy("c_custkey")
+      .mode("overwrite").saveAsTable(s"$db.customer_bk")
+    // at fixture scale the planner would broadcast (and skip bucketing
+    // entirely); at 100 TB neither side fits — force the non-broadcast
+    // path the operator exists for
+    val oldT = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val oldA = scala.util.Try(
+      spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold")).toOption
+      .flatMap(Option(_)) // unset optional confs read back as null
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val o = spark.table(s"$db.orders_bk")
+      val c = spark.table(s"$db.customer_bk")
+      val joined = o.join(c, o("o_custkey") === c("c_custkey"))
+      // same answer as the shuffled join
+      val shuffled = spark.read.parquet(s"$dir/orders.parquet").join(
+        spark.read.parquet(s"$dir/customer.parquet"),
+        col("o_custkey") === col("c_custkey"))
+      assert(joined.count() === shuffled.count())
+      // the plan: SortMergeJoin directly over bucketed scans — co-location
+      // replaces both the shuffle AND the sort
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan.take(500))
+      assert(plan.contains("Bucketed: true"), "scans must read bucketed:\n" + plan.take(800))
+      assert(!plan.contains("Exchange"), "bucketed join must not shuffle:\n" + plan.take(800))
+      assert(!plan.contains("Sort ("), "sorted buckets must not re-sort:\n" + plan.take(800))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", oldT)
+      oldA match {
+        case Some(v) => spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", v)
+        case None => spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      }
+      spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
+    }
+  }
+
   test("approx_count_distinct stays within the HLL rsd bound") {
     val e = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     val rows = e.groupBy($"event_type")
