@@ -254,7 +254,7 @@ object Media {
         var compression = 1L
         var photometric = 1L
         var samplesPerPx = 1L
-        var rowsPerStrip = Long.MaxValue
+        var planarConfig = 1L
         var stripOffsets: Array[Long] = null
         var stripCounts: Array[Long] = null
         var e = 0
@@ -268,14 +268,22 @@ object Media {
             case 262 => photometric = values(eo)(0)
             case 273 => stripOffsets = values(eo)
             case 277 => samplesPerPx = values(eo)(0)
-            case 278 => rowsPerStrip = values(eo)(0)
             case 279 => stripCounts = values(eo)
+            case 284 => planarConfig = values(eo)(0)
             case _ => () // other tags skipped
           }
           e += 1
         }
-        require(width0 > 0 && height0 > 0 && width0 * height0 <= (64L << 20),
+        // bound each axis BEFORE multiplying: both are unsigned-32 reads,
+        // so a crafted 0xFFFFFFFF pair would wrap the Long product
+        // negative and sail past a product-only check
+        require(width0 > 0 && width0 <= (64L << 20) &&
+          height0 > 0 && height0 <= (64L << 20) &&
+          width0 * height0 <= (64L << 20),
           s"implausible dims ${width0}x$height0")
+        // planar (RRR..GGG..BBB) layouts would decode to garbage luma
+        // through the interleaved path — reject, never mis-decode
+        require(planarConfig == 1L, s"planar configuration $planarConfig unsupported")
         require(bits.forall(_ == 8), "only 8-bit samples supported")
         require(samplesPerPx == 1 || samplesPerPx == 3,
           s"samples/pixel $samplesPerPx unsupported")

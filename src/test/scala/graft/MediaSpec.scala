@@ -307,6 +307,16 @@ class MediaSpec extends AnyFunSuite {
     lzw(at + 8) = 5
     intercept[Exception](Media.decodeTiff(lzw))
     intercept[Exception](Media.decodeTiff(good.take(20)))
+    // crafted 0xFFFFFFFF dims: the Long product wraps negative and would
+    // sail past a product-only bound — must throw, not return width=-1
+    val hugeDims = good.clone()
+    val wAt = (0 until n).map(e => ifdOff + 2 + e * 12)
+      .find(o => ((hugeDims(o) & 0xff) | ((hugeDims(o + 1) & 0xff) << 8)) == 256).get
+    (0 until 4).foreach(i => hugeDims(wAt + 8 + i) = 0xff.toByte)
+    val hAt = (0 until n).map(e => ifdOff + 2 + e * 12)
+      .find(o => ((hugeDims(o) & 0xff) | ((hugeDims(o + 1) & 0xff) << 8)) == 257).get
+    (0 until 4).foreach(i => hugeDims(hAt + 8 + i) = 0xff.toByte)
+    intercept[Exception](Media.decodeTiff(hugeDims))
   }
 
   test("avi/mjpeg: first frame decodes via the jpeg kernel; frames and fps from the header") {

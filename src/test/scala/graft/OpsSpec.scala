@@ -365,11 +365,19 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
       // the plan: SortMergeJoin directly over bucketed scans — co-location
       // replaces both the shuffle AND the sort
       joined.collect()
-      val plan = joined.queryExecution.executedPlan.toString
+      val executed = joined.queryExecution.executedPlan
+      val plan = executed.toString
       assert(plan.contains("SortMergeJoin"), plan.take(500))
       assert(plan.contains("Bucketed: true"), "scans must read bucketed:\n" + plan.take(800))
       assert(!plan.contains("Exchange"), "bucketed join must not shuffle:\n" + plan.take(800))
-      assert(!plan.contains("Sort ("), "sorted buckets must not re-sort:\n" + plan.take(800))
+      // operator-typed check, not a string match: SortExec renders as
+      // "Sort [..." in tree output, which a "Sort (" pattern never hits
+      def sorts(p: org.apache.spark.sql.execution.SparkPlan): Seq[Any] = p.collect {
+        case s: org.apache.spark.sql.execution.SortExec => s
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          sorts(a.executedPlan)
+      }.flatMap { case xs: Seq[_] => xs; case x => Seq(x) }
+      assert(sorts(executed).isEmpty, "sorted buckets must not re-sort:\n" + plan.take(800))
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", oldT)
       oldA match {
