@@ -402,6 +402,407 @@ object MediaGen {
     out.toByteArray
   }
 
+  // -------------------------------------------------- WebP-lossless writer
+  /** VP8L (lossless WebP) writer over ARGB pixels. Emits a spec-valid
+    * bitstream with selectable features so the decoder's paths are all
+    * exercised: plain literals, LZ77 dist-1 runs, a colour cache,
+    * SUBTRACT_GREEN, the PREDICTOR transform (cycling through all 14
+    * modes block by block), or a colour-indexed palette with sub-byte
+    * bundling. Prefix codes are complete by construction (the
+    * 2^k-n/2n-2^k length split); code lengths ride the code-length code
+    * with 17/18 zero runs.
+    */
+  def webpLossless(pixels: Array[Int], w: Int, h: Int,
+                   useLz77: Boolean = false, cacheBits: Int = 0,
+                   subtractGreen: Boolean = false, predictor: Boolean = false,
+                   paletteSize: Int = 0): Array[Byte] = {
+    require(pixels.length == w * h && w > 0 && h > 0 && w <= 16384 && h <= 16384)
+    require(cacheBits >= 0 && cacheBits <= 11)
+    val bw = new LsbWriter
+    bw.put(w - 1, 14); bw.put(h - 1, 14)
+    bw.put(0, 1) // alpha hint
+    bw.put(0, 3) // version
+
+    var coded = pixels
+    var codedW = w
+    // transforms, in read order (decoder inverts in reverse read order)
+    if (subtractGreen) {
+      bw.put(1, 1); bw.put(2, 2)
+      coded = coded.map { a =>
+        val g = (a >> 8) & 0xff
+        val r = (((a >> 16) & 0xff) - g) & 0xff
+        val b = ((a & 0xff) - g) & 0xff
+        (a & 0xff00ff00) | (r << 16) | b
+      }
+    }
+    if (predictor) {
+      bw.put(1, 1); bw.put(0, 2)
+      val sb = 2 // 4x4 blocks: small images still cycle many modes
+      bw.put(sb - 2, 3)
+      val gw = (codedW + (1 << sb) - 1) >> sb
+      val gh = (h + (1 << sb) - 1) >> sb
+      val modes = Array.tabulate(gw * gh)(i => 0xff000000 | ((i % 14) << 8))
+      writeImageStream(bw, modes, gw, gh, isMain = false, useLz77 = false, cacheBits = 0)
+      // residuals against the decoder's exact prediction rules
+      val res = new Array[Int](coded.length)
+      var i = 0
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < codedW) {
+          val l = if (x > 0) coded(i - 1) else 0
+          val t = if (y > 0) coded(i - codedW) else 0
+          val tl = if (x > 0 && y > 0) coded(i - codedW - 1) else 0
+          val tr = if (y > 0) coded(i - codedW + 1) else 0
+          val mode =
+            if (x == 0 && y == 0) -1
+            else if (y == 0) 101
+            else if (x == 0) 102
+            else ((modes((y >> sb) * gw + (x >> sb)) >> 8) & 0xff)
+          val pred = WebPPred.predict(mode, l, t, tl, tr)
+          res(i) = WebPPred.subPix(coded(i), pred)
+          x += 1; i += 1
+        }
+        y += 1
+      }
+      coded = res
+    }
+    if (paletteSize > 0) {
+      // pixels must already be indices 0..paletteSize-1 in the green
+      // channel; a deterministic palette maps idx -> colour
+      bw.put(1, 1); bw.put(3, 2)
+      bw.put(paletteSize - 1, 8)
+      val pal = Array.tabulate(paletteSize)(i =>
+        0xff000000 | ((i * 37 % 256) << 16) | ((i * 73 % 256) << 8) | (i * 151 % 256))
+      // delta-code the palette per channel
+      val deltas = Array.tabulate(paletteSize)(i =>
+        if (i == 0) pal(0) else WebPPred.subPix(pal(i), pal(i - 1)))
+      writeImageStream(bw, deltas, paletteSize, 1, isMain = false, useLz77 = false, cacheBits = 0)
+      val widthBits =
+        if (paletteSize <= 2) 3 else if (paletteSize <= 4) 2
+        else if (paletteSize <= 16) 1 else 0
+      if (widthBits > 0) {
+        val perPixel = 1 << widthBits
+        val ibits = 8 >> widthBits
+        val packedW = (codedW + perPixel - 1) / perPixel
+        val packed = new Array[Int](packedW * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < codedW) {
+            val idx = (coded(y * codedW + x) >> 8) & 0xff
+            val pi = y * packedW + x / perPixel
+            packed(pi) = 0xff000000 |
+              ((((packed(pi) >> 8) & 0xff) | (idx << (ibits * (x % perPixel)))) << 8)
+            x += 1
+          }
+          y += 1
+        }
+        coded = packed; codedW = packedW
+      }
+    }
+    bw.put(0, 1) // no more transforms
+    writeImageStream(bw, coded, codedW, h, isMain = true, useLz77, cacheBits)
+    val payload = 0x2f.toByte +: bw.result()
+    val vp8l = "VP8L".getBytes ++ le32(payload.length) ++ payload ++
+      (if ((payload.length & 1) == 1) Array[Byte](0) else Array.empty[Byte])
+    val body = "WEBP".getBytes ++ vp8l
+    "RIFF".getBytes ++ le32(body.length) ++ body
+  }
+
+  private final class LsbWriter {
+    private val out = new java.io.ByteArrayOutputStream()
+    private var acc = 0L
+    private var n = 0
+    def put(v: Int, k: Int): Unit = {
+      acc |= (v.toLong & ((1L << k) - 1)) << n
+      n += k
+      while (n >= 8) { out.write((acc & 0xff).toInt); acc >>>= 8; n -= 8 }
+    }
+    def result(): Array[Byte] = {
+      if (n > 0) { out.write((acc & 0xff).toInt); acc = 0; n = 0 }
+      out.toByteArray
+    }
+  }
+
+  /** MSB-first canonical codes from lengths, (code, len) per symbol —
+    * the same (length, symbol) ordering the decoder reconstructs.
+    */
+  private def canonicalMsb(lengths: Array[Int]): Array[(Int, Int)] = {
+    val out = new Array[(Int, Int)](lengths.length)
+    val maxLen = if (lengths.isEmpty) 0 else lengths.max
+    var code = 0
+    var l = 1
+    while (l <= maxLen) {
+      var s = 0
+      while (s < lengths.length) {
+        if (lengths(s) == l) { out(s) = (code, l); code += 1 }
+        s += 1
+      }
+      code <<= 1
+      l += 1
+    }
+    out
+  }
+
+  /** Complete-code lengths for the used symbols: with n used symbols and
+    * k = ceil(log2 n), the first 2^k - n get length k-1 and the rest k
+    * (Kraft sum exactly 1). n == 1 yields the single-symbol code.
+    */
+  private def completeLengths(alphabet: Int, used: Seq[Int]): Array[Int] = {
+    val lengths = new Array[Int](alphabet)
+    val n = used.size
+    require(n >= 1)
+    if (n == 1) { lengths(used.head) = 1; return lengths }
+    var k = 0
+    while ((1 << k) < n) k += 1
+    val shorter = (1 << k) - n
+    used.zipWithIndex.foreach { case (s, i) =>
+      lengths(s) = if (i < shorter) k - 1 else k
+    }
+    lengths
+  }
+
+  private object WebPPred {
+    def avg2(a: Int, b: Int): Int = (a + b) / 2
+    def avgPix(a: Int, b: Int): Int =
+      (avg2(a >>> 24, b >>> 24) << 24) | (avg2((a >> 16) & 0xff, (b >> 16) & 0xff) << 16) |
+        (avg2((a >> 8) & 0xff, (b >> 8) & 0xff) << 8) | avg2(a & 0xff, b & 0xff)
+    def clamp255(v: Int): Int = if (v < 0) 0 else if (v > 255) 255 else v
+    def casFull(l: Int, t: Int, tl: Int): Int = {
+      def ch(sh: Int) = clamp255(((l >>> sh) & 0xff) + ((t >>> sh) & 0xff) - ((tl >>> sh) & 0xff))
+      (ch(24) << 24) | (ch(16) << 16) | (ch(8) << 8) | ch(0)
+    }
+    def casHalf(l: Int, t: Int, tl: Int): Int = {
+      def ch(sh: Int) = {
+        val ave = avg2((l >>> sh) & 0xff, (t >>> sh) & 0xff)
+        clamp255(ave + (ave - ((tl >>> sh) & 0xff)) / 2)
+      }
+      (ch(24) << 24) | (ch(16) << 16) | (ch(8) << 8) | ch(0)
+    }
+    def sel(l: Int, t: Int, tl: Int): Int = {
+      def d(a: Int, b: Int, sh: Int) = math.abs(((a >>> sh) & 0xff) - ((b >>> sh) & 0xff))
+      val pT = d(t, tl, 24) + d(t, tl, 16) + d(t, tl, 8) + d(t, tl, 0)
+      val pL = d(l, tl, 24) + d(l, tl, 16) + d(l, tl, 8) + d(l, tl, 0)
+      if (pL < pT) l else t
+    }
+    def predict(mode: Int, l: Int, t: Int, tl: Int, tr: Int): Int = mode match {
+      case -1 | 0 => 0xff000000
+      case 101 | 1 => l
+      case 102 | 2 => t
+      case 3 => tr
+      case 4 => tl
+      case 5 => avgPix(avgPix(l, tr), t)
+      case 6 => avgPix(l, tl)
+      case 7 => avgPix(l, t)
+      case 8 => avgPix(tl, t)
+      case 9 => avgPix(t, tr)
+      case 10 => avgPix(avgPix(l, tl), avgPix(t, tr))
+      case 11 => sel(l, t, tl)
+      case 12 => casFull(l, t, tl)
+      case 13 => casHalf(l, t, tl)
+      case m => throw new IllegalArgumentException(s"mode $m")
+    }
+    def subPix(a: Int, b: Int): Int = {
+      val aa = (((a >>> 24) - (b >>> 24)) & 0xff) << 24
+      val rr = ((((a >> 16) & 0xff) - ((b >> 16) & 0xff)) & 0xff) << 16
+      val gg = ((((a >> 8) & 0xff) - ((b >> 8) & 0xff)) & 0xff) << 8
+      val bb = ((a & 0xff) - (b & 0xff)) & 0xff
+      aa | rr | gg | bb
+    }
+  }
+
+  /** VP8L length/distance prefix encoding: value → (code, extraBits,
+    * extraVal), the inverse of the decoder's prefixValue.
+    */
+  private def lz77Prefix(v: Int): (Int, Int, Int) = {
+    require(v >= 1)
+    if (v <= 4) (v - 1, 0, 0)
+    else {
+      var code = 4
+      while (true) {
+        val extra = (code - 2) >> 1
+        val offset = (2 + (code & 1)) << extra
+        if (v >= offset + 1 && v <= offset + (1 << extra)) return (code, extra, v - offset - 1)
+        code += 1
+        require(code < 40, s"value $v out of prefix range")
+      }
+      throw new IllegalStateException
+    }
+  }
+
+  private val ClOrderW =
+    Array(17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15)
+
+  /** Emit one prefix code's lengths: simple form when possible, else the
+    * normal code-length-coded form (literal lengths, 17/18 zero runs).
+    */
+  private def writeCode(bw: LsbWriter, lengths: Array[Int]): Array[(Int, Int)] = {
+    val used = lengths.indices.filter(lengths(_) > 0)
+    if (used.size <= 2 && used.forall(_ <= 255) &&
+        used.forall(s => lengths(s) == 1) && used.nonEmpty) {
+      // simple code
+      bw.put(1, 1)
+      bw.put(used.size - 1, 1)
+      if (used.head <= 1 && used.size == 1) { bw.put(0, 1); bw.put(used.head, 1) }
+      else { bw.put(1, 1); bw.put(used.head, 8) }
+      if (used.size == 2) bw.put(used(1), 8)
+      return canonicalMsb(lengths)
+    }
+    bw.put(0, 1) // normal form
+    // CL symbols we will emit: each distinct nonzero length + zero runs
+    val clUsed0 = (used.map(lengths(_)) ++ {
+      // zero runs: 17/18 for runs >= 3, literal 0 for shorter gaps
+      val needZero = lengths.contains(0)
+      if (needZero) Seq(0, 17, 18) else Seq.empty
+    }).distinct.sorted
+    // pad to a power of two with unused CL symbols for a complete code
+    var padded = clUsed0
+    var k = 0
+    while ((1 << k) < padded.size) k += 1
+    val pool = (0 to 18).filterNot(padded.contains)
+    padded = (padded ++ pool.take((1 << k) - padded.size)).sorted
+    val clLen = if (padded.size == 1) 1 else k
+    val clLengths = new Array[Int](19)
+    padded.foreach(clLengths(_) = clLen)
+    val clCodes = canonicalMsb(clLengths)
+    val numCl = math.max(4,
+      ClOrderW.lastIndexWhere(s => clLengths(s) > 0) + 1)
+    bw.put(numCl - 4, 4)
+    (0 until numCl).foreach(i => bw.put(clLengths(ClOrderW(i)), 3))
+    bw.put(0, 1) // no max-symbol limit
+    // prefix-code bits go MSB-first into the LSB-first stream — put(c, l)
+    // would bit-reverse every non-palindromic code; a single-symbol CL
+    // code (full alphabet, one distinct length) transmits zero bits
+    val clSingle = padded.size == 1
+    def putCl(sym: Int): Unit = if (!clSingle) {
+      val (c, l) = clCodes(sym)
+      var b = l - 1
+      while (b >= 0) { bw.put((c >> b) & 1, 1); b -= 1 }
+    }
+    // emit lengths with zero-run compression
+    var i = 0
+    while (i < lengths.length) {
+      if (lengths(i) != 0) {
+        putCl(lengths(i))
+        i += 1
+      } else {
+        var run = 0
+        while (i + run < lengths.length && lengths(i + run) == 0) run += 1
+        var left = run
+        while (left > 0) {
+          if (left >= 11) {
+            val take = math.min(left, 138)
+            putCl(18); bw.put(take - 11, 7)
+            left -= take
+          } else if (left >= 3) {
+            val take = math.min(left, 10)
+            putCl(17); bw.put(take - 3, 3)
+            left -= take
+          } else {
+            putCl(0)
+            left -= 1
+          }
+        }
+        i += run
+      }
+    }
+    canonicalMsb(lengths)
+  }
+
+  /** One entropy-coded image stream (tokens → five prefix codes → data). */
+  private def writeImageStream(bw: LsbWriter, px: Array[Int], w: Int, h: Int,
+                               isMain: Boolean, useLz77: Boolean,
+                               cacheBits: Int): Unit = {
+    val cacheSize = if (cacheBits > 0) 1 << cacheBits else 0
+    if (cacheBits > 0) { bw.put(1, 1); bw.put(cacheBits, 4) } else bw.put(0, 1)
+    if (isMain) bw.put(0, 1) // no meta-prefix image
+    // ---- tokenize ----
+    sealed trait Tok
+    case class Lit(argb: Int) extends Tok
+    case class Run(len: Int) extends Tok // dist 1
+    case class Hit(idx: Int) extends Tok
+    val cache = new Array[Int](math.max(cacheSize, 1))
+    val cacheSet = new Array[Boolean](math.max(cacheSize, 1))
+    def cacheIdx(a: Int): Int = (0x1e35a7bd * a) >>> (32 - cacheBits)
+    val toks = scala.collection.mutable.ArrayBuffer.empty[Tok]
+    var i = 0
+    while (i < px.length) {
+      var run = 0
+      if (useLz77 && i > 0) {
+        while (i + run < px.length && px(i + run) == px(i - 1) && run < 4000) run += 1
+      }
+      if (run >= 3) {
+        toks += Run(run)
+        var k = 0
+        while (k < run) {
+          if (cacheBits > 0) { val ci = cacheIdx(px(i + k)); cache(ci) = px(i + k); cacheSet(ci) = true }
+          k += 1
+        }
+        i += run
+      } else {
+        val a = px(i)
+        if (cacheBits > 0 && cacheSet(cacheIdx(a)) && cache(cacheIdx(a)) == a)
+          toks += Hit(cacheIdx(a))
+        else toks += Lit(a)
+        if (cacheBits > 0) { val ci = cacheIdx(a); cache(ci) = a; cacheSet(ci) = true }
+        i += 1
+      }
+    }
+    // ---- histograms ----
+    val greenUsed = scala.collection.mutable.SortedSet.empty[Int]
+    val redUsed = scala.collection.mutable.SortedSet.empty[Int]
+    val blueUsed = scala.collection.mutable.SortedSet.empty[Int]
+    val alphaUsed = scala.collection.mutable.SortedSet.empty[Int]
+    val distUsed = scala.collection.mutable.SortedSet.empty[Int]
+    toks.foreach {
+      case Lit(a) =>
+        greenUsed += ((a >> 8) & 0xff)
+        redUsed += ((a >> 16) & 0xff)
+        blueUsed += (a & 0xff)
+        alphaUsed += (a >>> 24)
+      case Run(len) =>
+        greenUsed += (256 + lz77Prefix(len)._1)
+        distUsed += lz77Prefix(2)._1 // plane code 2 == distance 1
+      case Hit(idx) => greenUsed += (280 + idx)
+    }
+    // codes must be decodable even if a channel never occurs (all-run
+    // streams): seed each with symbol 0
+    if (redUsed.isEmpty) redUsed += 0
+    if (blueUsed.isEmpty) blueUsed += 0
+    if (alphaUsed.isEmpty) alphaUsed += 0
+    if (distUsed.isEmpty) distUsed += 0
+    if (greenUsed.isEmpty) greenUsed += 0
+    // single-symbol codes transmit ZERO bits per symbol (the decoder
+    // short-circuits them) — track singleness alongside the code table
+    def coded(alphabet: Int, used: Seq[Int]): (Array[(Int, Int)], Boolean) =
+      (writeCode(bw, completeLengths(alphabet, used)), used.size == 1)
+    val greenC = coded(256 + 24 + cacheSize, greenUsed.toSeq)
+    val redC = coded(256, redUsed.toSeq)
+    val blueC = coded(256, blueUsed.toSeq)
+    val alphaC = coded(256, alphaUsed.toSeq)
+    val distC = coded(40, distUsed.toSeq)
+    def emit(cw: (Array[(Int, Int)], Boolean), sym: Int): Unit = if (!cw._2) {
+      val (c, l) = cw._1(sym)
+      var b = l - 1
+      while (b >= 0) { bw.put((c >> b) & 1, 1); b -= 1 }
+    }
+    // ---- data ----
+    toks.foreach {
+      case Lit(a) =>
+        emit(greenC, (a >> 8) & 0xff)
+        emit(redC, (a >> 16) & 0xff)
+        emit(blueC, a & 0xff)
+        emit(alphaC, a >>> 24)
+      case Run(len) =>
+        val (lc, le, lv) = lz77Prefix(len)
+        emit(greenC, 256 + lc); if (le > 0) bw.put(lv, le)
+        val (dc, de, dv) = lz77Prefix(2)
+        emit(distC, dc); if (de > 0) bw.put(dv, de)
+      case Hit(idx) => emit(greenC, 280 + idx)
+    }
+  }
+
   // ---------------------------------------------------------- TIFF writer
   /** Baseline TIFF writer: 8-bit gray (either photometric polarity) or
     * RGB, one strip, Compression 1 or PackBits (32773), either byte
@@ -916,7 +1317,16 @@ object MediaGen {
     val r = new Random(seed)
     (0 until n).map { i =>
       val host = r.nextInt(20)
-      r.nextInt(9) match {
+      r.nextInt(10) match {
+        case 9 =>
+          val w = 4 + r.nextInt(28); val h = 4 + r.nextInt(20)
+          val px = Array.fill(w * h)(0xff000000 | r.nextInt(0x1000000))
+          Media(i.toLong, s"https://host$host.example.com/img/$i.webp", "image",
+            webpLossless(px, w, h,
+              useLz77 = r.nextBoolean(),
+              cacheBits = if (r.nextBoolean()) 0 else 4,
+              subtractGreen = r.nextBoolean(),
+              predictor = r.nextBoolean()))
         case 8 =>
           val ch = if (r.nextBoolean()) 1 else 3
           val w = 4 + r.nextInt(28); val h = 4 + r.nextInt(20)

@@ -9,9 +9,11 @@ import org.apache.spark.sql.functions._
   *
   * Decoding is REAL for the formats that dominate a web crawl's media
   * columns — baseline AND progressive JPEG via [[graft.kernel.Jpeg]]
-  * (from-scratch huffman + dequant + IDCT), and PNG (incl. indexed /
-  * Adam7 / 16-bit), GIF, Motion-JPEG AVI, BMP, WAV (PCM / float /
-  * G.711) via [[graft.kernel.Media]]. Formats that genuinely need an
+  * (from-scratch huffman + dequant + IDCT), lossless WebP via
+  * [[graft.kernel.WebP]] (VP8L: prefix codes, LZ77, colour cache, all
+  * four transforms), and PNG (incl. indexed / Adam7 / 16-bit), GIF,
+  * Motion-JPEG AVI, BMP, WAV (PCM / float / G.711) via
+  * [[graft.kernel.Media]]. Formats that genuinely need an
   * external codec library (H.264-era video/audio codecs) are carried by
   * the deterministic fixture container
   * (`IMG1`/`AUD1`/`VID1`, see [[graft.fixtures.MediaGen]]) — those paths
@@ -132,6 +134,8 @@ object Multimodal {
       fromDecoded(m, graft.kernel.Media.decodeGif(m.payload))
     else if (graft.kernel.Media.isTiff(m.payload))
       fromDecoded(m, graft.kernel.Media.decodeTiff(m.payload))
+    else if (graft.kernel.WebP.isWebP(m.payload))
+      fromDecoded(m, graft.kernel.WebP.decode(m.payload))
     else {
       val magic = new String(m.payload.take(4), java.nio.charset.StandardCharsets.ISO_8859_1)
       val (w, h, rate, frames, dataOff) = magic match {

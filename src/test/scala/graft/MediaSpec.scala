@@ -270,6 +270,113 @@ class MediaSpec extends AnyFunSuite {
     intercept[Exception](Media.decodeGif("GIF89a".getBytes ++ Array[Byte](1, 2)))
   }
 
+  private def argbLuma(a: Int): Int =
+    (((a >> 16) & 0xff) * 299 + ((a >> 8) & 0xff) * 587 + (a & 0xff) * 114) / 1000
+
+  test("webp lossless: literal streams round-trip exactly") {
+    import graft.kernel.WebP
+    val r = new scala.util.Random(51)
+    for ((w, h) <- Seq((23, 14), (1, 1), (40, 1), (1, 30), (64, 48))) {
+      val px = Array.fill(w * h)(0xff000000 | r.nextInt(0x1000000))
+      val d = WebP.decode(MediaGen.webpLossless(px, w, h))
+      assert(d.codec === "webp" && d.width === w && d.height === h, s"${w}x$h")
+      assert(d.samples.toSeq === px.map(argbLuma).toSeq, s"${w}x$h pixels")
+    }
+    // varying alpha channel too
+    val px2 = Array.fill(19 * 11)(new scala.util.Random(52).nextInt())
+    val d2 = WebP.decode(MediaGen.webpLossless(px2, 19, 11))
+    assert(d2.samples.toSeq === px2.map(argbLuma).toSeq)
+  }
+
+  test("webp lossless: LZ77 runs and colour cache round-trip") {
+    import graft.kernel.WebP
+    val r = new scala.util.Random(53)
+    // long runs + repeated colours from a small pool → cache hits + runs
+    val pool = Array.fill(9)(0xff000000 | r.nextInt(0x1000000))
+    val (w, h) = (50, 30)
+    val px = new Array[Int](w * h)
+    var i = 0
+    while (i < px.length) {
+      val c = pool(r.nextInt(pool.length))
+      val run = 1 + r.nextInt(12)
+      var k = 0
+      while (k < run && i < px.length) { px(i) = c; i += 1; k += 1 }
+    }
+    for ((lz, cb) <- Seq((true, 0), (false, 4), (true, 6))) {
+      val d = WebP.decode(MediaGen.webpLossless(px, w, h, useLz77 = lz, cacheBits = cb))
+      assert(d.samples.toSeq === px.map(argbLuma).toSeq, s"lz=$lz cache=$cb")
+    }
+  }
+
+  test("webp lossless: subtract-green and all 14 predictor modes round-trip") {
+    import graft.kernel.WebP
+    val r = new scala.util.Random(54)
+    val (w, h) = (37, 29) // 4x4 predictor blocks → 10x8 grid cycles all modes
+    val px = Array.fill(w * h)(0xff000000 | r.nextInt(0x1000000))
+    for ((sg, pred) <- Seq((true, false), (false, true), (true, true))) {
+      val d = WebP.decode(MediaGen.webpLossless(px, w, h,
+        subtractGreen = sg, predictor = pred))
+      assert(d.samples.toSeq === px.map(argbLuma).toSeq, s"sg=$sg pred=$pred")
+    }
+    // smooth gradients (the content predictors exist for)
+    val grad = Array.tabulate(w * h)(i =>
+      0xff000000 | (((i % w) * 4 & 0xff) << 16) | (((i / w) * 5 & 0xff) << 8) | ((i * 3) & 0xff))
+    val dg = WebP.decode(MediaGen.webpLossless(grad, w, h,
+      subtractGreen = true, predictor = true, useLz77 = true))
+    assert(dg.samples.toSeq === grad.map(argbLuma).toSeq)
+  }
+
+  test("webp lossless: colour-indexed palettes with sub-byte bundling") {
+    import graft.kernel.WebP
+    val r = new scala.util.Random(55)
+    for (nColors <- Seq(2, 4, 13, 47)) { // widths bits 3, 2, 1, 0
+      val (w, h) = (21, 9)
+      val idx = Array.tabulate(w * h)(_ => r.nextInt(nColors))
+      val px = idx.map(i => 0xff000000 | (i << 8)) // indices in green
+      val d = WebP.decode(MediaGen.webpLossless(px, w, h, paletteSize = nColors))
+      // the writer's deterministic palette maps idx -> colour
+      val want = idx.map(i => argbLuma(
+        0xff000000 | ((i * 37 % 256) << 16) | ((i * 73 % 256) << 8) | (i * 151 % 256)))
+      assert(d.samples.toSeq === want.toSeq, s"nColors=$nColors")
+    }
+  }
+
+  test("webp lossless: fuzz across shapes, content classes and feature combos") {
+    import graft.kernel.WebP
+    val r = new scala.util.Random(56)
+    (1 to 50).foreach { k =>
+      val w = 1 + r.nextInt(60); val h = 1 + r.nextInt(40)
+      val px = r.nextInt(3) match {
+        case 0 => Array.fill(w * h)(0xff000000 | r.nextInt(0x1000000))
+        case 1 => Array.tabulate(w * h)(i => // gradient: long runs after transforms
+          0xff000000 | (((i % w) * 3 & 0xff) << 16) | (((i / w) * 7 & 0xff) << 8) | ((i / 5) & 0xff))
+        case _ => // few colours: cache hits + runs
+          val pool = Array.fill(4)(0xff000000 | r.nextInt(0x1000000))
+          Array.fill(w * h)(pool(r.nextInt(4)))
+      }
+      val d = WebP.decode(MediaGen.webpLossless(px, w, h,
+        useLz77 = r.nextBoolean(),
+        cacheBits = if (r.nextBoolean()) 0 else 1 + r.nextInt(8),
+        subtractGreen = r.nextBoolean(),
+        predictor = r.nextBoolean()))
+      assert(d.width === w && d.height === h, s"sample #$k dims")
+      assert(d.samples.toSeq === px.map(argbLuma).toSeq, s"sample #$k (w=$w h=$h)")
+    }
+  }
+
+  test("webp: lossy VP8 and malformed containers are rejected") {
+    import graft.kernel.WebP
+    val good = MediaGen.webpLossless(Array.fill(16)(0xff112233.toInt), 4, 4)
+    // swap the chunk id to the lossy codec
+    val lossy = good.clone()
+    val at = (0 until lossy.length - 3).find(i =>
+      lossy(i) == 'V' && lossy(i + 1) == 'P' && lossy(i + 2) == '8' && lossy(i + 3) == 'L').get
+    lossy(at + 3) = ' '
+    intercept[Exception](WebP.decode(lossy))
+    intercept[Exception](WebP.decode(good.take(good.length - 4)))
+    intercept[Exception](WebP.decode("RIFF1234WEBP".getBytes))
+  }
+
   test("tiff: strips round-trip exactly across byte orders, PackBits and polarity") {
     val r = new scala.util.Random(47)
     for ((ch, pb, be) <- Seq((1, false, false), (1, true, true), (3, true, false), (3, false, true))) {

@@ -425,9 +425,9 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
     assert(feats.count() === 200)
     assert(feats.where(!$"ok").count() === 0)
     assert(feats.select($"kind").distinct().count() === 3)
-    // all ten codecs present: seven real decoders + three stub containers
+    // all eleven codecs present: eight real decoders + three stub containers
     assert(feats.select($"codec").distinct().as[String].collect().toSet
-      === Set("jpeg", "gif", "bmp", "wav", "png", "mjpeg", "tiff", "img1", "aud1", "vid1"))
+      === Set("jpeg", "gif", "bmp", "wav", "png", "mjpeg", "tiff", "webp", "img1", "aud1", "vid1"))
     assert(feats.where($"codec" === "mjpeg" &&
       ($"width" <= 0 || $"n_frames" <= 0 || $"sample_rate" <= 0)).count() === 0)
     assert(feats.where($"kind" === "image" && ($"width" <= 0 || $"height" <= 0)).count() === 0)
@@ -437,7 +437,7 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
     // luminance sample per pixel; WAV covers one amplitude per frame
     val mass = expr("aggregate(hist8, 0L, (a, x) -> a + x)")
     assert(feats.where($"codec" === "img1" && mass =!= ($"n_bytes" - 12)).count() === 0)
-    assert(feats.where($"codec".isin("bmp", "png", "jpeg", "gif", "tiff") &&
+    assert(feats.where($"codec".isin("bmp", "png", "jpeg", "gif", "tiff", "webp") &&
       mass =!= ($"width" * $"height").cast("long")).count() === 0)
     assert(feats.where($"codec" === "wav" && mass =!= $"n_frames".cast("long")).count() === 0)
     // real resize: image thumbnails are <= 8x8 luminance bytes, and a
