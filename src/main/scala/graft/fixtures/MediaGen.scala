@@ -415,6 +415,7 @@ object MediaGen {
   def webpLossless(pixels: Array[Int], w: Int, h: Int,
                    useLz77: Boolean = false, cacheBits: Int = 0,
                    subtractGreen: Boolean = false, predictor: Boolean = false,
+                   colorTf: Boolean = false, metaGroups: Boolean = false,
                    paletteSize: Int = 0): Array[Byte] = {
     require(pixels.length == w * h && w > 0 && h > 0 && w <= 16384 && h <= 16384)
     require(cacheBits >= 0 && cacheBits <= 11)
@@ -434,6 +435,40 @@ object MediaGen {
         val b = ((a & 0xff) - g) & 0xff
         (a & 0xff00ff00) | (r << 16) | b
       }
+    }
+    if (colorTf) {
+      // cross-colour transform with per-block elements; forward direction
+      // subtracts the deltas the decoder's inverse will add back (r2b is
+      // applied against the RESTORED red, i.e. the original value)
+      bw.put(1, 1); bw.put(1, 2)
+      val sb = 2
+      bw.put(sb - 2, 3)
+      val gw = (codedW + (1 << sb) - 1) >> sb
+      val gh = (h + (1 << sb) - 1) >> sb
+      val elems = Array.tabulate(gw * gh)(i =>
+        0xff000000 | (((i * 29) % 256) << 16) | (((i * 17) % 256) << 8) | ((i * 11) % 256))
+      writeImageStream(bw, elems, gw, gh, isMain = false, useLz77 = false, cacheBits = 0)
+      def delta(t: Int, c: Int): Int = (t.toByte * c.toByte) >> 5
+      val res = new Array[Int](coded.length)
+      var i = 0
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < codedW) {
+          val e = elems((y >> sb) * gw + (x >> sb))
+          val g2r = e & 0xff; val g2b = (e >> 8) & 0xff; val r2b = (e >> 16) & 0xff
+          val a = coded(i)
+          val g = (a >> 8) & 0xff
+          val r0 = (a >> 16) & 0xff
+          val b0 = a & 0xff
+          val r = (r0 - delta(g2r, g)) & 0xff
+          val b = (b0 - delta(g2b, g) - delta(r2b, r0)) & 0xff
+          res(i) = (a & 0xff00ff00) | (r << 16) | b
+          x += 1; i += 1
+        }
+        y += 1
+      }
+      coded = res
     }
     if (predictor) {
       bw.put(1, 1); bw.put(0, 2)
@@ -502,7 +537,8 @@ object MediaGen {
       }
     }
     bw.put(0, 1) // no more transforms
-    writeImageStream(bw, coded, codedW, h, isMain = true, useLz77, cacheBits)
+    writeImageStream(bw, coded, codedW, h, isMain = true, useLz77, cacheBits,
+      metaGroups = metaGroups)
     val payload = 0x2f.toByte +: bw.result()
     val vp8l = "VP8L".getBytes ++ le32(payload.length) ++ payload ++
       (if ((payload.length & 1) == 1) Array[Byte](0) else Array.empty[Byte])
@@ -581,10 +617,11 @@ object MediaGen {
       (ch(24) << 24) | (ch(16) << 16) | (ch(8) << 8) | ch(0)
     }
     def sel(l: Int, t: Int, tl: Int): Int = {
+      // spec rule: predict T when Σ|L−TL| <= Σ|T−TL| (see WebP.select)
       def d(a: Int, b: Int, sh: Int) = math.abs(((a >>> sh) & 0xff) - ((b >>> sh) & 0xff))
-      val pT = d(t, tl, 24) + d(t, tl, 16) + d(t, tl, 8) + d(t, tl, 0)
       val pL = d(l, tl, 24) + d(l, tl, 16) + d(l, tl, 8) + d(l, tl, 0)
-      if (pL < pT) l else t
+      val pT = d(t, tl, 24) + d(t, tl, 16) + d(t, tl, 8) + d(t, tl, 0)
+      if (pL <= pT) t else l
     }
     def predict(mode: Int, l: Int, t: Int, tl: Int, tr: Int): Int = mode match {
       case -1 | 0 => 0xff000000
@@ -710,13 +747,29 @@ object MediaGen {
     canonicalMsb(lengths)
   }
 
-  /** One entropy-coded image stream (tokens → five prefix codes → data). */
+  /** One entropy-coded image stream (tokens → five prefix codes → data).
+    * With `metaGroups`, a 4×4-block checkerboard huffman image selects
+    * between two groups carrying IDENTICAL code tables — the group
+    * indexing machinery is exercised without per-group histograms.
+    */
   private def writeImageStream(bw: LsbWriter, px: Array[Int], w: Int, h: Int,
                                isMain: Boolean, useLz77: Boolean,
-                               cacheBits: Int): Unit = {
+                               cacheBits: Int, metaGroups: Boolean = false): Unit = {
     val cacheSize = if (cacheBits > 0) 1 << cacheBits else 0
     if (cacheBits > 0) { bw.put(1, 1); bw.put(cacheBits, 4) } else bw.put(0, 1)
-    if (isMain) bw.put(0, 1) // no meta-prefix image
+    var nGroups = 1
+    if (isMain) {
+      if (metaGroups) {
+        bw.put(1, 1)
+        val metaBits = 2
+        bw.put(metaBits - 2, 3)
+        val mw = (w + 3) >> 2; val mh = (h + 3) >> 2
+        val meta = Array.tabulate(mw * mh)(i =>
+          0xff000000 | ((((i % mw) + (i / mw)) % 2) << 8)) // checkerboard 0/1
+        writeImageStream(bw, meta, mw, mh, isMain = false, useLz77 = false, cacheBits = 0)
+        nGroups = 2
+      } else bw.put(0, 1)
+    }
     // ---- tokenize ----
     sealed trait Tok
     case class Lit(argb: Int) extends Tok
@@ -774,14 +827,23 @@ object MediaGen {
     if (distUsed.isEmpty) distUsed += 0
     if (greenUsed.isEmpty) greenUsed += 0
     // single-symbol codes transmit ZERO bits per symbol (the decoder
-    // short-circuits them) — track singleness alongside the code table
+    // short-circuits them) — track singleness alongside the code table.
+    // With meta groups, every group carries the same tables: write the
+    // five codes once per group, keep one table for emission
     def coded(alphabet: Int, used: Seq[Int]): (Array[(Int, Int)], Boolean) =
       (writeCode(bw, completeLengths(alphabet, used)), used.size == 1)
-    val greenC = coded(256 + 24 + cacheSize, greenUsed.toSeq)
-    val redC = coded(256, redUsed.toSeq)
-    val blueC = coded(256, blueUsed.toSeq)
-    val alphaC = coded(256, alphaUsed.toSeq)
-    val distC = coded(40, distUsed.toSeq)
+    var greenC: (Array[(Int, Int)], Boolean) = null
+    var redC: (Array[(Int, Int)], Boolean) = null
+    var blueC: (Array[(Int, Int)], Boolean) = null
+    var alphaC: (Array[(Int, Int)], Boolean) = null
+    var distC: (Array[(Int, Int)], Boolean) = null
+    (0 until nGroups).foreach { _ =>
+      greenC = coded(256 + 24 + cacheSize, greenUsed.toSeq)
+      redC = coded(256, redUsed.toSeq)
+      blueC = coded(256, blueUsed.toSeq)
+      alphaC = coded(256, alphaUsed.toSeq)
+      distC = coded(40, distUsed.toSeq)
+    }
     def emit(cw: (Array[(Int, Int)], Boolean), sym: Int): Unit = if (!cw._2) {
       val (c, l) = cw._1(sym)
       var b = l - 1

@@ -282,8 +282,10 @@ object Media {
           width0 * height0 <= (64L << 20),
           s"implausible dims ${width0}x$height0")
         // planar (RRR..GGG..BBB) layouts would decode to garbage luma
-        // through the interleaved path — reject, never mis-decode
-        require(planarConfig == 1L, s"planar configuration $planarConfig unsupported")
+        // through the interleaved path — reject, never mis-decode; with a
+        // single sample per pixel planar and chunky are byte-identical
+        require(planarConfig == 1L || samplesPerPx == 1L,
+          s"planar configuration $planarConfig unsupported for RGB")
         require(bits.forall(_ == 8), "only 8-bit samples supported")
         require(samplesPerPx == 1 || samplesPerPx == 3,
           s"samples/pixel $samplesPerPx unsupported")

@@ -238,11 +238,14 @@ object WebP {
     (ch(24) << 24) | (ch(16) << 16) | (ch(8) << 8) | ch(0)
   }
   private def select(l: Int, t: Int, tl: Int): Int = {
+    // Paeth-style: with estimate p = L + T − TL, the distance from p to L
+    // is |T−TL| and to T is |L−TL|; choose the closer neighbor — i.e.
+    // predict T when Σ|L−TL| <= Σ|T−TL| (libwebp's pa_minus_pb <= 0)
     def d(a: Int, b: Int, sh: Int): Int =
       math.abs(((a >>> sh) & 0xff) - ((b >>> sh) & 0xff))
-    val pT = d(t, tl, 24) + d(t, tl, 16) + d(t, tl, 8) + d(t, tl, 0)
     val pL = d(l, tl, 24) + d(l, tl, 16) + d(l, tl, 8) + d(l, tl, 0)
-    if (pL < pT) l else t
+    val pT = d(t, tl, 24) + d(t, tl, 16) + d(t, tl, 8) + d(t, tl, 0)
+    if (pL <= pT) t else l
   }
 
   private def inversePredictor(px: Array[Int], w: Int, h: Int,
@@ -389,7 +392,7 @@ object WebP {
       val mh = (h + (1 << metaBits) - 1) >> metaBits
       meta = decodeImage(r, mw, mh)
       val n = meta.map(p => ((p >> 8) & 0xffff)).max + 1
-      require(n <= 256, s"implausible group count $n")
+      require(n <= 65536, s"implausible group count $n") // 16-bit index space
       groups = Array.fill(n)(null)
     } else groups = Array.fill(1)(null)
     var gi = 0
@@ -397,17 +400,24 @@ object WebP {
 
     val px = new Array[Int](w * h)
     val mw = if (meta != null) (w + (1 << metaBits) - 1) >> metaBits else 0
-    def groupAt(x: Int, y: Int): Group =
-      if (meta == null) groups(0)
-      else {
-        val m = meta(((y >> metaBits) * mw) + (x >> metaBits))
-        groups((m >> 8) & 0xffff)
-      }
     def cacheInsert(argb: Int): Unit =
       if (cacheBits > 0) cache((0x1e35a7bd * argb) >>> (32 - cacheBits)) = argb
     var pos = 0
+    var px_x = 0
+    var px_y = 0
+    def advance(n: Int): Unit = {
+      px_x += n
+      while (px_x >= w) { px_x -= w; px_y += 1 }
+    }
     while (pos < w * h) {
-      val g = groupAt(pos % w, pos / w)
+      // x/y tracked incrementally — two divisions per pixel would tax the
+      // hot loop of a media kernel for nothing when no meta image exists
+      val g =
+        if (meta == null) groups(0)
+        else {
+          val m = meta(((px_y >> metaBits) * mw) + (px_x >> metaBits))
+          groups((m >> 8) & 0xffff)
+        }
       val s = g.green.decode(r)
       if (s < 256) {
         val red = g.red.decode(r)
@@ -416,7 +426,7 @@ object WebP {
         val argb = (alpha << 24) | (red << 16) | (s << 8) | blue
         px(pos) = argb
         cacheInsert(argb)
-        pos += 1
+        pos += 1; advance(1)
       } else if (s < 280) {
         val len = prefixValue(r, s - 256)
         val distCode = prefixValue(r, g.dist.decode(r))
@@ -429,11 +439,12 @@ object WebP {
           cacheInsert(px(pos))
           pos += 1; k += 1
         }
+        advance(len)
       } else {
         val idx = s - 280
         require(idx < cacheSize, s"cache index $idx out of range")
         px(pos) = cache(idx)
-        pos += 1
+        pos += 1; advance(1)
       }
     }
     px
@@ -482,12 +493,19 @@ object WebP {
       more = r.bit() == 1
     }
     var px = decodeImage(r, codedW, h, isMain = true)
-    // inverse transforms in reverse order of reading (list head = last read)
+    // inverse transforms in reverse order of reading (list head = last
+    // read). The image width CHANGES mid-chain: before the colour-index
+    // inverse runs, the image is still at the bundled width — predictor/
+    // colour inverses read after the palette operate at that width (they
+    // were also parsed with it), those read before it at the full width
+    var curW = codedW
     transforms.foreach {
-      case ColorIndex(pal, wb) => px = inverseColorIndex(px, w, h, pal, wb)
+      case ColorIndex(pal, wb) =>
+        px = inverseColorIndex(px, w, h, pal, wb)
+        curW = w
       case SubtractGreen => inverseSubtractGreen(px)
-      case ColorTf(sb, data) => inverseColor(px, w, h, sb, data)
-      case Predictor(sb, data) => inversePredictor(px, w, h, sb, data)
+      case ColorTf(sb, data) => inverseColor(px, curW, h, sb, data)
+      case Predictor(sb, data) => inversePredictor(px, curW, h, sb, data)
     }
     val luma = new Array[Int](w * h)
     var i = 0
@@ -506,17 +524,20 @@ object WebP {
     */
   def decode(p: Array[Byte]): Media.Decoded = {
     require(isWebP(p), "not a WebP")
-    var off = 12
+    // Long walk: a crafted len near Int.MaxValue would wrap an Int bound
+    // check and index negatively (the C5 class fixed for WAV/AVI too)
+    var off = 12L
     while (off + 8 <= p.length) {
-      val id = new String(p, off, 4, java.nio.charset.StandardCharsets.ISO_8859_1)
-      val len = le32(p, off + 4)
+      val o = off.toInt
+      val id = new String(p, o, 4, java.nio.charset.StandardCharsets.ISO_8859_1)
+      val len = le32(p, o + 4)
       require(len >= 0 && off + 8 + len <= p.length, s"truncated chunk $id")
       if (id == "VP8L") {
-        require(len >= 2 && (p(off + 8) & 0xff) == 0x2f, "bad VP8L signature")
-        return decodeVp8l(p, off + 9, off + 8 + len)
+        require(len >= 2 && (p(o + 8) & 0xff) == 0x2f, "bad VP8L signature")
+        return decodeVp8l(p, o + 9, o + 8 + len)
       }
       require(id != "VP8 ", "lossy WebP (VP8 keyframe) unsupported")
-      off += 8 + len + (len & 1)
+      off += 8L + len + (len & 1)
     }
     throw new IllegalArgumentException("no VP8L chunk")
   }

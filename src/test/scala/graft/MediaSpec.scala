@@ -341,6 +341,20 @@ class MediaSpec extends AnyFunSuite {
     }
   }
 
+  test("webp lossless: cross-colour transform and meta-prefix groups round-trip") {
+    import graft.kernel.WebP
+    val r = new scala.util.Random(57)
+    val (w, h) = (33, 21)
+    val px = Array.fill(w * h)(0xff000000 | r.nextInt(0x1000000))
+    for ((ct, mg, sg, pd) <- Seq(
+        (true, false, false, false), (false, true, false, false),
+        (true, true, false, false), (true, false, true, true))) {
+      val d = WebP.decode(MediaGen.webpLossless(px, w, h,
+        colorTf = ct, metaGroups = mg, subtractGreen = sg, predictor = pd))
+      assert(d.samples.toSeq === px.map(argbLuma).toSeq, s"ct=$ct mg=$mg sg=$sg pd=$pd")
+    }
+  }
+
   test("webp lossless: fuzz across shapes, content classes and feature combos") {
     import graft.kernel.WebP
     val r = new scala.util.Random(56)
@@ -358,7 +372,9 @@ class MediaSpec extends AnyFunSuite {
         useLz77 = r.nextBoolean(),
         cacheBits = if (r.nextBoolean()) 0 else 1 + r.nextInt(8),
         subtractGreen = r.nextBoolean(),
-        predictor = r.nextBoolean()))
+        predictor = r.nextBoolean(),
+        colorTf = r.nextBoolean(),
+        metaGroups = r.nextBoolean()))
       assert(d.width === w && d.height === h, s"sample #$k dims")
       assert(d.samples.toSeq === px.map(argbLuma).toSeq, s"sample #$k (w=$w h=$h)")
     }
