@@ -388,6 +388,22 @@ object SparkEntry {
           round(cume_dist().over(w), 6).as("cd"))
         .where(col("rnk") <= 50)
     }),
+    // pair → cluster resolution: connected components over exact-dup
+    // pairs (iterative min-label propagation; the step every dedup
+    // pipeline needs between pair finding and canonical-doc selection).
+    // Oracle: DuckDB recursive-CTE label closure
+    "q50_dedup_clusters" -> ((s, dir) => {
+      // two similarity signals (shared 40-char prefix / suffix) unioned:
+      // components chain ACROSS signals, so transitive resolution is
+      // genuinely exercised (prefix-only would give cliques)
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), expr("left(trim(text), 40)").as("p"),
+          expr("right(trim(text), 40)").as("sfx"))
+      def pairsOn(c: String) = docs.as("a").join(docs.as("b"),
+          col(s"a.$c") === col(s"b.$c") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      graft.ops.Dedup.connectedComponents(pairsOn("p").union(pairsOn("sfx")).distinct())
+    }),
     // deterministic train/val/test split — the reproducible sampler a
     // training pipeline needs (NOT rand(): assignment must survive
     // re-runs, repartitioning and engine changes). Split by the first
@@ -810,6 +826,12 @@ object SparkEntry {
     "q48_contamination" -> ("WITH probes(probe) AS (VALUES ('stream join'), ('window merge'), ('quantum blockchain synergy')) " +
       "SELECT probe, CAST(sum(CASE WHEN contains(text, probe) THEN 1 ELSE 0 END) AS BIGINT) AS hits " +
       "FROM documents CROSS JOIN probes GROUP BY probe"),
+    "q50_dedup_clusters" -> ("WITH RECURSIVE d AS (SELECT doc_id, left(trim(text), 40) AS p, right(trim(text), 40) AS sfx FROM documents), " +
+      "pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id FROM d a JOIN d b ON a.p = b.p AND a.doc_id < b.doc_id " +
+      "UNION SELECT a.doc_id, b.doc_id FROM d a JOIN d b ON a.sfx = b.sfx AND a.doc_id < b.doc_id), " +
+      "edges AS (SELECT a_id AS s, b_id AS d FROM pairs UNION SELECT b_id, a_id FROM pairs), " +
+      "r(id, lab) AS (SELECT s, s FROM edges UNION SELECT e.s, r.lab FROM edges e JOIN r ON r.id = e.d) " +
+      "SELECT id, min(lab) AS cluster FROM r GROUP BY id"),
     "q46_hash_split" -> ("SELECT CASE WHEN substr(sha256(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train' " +
       "WHEN substr(sha256(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val' ELSE 'test' END AS split, " +
       "lang, count(*) AS docs, CAST(sum(n_chars) AS BIGINT) AS chars FROM documents GROUP BY 1, 2"),

@@ -335,6 +335,57 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
   }
 
+  // -------------------------------------------- pair → cluster resolution
+  /** Connected components over near-dup pairs — the step that turns pair
+    * lists (exact, MinHash, SimHash, cosine — any of the operators above)
+    * into dedup CLUSTERS with a canonical representative (the minimum
+    * id). Iterative min-label propagation: each node takes the smallest
+    * label among itself and its neighbors until fixpoint; converges in
+    * O(component diameter) rounds, each one hash-partitioned join + one
+    * aggregate (the standard Pregel-style shape — large-star/small-star
+    * halves the round count at extreme diameters, but near-dup components
+    * are shallow: a mirror farm is a clique, diameter 1).
+    *
+    * Each round materializes (`persist` + action) so the plan lineage
+    * stays flat — an unbounded iterative plan would otherwise grow by
+    * one join per round and stall the optimizer at scale.
+    *
+    * Returns `(id, cluster)` for every id appearing in `pairs`, where
+    * `cluster` is the component's minimum id.
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String = "a_id",
+                          bCol: String = "b_id",
+                          maxIter: Int = 25): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .persist()
+    edges.count()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("cluster", col("id"))
+      .persist()
+    labels.count()
+    var it = 0
+    var converged = false
+    while (!converged && it < maxIter) {
+      val nbrMin = edges.join(labels, edges("dst") === labels("id"))
+        .groupBy(col("src")).agg(min(col("cluster")).as("nbr"))
+      val next = labels.as("l")
+        .join(nbrMin, labels("id") === nbrMin("src"), "left")
+        .select(col("l.id").as("id"),
+          least(col("l.cluster"), coalesce(col("nbr"), col("l.cluster"))).as("cluster"))
+        .persist()
+      val changed = next.as("n").join(labels.as("o"), Seq("id"))
+        .where(col("n.cluster") =!= col("o.cluster")).limit(1).count() > 0
+      labels.unpersist()
+      labels = next
+      converged = !changed
+      it += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   // ----------------------------------------------- embedding-cosine dedup
   private def toDouble(v: Column): Column = transform(v, x => x.cast("double"))
 

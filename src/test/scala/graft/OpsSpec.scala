@@ -206,6 +206,21 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
     assert(again === part)
   }
 
+  test("connected components: chains resolve transitively to the minimum id") {
+    // a diameter-3 chain forces several propagation rounds; plus a
+    // separate triangle-ish component and an isolated pair
+    val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (12L, 11L), (20L, 21L)).toDF("a_id", "b_id")
+    val got = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+    // star edges from the capped-LSH hot bucket resolve to one cluster
+    val star = (1L until 50L).map(i => (0L, i)).toDF("a_id", "b_id")
+    val starCc = Dedup.connectedComponents(star).as[(Long, Long)].collect()
+    assert(starCc.forall(_._2 === 0L) && starCc.length === 50)
+  }
+
   test("capped LSH: hot bucket collapses to a star, cold buckets unaffected") {
     // pathological corpus: one saturated bucket (300 identical texts — the
     // mirror-farm case where every band of every member collides) plus an
