@@ -402,6 +402,145 @@ object MediaGen {
     out.toByteArray
   }
 
+  // ----------------------------------------------------------- FLAC writer
+  /** FLAC writer over 16-bit samples: STREAMINFO + fixed-blocksize
+    * frames. Mono streams cycle subframe types (constant where the block
+    * allows, verbatim, fixed orders 1/2 with Rice residuals — one frame
+    * per cycle using the escape/raw partition form); stereo encodes
+    * mid-side with verbatim subframes (side at 17 bits). CRCs are
+    * written as zeros (the decoder checks structure, not checksums).
+    */
+  def flac(samples: Array[Short], rate: Int, stereoRight: Array[Short] = null,
+           blockSize: Int = 256): Array[Byte] = {
+    require(samples.nonEmpty && rate > 0 && blockSize >= 16 && blockSize <= 65535)
+    val stereo = stereoRight != null
+    if (stereo) require(stereoRight.length == samples.length)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("fLaC".getBytes)
+    // STREAMINFO (last metadata block)
+    val si = new MsbWriter
+    si.put(blockSize, 16); si.put(blockSize, 16)
+    si.put(0, 24); si.put(0, 24)
+    si.put(rate, 20)
+    si.put(if (stereo) 1 else 0, 3) // channels - 1
+    si.put(15, 5) // bps - 1 = 16-bit
+    si.putLong(samples.length.toLong, 36)
+    (0 until 16).foreach(_ => si.put(0, 8)) // md5 unset
+    val siBytes = si.result()
+    out.write(0x80); out.write(0); out.write(0); out.write(siBytes.length)
+    out.write(siBytes)
+
+    var off = 0
+    var frameIdx = 0
+    while (off < samples.length) {
+      val n = math.min(blockSize, samples.length - off)
+      val w = new MsbWriter
+      w.put(0x3ffe, 14); w.put(0, 1); w.put(0, 1)
+      w.put(7, 4) // block size: 16-bit value follows
+      w.put(0, 4) // sample rate: from STREAMINFO
+      w.put(if (stereo) 10 else 0, 4) // mid-side or 1 channel
+      w.put(4, 3) // 16-bit samples
+      w.put(0, 1)
+      require(frameIdx < 128, "fixture frame index fits one coded byte")
+      w.put(frameIdx, 8)
+      w.put(n - 1, 16)
+      w.put(0, 8) // CRC-8 unchecked
+      def riceResidual(res: Array[Int], startAt: Int, escaped: Boolean): Unit = {
+        w.put(0, 2) // method 0: 4-bit params
+        w.put(0, 4) // partition order 0
+        if (escaped) {
+          w.put(15, 4) // escape
+          w.put(17, 5) // raw 17-bit residuals
+          var i = startAt
+          while (i < res.length) { w.put(res(i) & 0x1ffff, 17); i += 1 }
+        } else {
+          // param: enough bits for the largest zigzagged value
+          var maxU = 0
+          var i = startAt
+          while (i < res.length) {
+            val u = (res(i) << 1) ^ (res(i) >> 31)
+            if (u > maxU) maxU = u; i += 1
+          }
+          var k = 0
+          while ((maxU >> k) > 7 && k < 14) k += 1 // cap unary quotients at 7
+          w.put(k, 4)
+          i = startAt
+          while (i < res.length) {
+            val u = (res(i) << 1) ^ (res(i) >> 31)
+            val q = u >>> k
+            var z = 0
+            while (z < q) { w.put(0, 1); z += 1 }
+            w.put(1, 1)
+            if (k > 0) w.put(u & ((1 << k) - 1), k)
+            i += 1
+          }
+        }
+      }
+      // kind: 0 constant, 1 verbatim, 2 = fixed order 1, 3 = fixed order 2
+      def subframe(xs: Array[Int], bps: Int, kind: Int, escaped: Boolean): Unit = {
+        w.put(0, 1) // padding
+        kind match {
+          case 0 => // constant
+            w.put(0, 6); w.put(0, 1)
+            w.put(xs(0) & ((1 << bps) - 1), bps)
+          case 1 => // verbatim
+            w.put(1, 6); w.put(0, 1)
+            xs.foreach(v => w.put(v & ((1 << bps) - 1), bps))
+          case k => // fixed order k-1
+            val o = k - 1
+            w.put(0x08 | o, 6); w.put(0, 1)
+            (0 until o).foreach(i => w.put(xs(i) & ((1 << bps) - 1), bps))
+            val res = new Array[Int](xs.length)
+            var i = o
+            while (i < xs.length) {
+              val pred = if (o == 1) xs(i - 1) else 2 * xs(i - 1) - xs(i - 2)
+              res(i) = xs(i) - pred
+              i += 1
+            }
+            riceResidual(res, o, escaped)
+        }
+      }
+      if (!stereo) {
+        val xs = Array.tabulate(n)(i => samples(off + i).toInt)
+        val allSame = xs.forall(_ == xs(0))
+        frameIdx % 4 match {
+          case 0 if allSame => subframe(xs, 16, 0, escaped = false)
+          case 0 => subframe(xs, 16, 1, escaped = false)
+          case 1 => subframe(xs, 16, if (n >= 2) 2 else 1, escaped = false)
+          case 2 => subframe(xs, 16, if (n >= 3) 3 else 1, escaped = false)
+          case _ => subframe(xs, 16, if (n >= 3) 3 else 1, escaped = true)
+        }
+      } else {
+        val l = Array.tabulate(n)(i => samples(off + i).toInt)
+        val rr = Array.tabulate(n)(i => stereoRight(off + i).toInt)
+        val mid = Array.tabulate(n)(i => (l(i) + rr(i)) >> 1)
+        val side = Array.tabulate(n)(i => l(i) - rr(i))
+        subframe(mid, 16, 1, escaped = false)
+        subframe(side, 17, 1, escaped = false)
+      }
+      w.alignZero()
+      w.put(0, 16) // CRC-16 unchecked
+      out.write(w.result())
+      off += n
+      frameIdx += 1
+    }
+    out.toByteArray
+  }
+
+  private final class MsbWriter {
+    private val out = new java.io.ByteArrayOutputStream()
+    private var acc = 0L
+    private var n = 0
+    def put(v: Int, k: Int): Unit = putLong(v.toLong & ((1L << k) - 1), k)
+    def putLong(v: Long, k: Int): Unit = {
+      acc = (acc << k) | (v & ((1L << k) - 1))
+      n += k
+      while (n >= 8) { out.write(((acc >>> (n - 8)) & 0xff).toInt); n -= 8 }
+    }
+    def alignZero(): Unit = if (n % 8 != 0) put(0, 8 - n % 8)
+    def result(): Array[Byte] = { require(n == 0, "unaligned"); out.toByteArray }
+  }
+
   // -------------------------------------------------- WebP-lossless writer
   /** VP8L (lossless WebP) writer over ARGB pixels. Emits a spec-valid
     * bitstream with selectable features so the decoder's paths are all
@@ -1440,7 +1579,13 @@ object MediaGen {
             bmp(body(r, w * h * 3), w, h))
         case 4 =>
           val rate = 8000 + 4000 * r.nextInt(3); val ns = 64 + r.nextInt(512)
-          val payload = r.nextInt(4) match {
+          val payload = r.nextInt(5) match {
+            case 4 =>
+              val mono = Array.tabulate(ns)(_ => r.nextInt(65536).toShort)
+              if (r.nextBoolean()) flac(mono, rate, blockSize = 64)
+              else flac(mono, rate,
+                stereoRight = Array.tabulate(ns)(_ => r.nextInt(65536).toShort),
+                blockSize = 64)
             case 0 => wavOf(body(r, ns), rate, format = 7, channels = 1, bits = 8) // μ-law
             case 1 => wavOf(body(r, ns), rate, format = 6, channels = 1, bits = 8) // A-law
             case 2 => // extensible-wrapped 16-bit PCM

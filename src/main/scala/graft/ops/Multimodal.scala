@@ -136,6 +136,8 @@ object Multimodal {
       fromDecoded(m, graft.kernel.Media.decodeTiff(m.payload))
     else if (graft.kernel.WebP.isWebP(m.payload))
       fromDecoded(m, graft.kernel.WebP.decode(m.payload))
+    else if (graft.kernel.Flac.isFlac(m.payload))
+      fromDecoded(m, graft.kernel.Flac.decode(m.payload))
     else {
       val magic = new String(m.payload.take(4), java.nio.charset.StandardCharsets.ISO_8859_1)
       val (w, h, rate, frames, dataOff) = magic match {

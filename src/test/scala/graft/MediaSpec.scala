@@ -270,6 +270,50 @@ class MediaSpec extends AnyFunSuite {
     intercept[Exception](Media.decodeGif("GIF89a".getBytes ++ Array[Byte](1, 2)))
   }
 
+  test("flac: mono subframe cycle (constant/verbatim/fixed/escape) round-trips exactly") {
+    import graft.kernel.Flac
+    val r = new scala.util.Random(61)
+    // smooth-ish signal so fixed predictors see small residuals, plus
+    // spikes so rice params vary
+    val n = 1500
+    val samples = Array.tabulate(n) { i =>
+      ((math.sin(i / 9.0) * 9000).toInt + (if (i % 97 == 0) 15000 else 0)).toShort
+    }
+    val d = Flac.decode(MediaGen.flac(samples, 22050, blockSize = 256))
+    assert(d.codec === "flac" && d.sampleRate === 22050 && d.frames === n)
+    assert(d.samples.toSeq === samples.map(_.toInt).toSeq)
+    // a constant stream exercises the constant subframe
+    val flat = Array.fill[Short](600)(-1234)
+    val df = Flac.decode(MediaGen.flac(flat, 8000, blockSize = 192))
+    assert(df.samples.toSeq === flat.map(_.toInt).toSeq)
+    // partial final frame
+    val odd = Array.tabulate(777)(i => (i * 37 - 9000).toShort)
+    assert(Flac.decode(MediaGen.flac(odd, 16000)).samples.toSeq === odd.map(_.toInt).toSeq)
+  }
+
+  test("flac: mid-side stereo reconstructs and averages like the WAV path") {
+    import graft.kernel.Flac
+    val r = new scala.util.Random(62)
+    val n = 900
+    val left = Array.fill[Short](n)(r.nextInt(65536).toShort)
+    val right = Array.fill[Short](n)(r.nextInt(65536).toShort)
+    val d = Flac.decode(MediaGen.flac(left, 44100, stereoRight = right))
+    assert(d.sampleRate === 44100 && d.frames === n)
+    val want = Array.tabulate(n)(i => (left(i) + right(i)) / 2)
+    assert(d.samples.toSeq === want.toSeq)
+  }
+
+  test("flac: malformed streams are rejected, not hung") {
+    import graft.kernel.Flac
+    val good = MediaGen.flac(Array.tabulate(300)(i => (i * 3).toShort), 8000)
+    intercept[Exception](Flac.decode(good.take(good.length / 2))) // truncated frame
+    intercept[Exception](Flac.decode("fLaC".getBytes)) // no STREAMINFO
+    val badSync = good.clone()
+    // find the first frame (after the 4+4+34 byte header region) and break sync
+    badSync(42) = 0
+    intercept[Exception](Flac.decode(badSync))
+  }
+
   private def argbLuma(a: Int): Int =
     (((a >> 16) & 0xff) * 299 + ((a >> 8) & 0xff) * 587 + (a & 0xff) * 114) / 1000
 

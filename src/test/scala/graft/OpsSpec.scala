@@ -440,9 +440,11 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
     assert(feats.count() === 200)
     assert(feats.where(!$"ok").count() === 0)
     assert(feats.select($"kind").distinct().count() === 3)
-    // all eleven codecs present: eight real decoders + three stub containers
+    // all twelve codecs present: nine real decoders + three stub containers
     assert(feats.select($"codec").distinct().as[String].collect().toSet
-      === Set("jpeg", "gif", "bmp", "wav", "png", "mjpeg", "tiff", "webp", "img1", "aud1", "vid1"))
+      === Set("jpeg", "gif", "bmp", "wav", "flac", "png", "mjpeg", "tiff", "webp",
+        "img1", "aud1", "vid1"))
+    assert(feats.where($"codec" === "flac" && $"sample_rate" <= 0).count() === 0)
     assert(feats.where($"codec" === "mjpeg" &&
       ($"width" <= 0 || $"n_frames" <= 0 || $"sample_rate" <= 0)).count() === 0)
     assert(feats.where($"kind" === "image" && ($"width" <= 0 || $"height" <= 0)).count() === 0)
