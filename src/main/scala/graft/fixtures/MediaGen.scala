@@ -411,7 +411,10 @@ object MediaGen {
     * written as zeros (the decoder checks structure, not checksums).
     */
   def flac(samples: Array[Short], rate: Int, stereoRight: Array[Short] = null,
-           blockSize: Int = 256): Array[Byte] = {
+           blockSize: Int = 256, wastedBits: Int = 0): Array[Byte] = {
+    if (wastedBits > 0)
+      require(samples.forall(s => (s & ((1 << wastedBits) - 1)) == 0),
+        "wasted-bits samples must be divisible by 2^wasted")
     require(samples.nonEmpty && rate > 0 && blockSize >= 16 && blockSize <= 65535)
     val stereo = stereoRight != null
     if (stereo) require(stereoRight.length == samples.length)
@@ -476,19 +479,45 @@ object MediaGen {
           }
         }
       }
-      // kind: 0 constant, 1 verbatim, 2 = fixed order 1, 3 = fixed order 2
-      def subframe(xs: Array[Int], bps: Int, kind: Int, escaped: Boolean): Unit = {
+      // kind: 0 constant, 1 verbatim, 2 = fixed order 1, 3 = fixed
+      // order 2, 4 = LPC order 2 (quantized [2,-1] at shift 5 — exactly
+      // the fixed-2 predictor, exercising the LPC decode path)
+      def subframe(xs0: Array[Int], bps0: Int, kind: Int, escaped: Boolean): Unit = {
         w.put(0, 1) // padding
+        val wasted = if (kind == 1) wastedBits else 0
+        val xs = if (wasted == 0) xs0 else xs0.map(_ >> wasted)
+        val bps = bps0 - wasted
+        def wastedFlag(): Unit =
+          if (wasted == 0) w.put(0, 1)
+          else { // flag 1 + unary(wasted-1): zeros then terminating 1
+            w.put(1, 1)
+            (1 until wasted).foreach(_ => w.put(0, 1))
+            w.put(1, 1)
+          }
         kind match {
           case 0 => // constant
-            w.put(0, 6); w.put(0, 1)
+            w.put(0, 6); wastedFlag()
             w.put(xs(0) & ((1 << bps) - 1), bps)
           case 1 => // verbatim
-            w.put(1, 6); w.put(0, 1)
+            w.put(1, 6); wastedFlag()
             xs.foreach(v => w.put(v & ((1 << bps) - 1), bps))
+          case 4 => // LPC order 2
+            w.put(0x20 | 1, 6); wastedFlag()
+            w.put(xs(0) & ((1 << bps) - 1), bps)
+            w.put(xs(1) & ((1 << bps) - 1), bps)
+            w.put(11, 4) // precision 12
+            w.put(5, 5) // shift
+            w.put(2 << 5, 12); w.put((-1 << 5) & 0xfff, 12) // [2,-1] quantized
+            val res = new Array[Int](xs.length)
+            var i = 2
+            while (i < xs.length) {
+              res(i) = xs(i) - (((2L << 5) * xs(i - 1) + (-1L << 5) * xs(i - 2)) >> 5).toInt
+              i += 1
+            }
+            riceResidual(res, 2, escaped)
           case k => // fixed order k-1
             val o = k - 1
-            w.put(0x08 | o, 6); w.put(0, 1)
+            w.put(0x08 | o, 6); wastedFlag()
             (0 until o).foreach(i => w.put(xs(i) & ((1 << bps) - 1), bps))
             val res = new Array[Int](xs.length)
             var i = o
@@ -503,12 +532,13 @@ object MediaGen {
       if (!stereo) {
         val xs = Array.tabulate(n)(i => samples(off + i).toInt)
         val allSame = xs.forall(_ == xs(0))
-        frameIdx % 4 match {
+        frameIdx % 5 match {
           case 0 if allSame => subframe(xs, 16, 0, escaped = false)
           case 0 => subframe(xs, 16, 1, escaped = false)
           case 1 => subframe(xs, 16, if (n >= 2) 2 else 1, escaped = false)
           case 2 => subframe(xs, 16, if (n >= 3) 3 else 1, escaped = false)
-          case _ => subframe(xs, 16, if (n >= 3) 3 else 1, escaped = true)
+          case 3 => subframe(xs, 16, if (n >= 3) 3 else 1, escaped = true)
+          case _ => subframe(xs, 16, if (n >= 3) 4 else 1, escaped = false)
         }
       } else {
         val l = Array.tabulate(n)(i => samples(off + i).toInt)

@@ -289,6 +289,15 @@ class MediaSpec extends AnyFunSuite {
     // partial final frame
     val odd = Array.tabulate(777)(i => (i * 37 - 9000).toShort)
     assert(Flac.decode(MediaGen.flac(odd, 16000)).samples.toSeq === odd.map(_.toInt).toSeq)
+    // LPC subframes (frame index 4 in the cycle needs >= 5 frames)
+    val lpcN = 6 * 128
+    val lpcS = Array.tabulate(lpcN)(i => ((math.sin(i / 5.0) * 7000).toInt).toShort)
+    assert(Flac.decode(MediaGen.flac(lpcS, 32000, blockSize = 128)).samples.toSeq
+      === lpcS.map(_.toInt).toSeq)
+    // wasted bits: samples divisible by 8, verbatim subframes at 13 bits
+    val w8 = Array.tabulate(500)(i => ((i * 24 - 6000) & ~7).toShort)
+    assert(Flac.decode(MediaGen.flac(w8, 8000, wastedBits = 3)).samples.toSeq
+      === w8.map(_.toInt).toSeq)
   }
 
   test("flac: mid-side stereo reconstructs and averages like the WAV path") {
