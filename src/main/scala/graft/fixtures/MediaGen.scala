@@ -412,6 +412,8 @@ object MediaGen {
     */
   def flac(samples: Array[Short], rate: Int, stereoRight: Array[Short] = null,
            blockSize: Int = 256, wastedBits: Int = 0): Array[Byte] = {
+    require(wastedBits == 0 || stereoRight == null,
+      "wasted bits apply to mono fixtures only (mid/side lose divisibility)")
     if (wastedBits > 0)
       require(samples.forall(s => (s & ((1 << wastedBits) - 1)) == 0),
         "wasted-bits samples must be divisible by 2^wasted")
@@ -452,10 +454,20 @@ object MediaGen {
         w.put(0, 2) // method 0: 4-bit params
         w.put(0, 4) // partition order 0
         if (escaped) {
-          w.put(15, 4) // escape
-          w.put(17, 5) // raw 17-bit residuals
+          // raw width sized to the largest residual: fixed-2 over
+          // arbitrary 16-bit samples spans 18 bits — a hardcoded width
+          // would silently truncate-and-wrong-sign large residuals
+          var width = 1
           var i = startAt
-          while (i < res.length) { w.put(res(i) & 0x1ffff, 17); i += 1 }
+          while (i < res.length) {
+            val v = res(i)
+            while (v < -(1 << (width - 1)) || v >= (1 << (width - 1))) width += 1
+            i += 1
+          }
+          w.put(15, 4) // escape
+          w.put(width, 5)
+          i = startAt
+          while (i < res.length) { w.put(res(i) & ((1 << width) - 1), width); i += 1 }
         } else {
           // param: enough bits for the largest zigzagged value
           var maxU = 0

@@ -210,13 +210,21 @@ object Flac {
     require(sampleRate > 0, "bad sample rate")
     require(channels >= 1 && channels <= 2, s"$channels channels unsupported (1-2)")
     require(bps == 8 || bps == 16 || bps == 24, s"$bps bits/sample unsupported")
-    require(totalSamples <= (1L << 26), s"implausible sample count $totalSamples")
+    // amplification bound: constant/silent frames compress enormously, so
+    // cap output as a multiple of the payload size — a KB-sized crafted
+    // stream must not allocate hundreds of MB inside an executor
+    val maxOut = math.min(1L << 26, math.max(1L << 16, p.length.toLong * 256))
+    require(totalSamples <= maxOut,
+      s"sample count $totalSamples implausible for ${p.length}-byte payload")
+    val unknownLength = totalSamples == 0 // spec-legal: live/streamed encodes
 
     // ---- frames ----
-    val outBuf = new java.io.ByteArrayOutputStream() // 16-bit LE amplitudes
+    val outArr = new Array[Int](if (unknownLength) 0 else totalSamples.toInt)
+    val grow = scala.collection.mutable.ArrayBuffer.empty[Int] // unknown-length path
     var decoded = 0L
     var pos = off
-    while (decoded < totalSamples) {
+    while ((!unknownLength && decoded < totalSamples) ||
+      (unknownLength && pos < p.length)) {
       val r = new Bits(p, pos)
       require(r.bits(14) == 0x3ffe, "lost frame sync")
       r.bit() // reserved
@@ -254,7 +262,10 @@ object Flac {
       }
       require(frameBps <= 24, s"$frameBps-bit frames unsupported")
       r.bits(8) // CRC-8 (not validated — C5 cares about bounds, not integrity)
-      val take = math.min(blockSize.toLong, totalSamples - decoded).toInt
+      val take =
+        if (unknownLength) blockSize
+        else math.min(blockSize.toLong, totalSamples - decoded).toInt
+      require(decoded + take <= maxOut, "stream exceeds the amplification bound")
 
       val samples: Array[Int] =
         if (chAsgn <= 7) { // independent channels
@@ -299,30 +310,23 @@ object Flac {
       r.align()
       r.bits(16) // CRC-16 (not validated)
       pos = r.atFrameBoundaryByte()
-      // write to the 16-bit domain like decodeWav
+      // into the 16-bit domain like decodeWav, directly (no byte detour)
       var i = 0
       while (i < take) {
-        val v = frameBps match {
+        val v = (frameBps match {
           case 8 => samples(i) << 8
           case 12 => samples(i) << 4
           case 16 => samples(i)
           case 20 => samples(i) >> 4
-          case 24 => samples(i) >> 8
-          case _ => samples(i) >> 16
-        }
-        outBuf.write(v & 0xff); outBuf.write((v >> 8) & 0xff)
+          case _ => samples(i) >> 8
+        }).toShort.toInt
+        if (unknownLength) grow += v else outArr(decoded.toInt + i) = v
         i += 1
       }
       decoded += take
     }
-    val bytes = outBuf.toByteArray
-    val n = bytes.length / 2
-    val out = new Array[Int](n)
-    var i = 0
-    while (i < n) {
-      out(i) = ((bytes(2 * i) & 0xff) | ((bytes(2 * i + 1) & 0xff) << 8)).toShort.toInt
-      i += 1
-    }
-    Media.Decoded("flac", 0, 0, sampleRate, n, out, 32768)
+    val out = if (unknownLength) grow.toArray else outArr
+    require(out.nonEmpty, "FLAC with no audio frames")
+    Media.Decoded("flac", 0, 0, sampleRate, out.length, out, 32768)
   }
 }

@@ -272,7 +272,6 @@ class MediaSpec extends AnyFunSuite {
 
   test("flac: mono subframe cycle (constant/verbatim/fixed/escape) round-trips exactly") {
     import graft.kernel.Flac
-    val r = new scala.util.Random(61)
     // smooth-ish signal so fixed predictors see small residuals, plus
     // spikes so rice params vary
     val n = 1500
