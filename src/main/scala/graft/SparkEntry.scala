@@ -669,6 +669,25 @@ object SparkEntry {
         .agg(count(lit(1)).as("orders_cnt"),
           sum(round(col("o_totalprice") * 100, 0).cast("bigint")).as("total_cents"))
     }),
+    // office-document branch of the extraction surface: DOCX payloads
+    // (ZIP + WordprocessingML, both walked from scratch) → visible text
+    "pipe24_docx_extract" -> ((s, _) => {
+      import s.implicits._
+      val docs = (0 until 40).map { i =>
+        val paras = Seq(
+          s"Document $i heading",
+          s"Body with <markup> & entities #$i",
+          s"tab\there and break\nline $i")
+        (i.toLong, graft.fixtures.MediaGen.docx(paras))
+      }
+      s.createDataset(docs).toDF("doc_idx", "payload")
+        .as[(Long, Array[Byte])]
+        .mapPartitions(_.map { case (idx, p) =>
+          (idx, graft.kernel.Docx.extractText(p))
+        })
+        .toDF("doc_idx", "text")
+        .withColumn("n_chars", length(col("text")))
+    }),
     // A7/F2: newest-first manifest listing (the reference's mtime-desc
     // file listing, routes.py:44-60)
     "pipe13_manifest_listing" -> ((s, _) => {

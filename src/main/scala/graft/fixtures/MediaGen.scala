@@ -402,6 +402,96 @@ object MediaGen {
     out.toByteArray
   }
 
+  // ------------------------------------------------------ ZIP/DOCX writers
+  /** Minimal correct ZIP writer (local headers + central directory +
+    * EOCD, real CRC-32s, STORED or raw-DEFLATE entries).
+    */
+  def zip(entries: Seq[(String, Array[Byte])], deflate: Boolean = true): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    case class Central(name: Array[Byte], method: Int, crc: Long,
+                       csize: Int, usize: Int, off: Int)
+    val centrals = entries.map { case (nameStr, data) =>
+      val name = nameStr.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val crc = { val c = new java.util.zip.CRC32(); c.update(data); c.getValue }
+      val packed =
+        if (!deflate) data
+        else {
+          val d = new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+          d.setInput(data); d.finish()
+          val buf = new java.io.ByteArrayOutputStream()
+          val tmp = new Array[Byte](8192)
+          while (!d.finished()) buf.write(tmp, 0, d.deflate(tmp))
+          d.end()
+          buf.toByteArray
+        }
+      val method = if (deflate) 8 else 0
+      val off = out.size()
+      out.write(Array[Byte]('P', 'K', 3, 4))
+      out.write(le16(20)); out.write(le16(0)); out.write(le16(method))
+      out.write(le16(0)); out.write(le16(0)) // time/date
+      out.write(le32(crc.toInt)); out.write(le32(packed.length)); out.write(le32(data.length))
+      out.write(le16(name.length)); out.write(le16(0))
+      out.write(name); out.write(packed)
+      Central(name, method, crc, packed.length, data.length, off)
+    }
+    val cdOff = out.size()
+    centrals.foreach { c =>
+      out.write(Array[Byte]('P', 'K', 1, 2))
+      out.write(le16(20)); out.write(le16(20)); out.write(le16(0)); out.write(le16(c.method))
+      out.write(le16(0)); out.write(le16(0))
+      out.write(le32(c.crc.toInt)); out.write(le32(c.csize)); out.write(le32(c.usize))
+      out.write(le16(c.name.length)); out.write(le16(0)); out.write(le16(0))
+      out.write(le16(0)); out.write(le16(0)); out.write(le32(0))
+      out.write(le32(c.off)); out.write(c.name)
+    }
+    val cdSize = out.size() - cdOff
+    out.write(Array[Byte]('P', 'K', 5, 6))
+    out.write(le16(0)); out.write(le16(0))
+    out.write(le16(centrals.size)); out.write(le16(centrals.size))
+    out.write(le32(cdSize)); out.write(le32(cdOff)); out.write(le16(0))
+    out.toByteArray
+  }
+
+  /** WordprocessingML document: each paragraph becomes `<w:p>` with the
+    * text split across multiple `<w:r>/<w:t>` runs; tabs and line breaks
+    * in the input map to `<w:tab/>`/`<w:br/>`; XML-special characters
+    * are entity-escaped.
+    */
+  def docx(paragraphs: Seq[String]): Array[Byte] = {
+    def esc(s: String): String = s.flatMap {
+      case '&' => "&amp;"
+      case '<' => "&lt;"
+      case '>' => "&gt;"
+      case c => c.toString
+    }
+    val body = paragraphs.map { para =>
+      val runs = para.split("(?=[\\t\\n])|(?<=[\\t\\n])", -1).map {
+        case "\t" => "<w:r><w:tab/></w:r>"
+        case "\n" => "<w:r><w:br/></w:r>"
+        case "" => ""
+        case txt =>
+          // split long runs so multi-run paragraphs are the norm
+          val mid = txt.length / 2
+          if (txt.length > 8)
+            s"""<w:r><w:t xml:space="preserve">${esc(txt.substring(0, mid))}</w:t></w:r>""" +
+              s"""<w:r><w:t xml:space="preserve">${esc(txt.substring(mid))}</w:t></w:r>"""
+          else s"""<w:r><w:t xml:space="preserve">${esc(txt)}</w:t></w:r>"""
+      }.mkString
+      s"<w:p><w:pPr></w:pPr>$runs</w:p>"
+    }.mkString
+    val xml =
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+        """<w:document xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main">""" +
+        s"<w:body>$body</w:body></w:document>"
+    val contentTypes =
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+        """<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">""" +
+        """<Default Extension="xml" ContentType="application/xml"/></Types>"""
+    zip(Seq(
+      "[Content_Types].xml" -> contentTypes.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      "word/document.xml" -> xml.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+  }
+
   // ----------------------------------------------------------- FLAC writer
   /** FLAC writer over 16-bit samples: STREAMINFO + fixed-blocksize
     * frames. Mono streams cycle subframe types (constant where the block

@@ -1,0 +1,88 @@
+package graft.kernel
+
+/** DOCX text extraction — the office-document branch of the extraction
+  * surface (web crawls carry .docx alongside HTML and PDF). A DOCX is a
+  * ZIP ([[Zip]]) holding WordprocessingML; the document body lives in
+  * `word/document.xml` and the visible text in `<w:t>` runs grouped
+  * into `<w:p>` paragraphs.
+  *
+  * The scanner is a single pass over the XML bytes — no DOM: it tracks
+  * `<w:t>`/`</w:t>` spans (including `<w:t xml:space="preserve">`),
+  * emits a newline at every paragraph close `</w:p>`, expands the five
+  * predefined XML entities plus numeric character references, and maps
+  * tabs/breaks (`<w:tab/>`, `<w:br/>`) to their text forms — the same
+  * single-pass discipline as [[HtmlStream]].
+  */
+object Docx {
+
+  def isDocx(p: Array[Byte]): Boolean =
+    Zip.isZip(p) && {
+      // cheap probe: the content-types part every OOXML file starts with
+      try Zip.entries(p).exists(_.name == "word/document.xml")
+      catch { case _: Exception => false }
+    }
+
+  /** Visible text of the document body, paragraphs separated by '\n'. */
+  def extractText(p: Array[Byte]): String = {
+    val xmlBytes = Zip.extractByName(p, "word/document.xml")
+      .getOrElse(throw new IllegalArgumentException("no word/document.xml"))
+    val xml = new String(xmlBytes, java.nio.charset.StandardCharsets.UTF_8)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    var inText = false
+    val n = xml.length
+    while (i < n) {
+      val c = xml.charAt(i)
+      if (c == '<') {
+        val close = xml.indexOf('>', i)
+        require(close > i, "unterminated XML tag")
+        val tag = xml.substring(i + 1, close)
+        val name = {
+          val t = if (tag.startsWith("/")) tag.substring(1) else tag
+          val sp = t.indexWhere(ch => ch == ' ' || ch == '/' || ch == '\t')
+          if (sp < 0) t else t.substring(0, sp)
+        }
+        if (tag.startsWith("/")) {
+          name match {
+            case "w:t" => inText = false
+            case "w:p" => sb.append('\n')
+            case _ => ()
+          }
+        } else if (tag.endsWith("/")) {
+          name match {
+            case "w:tab" => sb.append('\t')
+            case "w:br" | "w:cr" => sb.append('\n')
+            case "w:p" => sb.append('\n') // empty paragraph
+            case _ => ()
+          }
+        } else if (name == "w:t") inText = true
+        i = close + 1
+      } else if (inText) {
+        if (c == '&') {
+          val semi = xml.indexOf(';', i)
+          require(semi > i && semi - i <= 12, "unterminated XML entity")
+          val ent = xml.substring(i + 1, semi)
+          sb.append(ent match {
+            case "amp" => "&"
+            case "lt" => "<"
+            case "gt" => ">"
+            case "quot" => "\""
+            case "apos" => "'"
+            case e if e.startsWith("#x") || e.startsWith("#X") =>
+              new String(Character.toChars(Integer.parseInt(e.substring(2), 16)))
+            case e if e.startsWith("#") =>
+              new String(Character.toChars(Integer.parseInt(e.substring(1))))
+            case e => throw new IllegalArgumentException(s"unknown entity &$e;")
+          })
+          i = semi + 1
+        } else {
+          sb.append(c)
+          i += 1
+        }
+      } else i += 1
+    }
+    // trim the trailing paragraph newline like a text sink would
+    val s = sb.toString
+    if (s.endsWith("\n")) s.substring(0, s.length - 1) else s
+  }
+}

@@ -322,6 +322,49 @@ class MediaSpec extends AnyFunSuite {
     intercept[Exception](Flac.decode(badSync))
   }
 
+  test("zip/docx: office text extraction round-trips through the from-scratch container") {
+    import graft.kernel.{Docx, Zip}
+    val paras = Seq(
+      "Plain heading",
+      "Markup & entities: <w:t> \"quoted\" 'apos'",
+      "Unicode: déjà vu — ünïcødé",
+      "tab\there break\nthere",
+      "", // empty paragraph
+      "x" * 300) // long run split across <w:r> elements
+    val payload = MediaGen.docx(paras)
+    assert(Zip.isZip(payload) && Docx.isDocx(payload))
+    val got = Docx.extractText(payload)
+    val want = paras.mkString("\n")
+    assert(got === want)
+    // container facts
+    val es = Zip.entries(payload)
+    assert(es.map(_.name).toSet === Set("[Content_Types].xml", "word/document.xml"))
+    assert(es.forall(_.method == 8), "fixture entries are deflated")
+    // stored entries work too
+    val stored = MediaGen.zip(Seq("a.txt" -> "hello".getBytes), deflate = false)
+    assert(new String(Zip.extractByName(stored, "a.txt").get) === "hello")
+    assert(!Docx.isDocx(stored))
+    // malformed: truncation and a corrupted central directory fail cleanly
+    intercept[Exception](Zip.entries(payload.take(30)))
+    val corrupt = payload.clone()
+    // EOCD sits at the tail; its cdOff field points at the central dir —
+    // break the central signature there
+    val eocdAt = (payload.length - 22 to 0 by -1).find(i =>
+      payload(i) == 'P' && payload(i + 1) == 'K' &&
+        payload(i + 2) == 5 && payload(i + 3) == 6).get
+    val cdOff = (payload(eocdAt + 16) & 0xff) | ((payload(eocdAt + 17) & 0xff) << 8) |
+      ((payload(eocdAt + 18) & 0xff) << 16) | ((payload(eocdAt + 19) & 0xff) << 24)
+    corrupt(cdOff) = 'X'
+    intercept[Exception](Docx.extractText(corrupt))
+    // entity handling incl. numeric references
+    val entXml = MediaGen.zip(Seq(
+      "[Content_Types].xml" -> "<Types/>".getBytes,
+      "word/document.xml" ->
+        ("""<w:document><w:body><w:p><w:r><w:t>&#65;&#x42;&amp;</w:t></w:r></w:p>""" +
+          """</w:body></w:document>""").getBytes))
+    assert(Docx.extractText(entXml) === "AB&")
+  }
+
   private def argbLuma(a: Int): Int =
     (((a >> 16) & 0xff) * 299 + ((a >> 8) & 0xff) * 587 + (a & 0xff) * 114) / 1000
 
