@@ -26,36 +26,60 @@ object Docx {
   def extractText(p: Array[Byte]): String = {
     val xmlBytes = Zip.extractByName(p, "word/document.xml")
       .getOrElse(throw new IllegalArgumentException("no word/document.xml"))
-    val xml = new String(xmlBytes, java.nio.charset.StandardCharsets.UTF_8)
+    // OPC permits UTF-16 parts: honor the BOM, default UTF-8
+    val xml =
+      if (xmlBytes.length >= 2 && (xmlBytes(0) & 0xff) == 0xff && (xmlBytes(1) & 0xff) == 0xfe)
+        new String(xmlBytes, 2, xmlBytes.length - 2, java.nio.charset.StandardCharsets.UTF_16LE)
+      else if (xmlBytes.length >= 2 && (xmlBytes(0) & 0xff) == 0xfe && (xmlBytes(1) & 0xff) == 0xff)
+        new String(xmlBytes, 2, xmlBytes.length - 2, java.nio.charset.StandardCharsets.UTF_16BE)
+      else new String(xmlBytes, java.nio.charset.StandardCharsets.UTF_8)
     val sb = new java.lang.StringBuilder
     var i = 0
     var inText = false
     val n = xml.length
+    // the real tag terminator: '>' OUTSIDE attribute quotes ('>' is legal
+    // inside attribute values)
+    def tagEnd(from: Int): Int = {
+      var j = from
+      var quote = 0.toChar
+      while (j < n) {
+        val ch = xml.charAt(j)
+        if (quote != 0) { if (ch == quote) quote = 0 }
+        else if (ch == '"' || ch == '\'') quote = ch
+        else if (ch == '>') return j
+        j += 1
+      }
+      throw new IllegalArgumentException("unterminated XML tag")
+    }
     while (i < n) {
       val c = xml.charAt(i)
       if (c == '<') {
-        val close = xml.indexOf('>', i)
-        require(close > i, "unterminated XML tag")
+        val close = tagEnd(i + 1)
         val tag = xml.substring(i + 1, close)
         val name = {
           val t = if (tag.startsWith("/")) tag.substring(1) else tag
-          val sp = t.indexWhere(ch => ch == ' ' || ch == '/' || ch == '\t')
+          // XML whitespace includes \n and \r, not just space/tab
+          val sp = t.indexWhere(ch => ch == ' ' || ch == '/' || ch == '\t' ||
+            ch == '\n' || ch == '\r')
           if (sp < 0) t else t.substring(0, sp)
         }
         if (tag.startsWith("/")) {
           name match {
             case "w:t" => inText = false
             case "w:p" => sb.append('\n')
-            case _ => ()
+            case _ => () // incl. </w:tab>/</w:br>: emitted at the open tag
           }
-        } else if (tag.endsWith("/")) {
+        } else {
+          // <w:tab/> and <w:tab></w:tab> are XML-equivalent: emit on the
+          // opening form either way
           name match {
             case "w:tab" => sb.append('\t')
             case "w:br" | "w:cr" => sb.append('\n')
-            case "w:p" => sb.append('\n') // empty paragraph
+            case "w:p" if tag.endsWith("/") => sb.append('\n') // empty para
+            case "w:t" if !tag.endsWith("/") => inText = true
             case _ => ()
           }
-        } else if (name == "w:t") inText = true
+        }
         i = close + 1
       } else if (inText) {
         if (c == '&') {

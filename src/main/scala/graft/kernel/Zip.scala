@@ -43,7 +43,8 @@ object Zip {
     val cdSize = le32(p, eocd + 12)
     val cdOff = le32(p, eocd + 16)
     require(cdOff + cdSize <= eocd, "central directory out of bounds")
-    require(count <= 65535 && cdOff != 0xffffffffL, "ZIP64 unsupported")
+    // 0xffff entry count and 0xffffffff offset are the ZIP64 sentinels
+    require(count != 0xffff && cdOff != 0xffffffffL, "ZIP64 unsupported")
     val out = Vector.newBuilder[Entry]
     var off = cdOff
     var e = 0
@@ -90,18 +91,23 @@ object Zip {
         java.util.Arrays.copyOfRange(p, start, start + clen)
       case 8 => // DEFLATE (raw)
         val inf = new java.util.zip.Inflater(true)
-        inf.setInput(p, start, clen)
-        val out = new Array[Byte](entry.uncompressedSize.toInt)
-        var got = 0
-        while (got < out.length && !inf.finished()) {
-          val k = inf.inflate(out, got, out.length - got)
-          // no-progress covers truncation AND preset-dictionary streams
-          require(k > 0 || inf.finished(), "truncated or invalid deflate stream")
-          got += k
-        }
-        inf.end()
-        require(got == out.length, s"entry inflated to $got, expected ${out.length}")
-        out
+        try {
+          inf.setInput(p, start, clen)
+          val out = new Array[Byte](entry.uncompressedSize.toInt)
+          var got = 0
+          while (got < out.length && !inf.finished()) {
+            val k = inf.inflate(out, got, out.length - got)
+            // no-progress covers truncation AND preset-dictionary streams
+            require(k > 0 || inf.finished(), "truncated or invalid deflate stream")
+            got += k
+          }
+          require(got == out.length, s"entry inflated to $got, expected ${out.length}")
+          // a stream still mid-flight here inflates PAST the declared
+          // size — silent truncation would hide corrupt metadata
+          require(inf.finished() || inf.inflate(new Array[Byte](1)) == 0 && inf.finished(),
+            "entry inflates past its declared size")
+          out
+        } finally inf.end() // native zlib memory, freed on every path
       case m => throw new IllegalArgumentException(s"compression method $m unsupported")
     }
   }

@@ -363,6 +363,23 @@ class MediaSpec extends AnyFunSuite {
         ("""<w:document><w:body><w:p><w:r><w:t>&#65;&#x42;&amp;</w:t></w:r></w:p>""" +
           """</w:body></w:document>""").getBytes))
     assert(Docx.extractText(entXml) === "AB&")
+    // XML-equivalence edge cases: newline-separated attributes, expanded
+    // empty elements, '>' inside attribute values, UTF-16 parts
+    def docOf(body: String, bytes: Array[Byte] = null) = MediaGen.zip(Seq(
+      "word/document.xml" ->
+        (if (bytes != null) bytes
+         else s"<w:document><w:body>$body</w:body></w:document>".getBytes)))
+    assert(Docx.extractText(docOf(
+      "<w:p><w:r><w:t\n  xml:space=\"preserve\">multi attr</w:t></w:r>" +
+        "<w:r><w:tab></w:tab></w:r><w:r><w:t>end</w:t></w:r></w:p>"))
+      === "multi attr\tend")
+    assert(Docx.extractText(docOf(
+      "<w:p><w:fldSimple w:instr=\" IF A > B \"><w:r><w:t>field</w:t></w:r></w:fldSimple></w:p>"))
+      === "field")
+    val u16 = "<w:document><w:body><w:p><w:r><w:t>utf sixteen</w:t></w:r></w:p></w:body></w:document>"
+    assert(Docx.extractText(docOf("", bytes =
+      Array[Byte](0xff.toByte, 0xfe.toByte) ++
+        u16.getBytes(java.nio.charset.StandardCharsets.UTF_16LE))) === "utf sixteen")
   }
 
   private def argbLuma(a: Int): Int =
