@@ -635,7 +635,9 @@ object MediaGen {
         val xs = Array.tabulate(n)(i => samples(off + i).toInt)
         val allSame = xs.forall(_ == xs(0))
         frameIdx % 5 match {
-          case 0 if allSame => subframe(xs, 16, 0, escaped = false)
+          // a flat frame is always CONSTANT (like a real encoder) — this
+          // is what lets silent fixtures reach real-world >256:1 ratios
+          case _ if allSame => subframe(xs, 16, 0, escaped = false)
           case 0 => subframe(xs, 16, 1, escaped = false)
           case 1 => subframe(xs, 16, if (n >= 2) 2 else 1, escaped = false)
           case 2 => subframe(xs, 16, if (n >= 3) 3 else 1, escaped = false)

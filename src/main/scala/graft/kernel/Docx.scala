@@ -9,8 +9,10 @@ package graft.kernel
   * The scanner is a single pass over the XML bytes — no DOM: it tracks
   * `<w:t>`/`</w:t>` spans (including `<w:t xml:space="preserve">`),
   * emits a newline at every paragraph close `</w:p>`, expands the five
-  * predefined XML entities plus numeric character references, and maps
-  * tabs/breaks (`<w:tab/>`, `<w:br/>`) to their text forms — the same
+  * predefined XML entities plus numeric character references, maps
+  * tabs/breaks (`<w:tab/>`, `<w:br/>`) to their text forms, skips
+  * comments (whose unquoted `>` would otherwise truncate a tag scan)
+  * and honors CDATA sections (literal text inside a run) — the same
   * single-pass discipline as [[HtmlStream]].
   */
 object Docx {
@@ -53,7 +55,21 @@ object Docx {
     }
     while (i < n) {
       val c = xml.charAt(i)
-      if (c == '<') {
+      if (c == '<' && xml.startsWith("<!--", i)) {
+        // comments may contain unquoted '>' ("<!-- a > b -->") and are
+        // legal anywhere third-party generators put them — including
+        // inside a <w:t> run; their contents are never text
+        val end = xml.indexOf("-->", i + 4)
+        require(end >= 0, "unterminated XML comment")
+        i = end + 3
+      } else if (c == '<' && xml.startsWith("<![CDATA[", i)) {
+        // CDATA inside a <w:t> run IS its literal text (no entity
+        // expansion); outside a run it is markup noise to skip
+        val end = xml.indexOf("]]>", i + 9)
+        require(end >= 0, "unterminated CDATA section")
+        if (inText) sb.append(xml, i + 9, end)
+        i = end + 3
+      } else if (c == '<') {
         val close = tagEnd(i + 1)
         val tag = xml.substring(i + 1, close)
         val name = {

@@ -210,17 +210,35 @@ object Flac {
     require(sampleRate > 0, "bad sample rate")
     require(channels >= 1 && channels <= 2, s"$channels channels unsupported (1-2)")
     require(bps == 8 || bps == 16 || bps == 24, s"$bps bits/sample unsupported")
-    // amplification bound: constant/silent frames compress enormously, so
-    // cap output as a multiple of the payload size — a KB-sized crafted
-    // stream must not allocate hundreds of MB inside an executor
-    val maxOut = math.min(1L << 26, math.max(1L << 16, p.length.toLong * 256))
+    // amplification bound: a KB-sized crafted stream must not allocate
+    // GBs inside an executor, but the bound must not reject spec-valid
+    // audio. Constant/silent FLAC frames really do compress ~3000:1 (a
+    // CONSTANT subframe covers 65535 samples in tens of bytes), so the
+    // per-byte multiplier is 4096×, and the absolute cap is 2^28 samples
+    // (a 1 GiB Int buffer — the executor allocation ceiling; ~100 min of
+    // 44.1 kHz audio, vs the old 2^26 which cut off at ~25 min). The
+    // declared-length check here is the fast-fail; the enforcement that
+    // matters is the incremental `decoded + take <= maxOut` in the frame
+    // loop, which charges actual decoded output against the same budget.
+    val maxOut = math.min(1L << 28, math.max(1L << 16, p.length.toLong * 4096))
     require(totalSamples <= maxOut,
       s"sample count $totalSamples implausible for ${p.length}-byte payload")
     val unknownLength = totalSamples == 0 // spec-legal: live/streamed encodes
 
     // ---- frames ----
-    val outArr = new Array[Int](if (unknownLength) 0 else totalSamples.toInt)
-    val grow = scala.collection.mutable.ArrayBuffer.empty[Int] // unknown-length path
+    // output buffer grows INCREMENTALLY as frames actually decode — the
+    // declared totalSamples never drives an up-front allocation, so a
+    // crafted STREAMINFO claiming 2^28 samples costs nothing unless the
+    // payload genuinely decodes that much (and the per-frame budget check
+    // below charges every decoded sample against maxOut first)
+    var outArr = new Array[Int](
+      math.min(if (unknownLength) 4096L else totalSamples, 1L << 16).toInt)
+    def ensure(n: Long): Unit = if (n > outArr.length) {
+      var c = math.max(outArr.length.toLong * 2, n)
+      if (!unknownLength) c = math.min(c, totalSamples)
+      c = math.min(c, maxOut)
+      outArr = java.util.Arrays.copyOf(outArr, c.toInt)
+    }
     var decoded = 0L
     var pos = off
     while ((!unknownLength && decoded < totalSamples) ||
@@ -311,6 +329,7 @@ object Flac {
       r.bits(16) // CRC-16 (not validated)
       pos = r.atFrameBoundaryByte()
       // into the 16-bit domain like decodeWav, directly (no byte detour)
+      ensure(decoded + take)
       var i = 0
       while (i < take) {
         val v = (frameBps match {
@@ -320,12 +339,14 @@ object Flac {
           case 20 => samples(i) >> 4
           case _ => samples(i) >> 8
         }).toShort.toInt
-        if (unknownLength) grow += v else outArr(decoded.toInt + i) = v
+        outArr(decoded.toInt + i) = v
         i += 1
       }
       decoded += take
     }
-    val out = if (unknownLength) grow.toArray else outArr
+    val out =
+      if (decoded == outArr.length) outArr
+      else java.util.Arrays.copyOf(outArr, decoded.toInt)
     require(out.nonEmpty, "FLAC with no audio frames")
     Media.Decoded("flac", 0, 0, sampleRate, out.length, out, 32768)
   }

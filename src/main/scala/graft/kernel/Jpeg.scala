@@ -4,7 +4,7 @@ package graft.kernel
   * per-spec discipline as [[Media.decodePng]]. Retires the last real
   * multimodal stub: a web crawl's image column is overwhelmingly JPEG
   * (the reference's raster path rasterizes PDFs to exactly this kind of
-  * image before OCR, `/root/reference/app/services/vision.py`).
+  * image before OCR, `/root/reference/app/services/vision_service.py`).
   *
   * Supported — the web-JPEG envelope:
   *  - SOF0 (baseline sequential DCT, 8-bit), 1 or 3 components,

@@ -339,23 +339,45 @@ object Dedup {
   /** Connected components over near-dup pairs — the step that turns pair
     * lists (exact, MinHash, SimHash, cosine — any of the operators above)
     * into dedup CLUSTERS with a canonical representative (the minimum
-    * id). Iterative min-label propagation: each node takes the smallest
-    * label among itself and its neighbors until fixpoint; converges in
-    * O(component diameter) rounds, each one hash-partitioned join + one
-    * aggregate (the standard Pregel-style shape — large-star/small-star
-    * halves the round count at extreme diameters, but near-dup components
-    * are shallow: a mirror farm is a clique, diameter 1).
+    * id). Min-label propagation WITH pointer doubling: each round every
+    * node takes the smallest label in its closed neighborhood (one
+    * hash-partitioned join + one aggregate, the Pregel-style hop), then
+    * chases its own label one step (`cluster := label(cluster)`, a second
+    * keyed join over the same map). The hop alone converges in
+    * O(component diameter) rounds; the doubling step compresses label
+    * chains geometrically, so the combined round count is
+    * O(log diameter) — a path of 10^6 chained near-dups resolves in ~20
+    * rounds instead of 10^6, and `maxIter = 25` covers any diameter a
+    * physical corpus can produce (≈2^25 hops). If the cap is somehow
+    * exhausted anyway, the call FAILS (require) rather than returning
+    * silently split clusters — under-dedup that nothing downstream could
+    * detect.
     *
-    * Each round materializes (`persist` + action) so the plan lineage
-    * stays flat — an unbounded iterative plan would otherwise grow by
-    * one join per round and stall the optimizer at scale.
+    * Each round TRUNCATES lineage (`localCheckpoint(eager = true)`) —
+    * `persist` alone is not enough for an iterative self-joining plan:
+    * the cached data short-circuits execution but the *logical* tree
+    * still nests 4× per round (two copies of `hop`, each holding two
+    * copies of `labels`), so analysis cost grows exponentially and OOMs
+    * the driver near round 10. Checkpointing replaces the tree with a
+    * flat scan of the materialized rows; on a real cluster the same
+    * call site takes `sparkContext.setCheckpointDir` + `checkpoint()`
+    * for fault-tolerant truncation.
     *
     * Returns `(id, cluster)` for every id appearing in `pairs`, where
     * `cluster` is the component's minimum id.
     */
   def connectedComponents(pairs: DataFrame, aCol: String = "a_id",
                           bCol: String = "b_id",
-                          maxIter: Int = 25): DataFrame = {
+                          maxIter: Int = 25): DataFrame =
+    connectedComponentsWithStats(pairs, aCol, bCol, maxIter)._1
+
+  /** [[connectedComponents]] plus the number of propagation rounds it
+    * took to converge — the observable the deep-chain tests and the
+    * BENCH.md large-component evidence pin (rounds ≈ log2(diameter)).
+    */
+  def connectedComponentsWithStats(pairs: DataFrame, aCol: String = "a_id",
+                                   bCol: String = "b_id",
+                                   maxIter: Int = 25): (DataFrame, Int) = {
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
@@ -363,27 +385,40 @@ object Dedup {
     edges.count()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("cluster", col("id"))
-      .persist()
-    labels.count()
+      .localCheckpoint(true)
     var it = 0
     var converged = false
     while (!converged && it < maxIter) {
       val nbrMin = edges.join(labels, edges("dst") === labels("id"))
         .groupBy(col("src")).agg(min(col("cluster")).as("nbr"))
-      val next = labels.as("l")
+      // hop: min label over the closed neighborhood
+      val hop = labels.as("l")
         .join(nbrMin, labels("id") === nbrMin("src"), "left")
         .select(col("l.id").as("id"),
           least(col("l.cluster"), coalesce(col("nbr"), col("l.cluster"))).as("cluster"))
-        .persist()
+        .localCheckpoint(true)
+      // pointer doubling: cluster := label(cluster). Every label is a
+      // node id of the same component, so the lookup stays in-component
+      // and is monotone non-increasing; left join + coalesce keeps the
+      // row when the label's own row hasn't updated yet this round.
+      val next = hop.as("h")
+        .join(hop.as("p"), col("h.cluster") === col("p.id"), "left")
+        .select(col("h.id").as("id"),
+          least(col("h.cluster"),
+            coalesce(col("p.cluster"), col("h.cluster"))).as("cluster"))
+        .localCheckpoint(true)
       val changed = next.as("n").join(labels.as("o"), Seq("id"))
         .where(col("n.cluster") =!= col("o.cluster")).limit(1).count() > 0
-      labels.unpersist()
       labels = next
       converged = !changed
       it += 1
     }
     edges.unpersist()
-    labels
+    require(converged,
+      s"connectedComponents did not converge within maxIter=$maxIter " +
+        s"rounds - with pointer doubling that is a component of diameter " +
+        s"~2^$maxIter; raise maxIter rather than accept split clusters")
+    (labels, it)
   }
 
   // ----------------------------------------------- embedding-cosine dedup

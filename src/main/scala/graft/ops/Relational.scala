@@ -36,6 +36,14 @@ object Relational {
   def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
                tsCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // the operator owns the '_side'/'_asof'/'_r_*' namespace internally;
+    // an input column in that namespace would silently collide with (or
+    // be dropped by) the projections below — fail loudly instead
+    val reserved = (left.columns ++ right.columns).filter(c =>
+      c == "_side" || c == "_asof" || c == "_asof_ts" || c.startsWith("_r_"))
+    require(reserved.isEmpty,
+      s"asofJoin reserves column names '_side', '_asof', '_asof_ts' and " +
+        s"the '_r_' prefix; rename input column(s) ${reserved.mkString(", ")}")
     val rightVals = right.columns.filterNot(c => c == keyCol || c == tsCol).toSeq
     val l2 = left.withColumn("_side", lit(1))
     val r2 = right.select(

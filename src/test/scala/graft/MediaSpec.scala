@@ -297,6 +297,16 @@ class MediaSpec extends AnyFunSuite {
     val w8 = Array.tabulate(500)(i => ((i * 24 - 6000) & ~7).toShort)
     assert(Flac.decode(MediaGen.flac(w8, 8000, wastedBits = 3)).samples.toSeq
       === w8.map(_.toInt).toSeq)
+    // spec-valid extreme compression (round-3 ADVICE): a long silent
+    // stream of CONSTANT subframes compresses far past the old 256×
+    // amplification bound and must still decode — the bound protects
+    // executor memory from crafted streams, not real silence
+    val silent = Array.fill[Short](400000)(0)
+    val silentBytes = MediaGen.flac(silent, 44100, blockSize = 65535)
+    assert(400000.0 / silentBytes.length > 256,
+      s"fixture not extreme enough: ${silentBytes.length} bytes")
+    val ds = Flac.decode(silentBytes)
+    assert(ds.frames === 400000 && ds.samples.forall(_ == 0))
   }
 
   test("flac: mid-side stereo reconstructs and averages like the WAV path") {
@@ -380,6 +390,16 @@ class MediaSpec extends AnyFunSuite {
     assert(Docx.extractText(docOf("", bytes =
       Array[Byte](0xff.toByte, 0xfe.toByte) ++
         u16.getBytes(java.nio.charset.StandardCharsets.UTF_16LE))) === "utf sixteen")
+    // comments: unquoted '>' inside must not terminate a tag scan, and
+    // comment content inside a <w:t> run must not leak into the text
+    assert(Docx.extractText(docOf(
+      "<!-- a > b --><w:p><w:r><w:t>be<!-- not > text -->fore</w:t></w:r></w:p>"))
+      === "before")
+    // CDATA: literal text inside a run (no entity expansion), noise outside
+    assert(Docx.extractText(docOf(
+      "<![CDATA[skip me]]><w:p><w:r><w:t><![CDATA[a<&>b]]>+tail</w:t></w:r></w:p>"))
+      === "a<&>b+tail")
+    intercept[Exception](Docx.extractText(docOf("<w:p><!-- unterminated")))
   }
 
   private def argbLuma(a: Int): Int =
@@ -777,5 +797,163 @@ class MediaSpec extends AnyFunSuite {
     val r1 = MediaGen.media(40).map(_.payload.toSeq)
     val r2 = MediaGen.media(40).map(_.payload.toSeq)
     assert(r1 === r2)
+  }
+
+  // ---- differentials vs INDEPENDENT implementations (round-3 ADVICE):
+  // the MediaGen writers and graft decoders are co-designed, so a matched
+  // misread of a spec detail would pass every round-trip. Where the JDK
+  // ships an independent codec for free (javax.imageio for PNG/GIF/JPEG,
+  // java.util.zip for the ZIP container) we cross-check BOTH directions:
+  // our bytes must parse in the JDK, and JDK bytes must parse in ours.
+
+  private def imageioLuma(bytes: Array[Byte]): (Int, Int, Array[Int]) = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    assert(img != null, "javax.imageio could not parse the payload")
+    val (w, h) = (img.getWidth, img.getHeight)
+    val out = new Array[Int](w * h)
+    val raster = img.getRaster
+    val indexed = img.getColorModel.isInstanceOf[java.awt.image.IndexColorModel]
+    val bands = raster.getNumBands
+    val px = new Array[Int](math.max(bands, 1))
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        // raw raster samples, NOT getRGB: getRGB routes single-band gray
+        // through a linear→sRGB colorspace conversion that shifts every
+        // value; indexed images need the palette lookup though
+        out(y * w + x) =
+          if (indexed) argbLuma(img.getRGB(x, y))
+          else if (bands >= 3) {
+            raster.getPixel(x, y, px)
+            (px(0) * 299 + px(1) * 587 + px(2) * 114) / 1000
+          } else raster.getSample(x, y, 0)
+        x += 1
+      }
+      y += 1
+    }
+    (w, h, out)
+  }
+
+  test("differential png: ours <-> javax.imageio agree pixel-exactly") {
+    val r = new scala.util.Random(71)
+    val (w, h) = (29, 17)
+    // ours -> JDK (grey + rgb, incl. 16-bit and Adam7 variants)
+    for (ch <- Seq(1, 3)) {
+      val img = Array.fill[Byte](w * h * ch)(r.nextInt(256).toByte)
+      val want = Media.decodePng(MediaGen.png(img, w, h, ch)).samples.toSeq
+      val (jw, jh, jl) = imageioLuma(MediaGen.png(img, w, h, ch))
+      assert((jw, jh) === ((w, h)))
+      assert(jl.toSeq === want, s"channels=$ch")
+      val (_, _, jli) = imageioLuma(
+        MediaGen.pngAdvanced(img, w, h, ch, interlaced = true))
+      assert(jli.toSeq === want, s"interlaced channels=$ch")
+    }
+    // JDK -> ours: TYPE_INT_RGB pixels written by the JDK PNG encoder
+    val bi = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val px = Array.fill(w * h)(r.nextInt(0x1000000))
+    for (y <- 0 until h; x <- 0 until w) bi.setRGB(x, y, px(y * w + x))
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(bi, "png", bos))
+    val d = Media.decodePng(bos.toByteArray)
+    assert(d.width === w && d.height === h)
+    assert(d.samples.toSeq === px.map(p => argbLuma(0xff000000 | p)).toSeq)
+  }
+
+  test("differential gif: ours <-> javax.imageio agree pixel-exactly") {
+    val r = new scala.util.Random(72)
+    val (w, h) = (31, 13)
+    val palette = Array.tabulate[Byte](48)(i => ((i * 37 + 11) % 256).toByte)
+    val indices = Array.fill[Byte](w * h)((r.nextInt(16)).toByte)
+    // ours -> JDK
+    val bytes = MediaGen.gif(indices, w, h, palette)
+    val want = Media.decodeGif(bytes).samples.toSeq
+    val (jw, jh, jl) = imageioLuma(bytes)
+    assert((jw, jh) === ((w, h)) && jl.toSeq === want)
+    // JDK -> ours: indexed image through the JDK GIF encoder
+    val bi = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_INDEXED)
+    val px = Array.fill(w * h)(r.nextInt(0x1000000))
+    for (y <- 0 until h; x <- 0 until w) bi.setRGB(x, y, px(y * w + x))
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(bi, "gif", bos))
+    val ours = Media.decodeGif(bos.toByteArray)
+    val (ew, eh, el) = imageioLuma(bos.toByteArray) // JDK's own read-back
+    assert(ours.width === ew && ours.height === eh)
+    assert(ours.samples.toSeq === el.toSeq)
+  }
+
+  test("differential jpeg: ours <-> javax.imageio agree within codec tolerance") {
+    import graft.kernel.Jpeg
+    val (w, h) = (48, 32)
+    // smooth gradient: near-lossless at quant=1, so small tolerances hold
+    val luma = Array.tabulate(w * h)(i => ((i % w) * 3 + (i / w) * 2) % 256)
+    // ours -> JDK, grey + 4:2:0 color
+    for ((color, ss) <- Seq((false, 1), (true, 2))) {
+      val bytes = MediaGen.jpeg(luma, w, h, color = color, subsample = ss)
+      val ours = Jpeg.decode(bytes).samples
+      val (jw, jh, jl) = imageioLuma(bytes)
+      assert((jw, jh) === ((w, h)))
+      val maxDiff = ours.zip(jl).map(t => math.abs(t._1 - t._2)).max
+      assert(maxDiff <= 4, s"color=$color max luma diff $maxDiff")
+    }
+    // JDK -> ours: grayscale image through the JDK JPEG encoder
+    val bi = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = luma(y * w + x); bi.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(bi, "jpg", bos))
+    val ours = Jpeg.decode(bos.toByteArray)
+    assert(ours.width === w && ours.height === h)
+    val (_, _, jdk) = imageioLuma(bos.toByteArray)
+    val maxDiff = ours.samples.zip(jdk).map(t => math.abs(t._1 - t._2)).max
+    assert(maxDiff <= 4, s"JDK-encoded jpeg: max luma diff $maxDiff")
+  }
+
+  test("differential zip: ours <-> java.util.zip agree on entries and bytes") {
+    import graft.kernel.Zip
+    val r = new scala.util.Random(73)
+    val files = Seq(
+      "a/first.txt" -> "hello zip differential".getBytes,
+      "b/second.bin" -> Array.fill[Byte](5000)(r.nextInt(256).toByte),
+      "empty.txt" -> Array.empty[Byte])
+    // ours -> JDK, deflated and stored
+    for (deflate <- Seq(true, false)) {
+      val bytes = MediaGen.zip(files, deflate = deflate)
+      val zis = new java.util.zip.ZipInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val got = Iterator.continually(zis.getNextEntry).takeWhile(_ != null)
+        .map(e => e.getName -> zis.readAllBytes().toSeq).toMap
+      assert(got === files.map(f => f._1 -> f._2.toSeq).toMap,
+        s"deflate=$deflate")
+    }
+    // JDK -> ours, both methods
+    for (method <- Seq(java.util.zip.ZipOutputStream.DEFLATED,
+        java.util.zip.ZipOutputStream.STORED)) {
+      val bos = new java.io.ByteArrayOutputStream()
+      val zos = new java.util.zip.ZipOutputStream(bos)
+      zos.setMethod(method)
+      files.foreach { case (name, data) =>
+        val e = new java.util.zip.ZipEntry(name)
+        if (method == java.util.zip.ZipOutputStream.STORED) {
+          e.setSize(data.length)
+          val crc = new java.util.zip.CRC32(); crc.update(data)
+          e.setCrc(crc.getValue)
+        }
+        zos.putNextEntry(e); zos.write(data); zos.closeEntry()
+      }
+      zos.close()
+      val bytes = bos.toByteArray
+      assert(Zip.isZip(bytes))
+      val names = Zip.entries(bytes).map(_.name)
+      assert(names.toSet === files.map(_._1).toSet, s"method=$method")
+      files.foreach { case (name, data) =>
+        assert(Zip.extractByName(bytes, name).get.toSeq === data.toSeq,
+          s"method=$method entry=$name")
+      }
+    }
   }
 }

@@ -221,6 +221,21 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
     assert(starCc.forall(_._2 === 0L) && starCc.length === 50)
   }
 
+  test("connected components: a diameter-299 path converges in O(log d) rounds") {
+    // a 300-node chain (diameter 299) — the round-3 verdict's silent
+    // wrong-answer case: one-hop propagation needed 299 rounds and the
+    // old maxIter=25 cap returned SPLIT clusters without error. Pointer
+    // doubling must resolve it well inside the cap, in ~log2 rounds.
+    val chain = (0L until 299L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val (cc, rounds) = Dedup.connectedComponentsWithStats(chain)
+    val got = cc.as[(Long, Long)].collect()
+    assert(got.length === 300)
+    assert(got.forall(_._2 === 0L),
+      s"split clusters: ${got.filter(_._2 != 0L).take(5).mkString(",")}")
+    assert(rounds <= 14, s"expected O(log 299) rounds, took $rounds")
+    info(s"diameter-299 path converged in $rounds rounds")
+  }
+
   test("capped LSH: hot bucket collapses to a star, cold buckets unaffected") {
     // pathological corpus: one saturated bucket (300 identical texts — the
     // mirror-farm case where every band of every member collides) plus an
@@ -329,6 +344,16 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
       .select($"_asof_ts", $"_r_v").as[(Option[Long], Option[Double])].head()
     assert(row === ((Some(200L), None)),
       "as-of row with null value must not borrow an older row's value")
+
+    // reserved-namespace inputs fail loudly instead of silently colliding
+    val badLeft = Seq((1L, 1L, "x")).toDF("k", "ts", "_side")
+    val e1 = intercept[IllegalArgumentException](
+      Relational.asofJoin(badLeft, rightDf, "k", "ts"))
+    assert(e1.getMessage.contains("_side"))
+    val badRight = Seq((1L, 1L, 0.5)).toDF("k", "ts", "_r_v")
+    val e2 = intercept[IllegalArgumentException](
+      Relational.asofJoin(leftDf, badRight, "k", "ts"))
+    assert(e2.getMessage.contains("_r_v"))
   }
 
   test("binned range join: equals the naive theta join at any bin width") {
