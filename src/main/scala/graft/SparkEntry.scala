@@ -646,6 +646,33 @@ object SparkEntry {
         .select(col("user_id"), col("session_start"), col("session_end"),
           col("events"), col("value_sum"))
     }),
+    // §2-I + C6: TTL'd streaming dedup — the memoization cache WITH the
+    // reference's 24 h expiry as a continuous operator. Two phases, each
+    // two AvailableNow drains over the same stream with byte-identical
+    // payloads re-appended under '#dup' urls between drains:
+    //  - suppress (1 h TTL): the second drain emits nothing — every hash
+    //    is still inside its TTL window;
+    //  - readmit (0 ms TTL): every hash is expired on re-arrival, so the
+    //    second drain re-emits one '#dup' url per hash.
+    // Deterministic across reruns: fresh dirs per invocation and both
+    // TTL extremes are wall-clock-independent at drain timescales.
+    "pipe25_streaming_dedup_ttl" -> ((s, _) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-pipe25").toString
+      def phase(name: String, ttlMs: Long): org.apache.spark.sql.DataFrame = {
+        val pages = s"$tmp/$name/pages"
+        Checkpoint.writePages(fixturePages(s), pages)
+        graft.streaming.StreamingRun.dedupStreamTtl(
+          s, pages, s"$tmp/$name/novel", s"$tmp/$name/ckpt", ttlMs)
+        s.read.parquet(pages)
+          .withColumn("url", concat(col("url"), lit("#dup")))
+          .write.mode("append").partitionBy("ts_day", "url_bucket").parquet(pages)
+        graft.streaming.StreamingRun.dedupStreamTtl(
+          s, pages, s"$tmp/$name/novel", s"$tmp/$name/ckpt", ttlMs)
+        s.read.parquet(s"$tmp/$name/novel").withColumn("phase", lit(name))
+      }
+      phase("suppress", 3600L * 1000).unionByName(phase("readmit", 0L))
+        .select(col("phase"), col("content_hash"), col("url"))
+    }),
     // co-located join via BUCKETED tables (the 100 TB join strategy the
     // round brief names): both sides bucketed+sorted on the join key →
     // SortMergeJoin with ZERO exchanges and zero sorts (OpsSpec asserts
