@@ -122,7 +122,13 @@ object PageGen {
       val rest = (0 until (2 + r.nextInt(4)) * boost).map(_ => cap(para(r, lang, 5 + r.nextInt(8))))
       first +: rest
     }
-    val bytes = PdfWriter.build(pages, compress = r.nextBoolean())
+    // ~half the PDFs use the 1.5 layout (xref stream + ObjStm + predictor)
+    // — the real-crawl majority shape — so the extraction pipes exercise
+    // both parser paths end-to-end; truth is layout-independent
+    val compress = r.nextBoolean()
+    val bytes =
+      if (r.nextBoolean()) PdfWriter.build15(pages, compress)
+      else PdfWriter.build(pages, compress)
     val truth = pages.map(_.mkString("\n") + "\n").mkString
     (bytes, truth)
   }

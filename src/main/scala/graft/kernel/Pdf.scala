@@ -13,12 +13,21 @@ import java.util.zip.Inflater
   * (`/root/reference/app/services/pdf_splitter.py:46-129`,
   * `max_pages_per_chunk=10` at `pdf_splitter.py:12`).
   *
-  * Supported PDF subset (documented scope, classic-PDF):
-  *  - xref-table files; objects located by a full body scan (robust to
-  *    stale xref offsets), trailer `/Root` → page-tree walk in Kids order
-  *    with MediaBox inheritance;
+  * Supported PDF subset (documented scope):
+  *  - classic xref-table files AND PDF 1.5+ cross-reference streams
+  *    (`/Type /XRef`, W-field decoding, `/Prev` chains, PNG-predictor
+  *    DecodeParms) with compressed object streams (`/Type /ObjStm`) —
+  *    the layout virtually every post-2005 real-crawl PDF uses; objects
+  *    are located by a full body scan (robust to stale xref offsets),
+  *    ObjStm members are expanded from the decoded stream, and the
+  *    newest xref chain's type-2 entries pick the current version when
+  *    an object exists both directly and compressed;
+  *  - trailer `/Root` → page-tree walk in Kids order with MediaBox
+  *    inheritance; 1.5 files without a `trailer` keyword recover the
+  *    trailer dict from the xref stream dictionaries (newest-wins merge
+  *    along the `/Prev` chain);
   *  - streams with direct or indirect `/Length`, `/Filter /FlateDecode`
-  *    or none;
+  *    or none, `/DecodeParms` PNG predictors (2–15);
   *  - content-stream text operators `BT ET Tf Td TD T* Tm Tj TJ ' "`;
   *    literal strings (escapes, octal, nested parens) and hex strings.
   *
@@ -211,13 +220,128 @@ object Pdf {
     out.toByteArray
   }
 
+  // ----------------------------------------------- stream filter decoding
+  /** Undo PNG row predictors (DecodeParms `/Predictor` 10–15): each row
+    * is a filter-type byte + `columns*bpp` filtered bytes — the exact PNG
+    * row filters; real-world 1.5 xref streams are near-universally
+    * Predictor 12 (Up).
+    */
+  private def unPredictPng(data: Array[Byte], columns: Int, bpp: Int): Array[Byte] = {
+    val rowLen = columns * bpp
+    if (rowLen <= 0) throw new ParseError("bad predictor columns")
+    val nRows = data.length / (rowLen + 1)
+    val out = new Array[Byte](nRows * rowLen)
+    var r = 0
+    while (r < nRows) {
+      val ft = data(r * (rowLen + 1)) & 0xff
+      val src = r * (rowLen + 1) + 1
+      val dst = r * rowLen
+      var i = 0
+      while (i < rowLen) {
+        val raw = data(src + i) & 0xff
+        val left = if (i >= bpp) out(dst + i - bpp) & 0xff else 0
+        val up = if (r > 0) out(dst - rowLen + i) & 0xff else 0
+        val ul = if (r > 0 && i >= bpp) out(dst - rowLen + i - bpp) & 0xff else 0
+        val v = ft match {
+          case 0 => raw
+          case 1 => raw + left
+          case 2 => raw + up
+          case 3 => raw + ((left + up) >> 1)
+          case 4 =>
+            val p = left + up - ul
+            val pa = math.abs(p - left); val pb = math.abs(p - up); val pc = math.abs(p - ul)
+            raw + (if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul)
+          case t => throw new ParseError(s"bad predictor row filter $t")
+        }
+        out(dst + i) = v.toByte
+        i += 1
+      }
+      r += 1
+    }
+    out
+  }
+
+  private def numOf(doc: PdfDoc, o: PObj, dflt: Int): Int =
+    doc.resolve(o) match { case PNum(v) => v.toInt; case _ => dflt }
+
+  /** Decoded bytes of a stream: `/Filter` (none or FlateDecode, bare or
+    * one-element array) then `/DecodeParms` predictors (PNG 10–15; TIFF
+    * predictor 2 unsupported — raised, not silently misdecoded).
+    */
+  def decodeStream(doc: PdfDoc, st: PStream): Array[Byte] = {
+    val d = st.dict.m
+    val data = doc.resolve(d.getOrElse("Filter", PNull)) match {
+      case PName("FlateDecode")               => inflate(st.raw)
+      case PArr(Vector(PName("FlateDecode"))) => inflate(st.raw)
+      case PNull                              => st.raw
+      case other => throw new ParseError(s"unsupported filter $other")
+    }
+    val parms = doc.dictOf(d.getOrElse("DecodeParms", PNull)).m
+    numOf(doc, parms.getOrElse("Predictor", PNum(1)), 1) match {
+      case 1 => data
+      case p if p >= 10 =>
+        val cols = numOf(doc, parms.getOrElse("Columns", PNum(1)), 1)
+        val colors = numOf(doc, parms.getOrElse("Colors", PNum(1)), 1)
+        val bpc = numOf(doc, parms.getOrElse("BitsPerComponent", PNum(8)), 8)
+        unPredictPng(data, cols, math.max(1, colors * bpc / 8))
+      case p => throw new ParseError(s"unsupported predictor $p")
+    }
+  }
+
+  /** Decode a `/Type /XRef` stream's entry table: `/W` gives the three
+    * field widths, `/Index` the (start, count) subsections (default
+    * `[0 Size]`). Returns `(objnum, type, field2, field3)` rows — type 1
+    * is a direct object at offset field2; type 2 lives in object stream
+    * field2 at index field3.
+    */
+  def xrefEntries(doc: PdfDoc, st: PStream): Vector[(Int, Int, Long, Long)] = {
+    val d = st.dict.m
+    val data = decodeStream(doc, st)
+    val w = doc.resolve(d.getOrElse("W", PNull)) match {
+      case PArr(items) if items.length == 3 => items.map(numOf(doc, _, 0))
+      case _ => throw new ParseError("xref stream missing /W [3]")
+    }
+    val size = numOf(doc, d.getOrElse("Size", PNull), 0)
+    val index: Vector[(Int, Int)] = doc.resolve(d.getOrElse("Index", PNull)) match {
+      case PArr(items) =>
+        items.map(numOf(doc, _, 0)).grouped(2)
+          .collect { case Vector(a, b) => (a, b) }.toVector
+      case _ => Vector((0, size))
+    }
+    val rowLen = w.sum
+    if (rowLen <= 0) throw new ParseError("zero-width xref rows")
+    var p = 0
+    val out = Vector.newBuilder[(Int, Int, Long, Long)]
+    def field(width: Int): Long = {
+      var v = 0L; var j = 0
+      while (j < width) { v = (v << 8) | (data(p) & 0xff); p += 1; j += 1 }
+      v
+    }
+    index.foreach { case (start, count) =>
+      var k = 0
+      while (k < count && p + rowLen <= data.length) {
+        // a zero-width type field defaults to type 1 (spec 7.5.8.3)
+        val typ = if (w(0) == 0) 1 else field(w(0)).toInt
+        val f2 = field(w(1)); val f3 = field(w(2))
+        out += ((start + k, typ, f2, f3))
+        k += 1
+      }
+    }
+    out.result()
+  }
+
   /** Parse all `N G obj … endobj` bodies by scanning the file (robust to
-    * stale xref tables), plus the last trailer dictionary.
+    * stale xref tables), then expand PDF 1.5 compressed object streams
+    * and recover the trailer from xref streams when no `trailer` keyword
+    * exists. The newest xref chain's type-2 entries select the compressed
+    * version of an object that also has a (stale) direct definition.
     */
   def parseDoc(bytes: Array[Byte]): PdfDoc = {
     val s = new String(bytes, ISO_8859_1)
     if (!s.startsWith("%PDF-")) throw new ParseError("missing %PDF- header")
-    val objs = Map.newBuilder[Int, PObj]
+    val objs = scala.collection.mutable.LinkedHashMap.empty[Int, PObj]
+    val objAt = scala.collection.mutable.Map.empty[Int, Int] // body offset of "N G obj" → objnum
+    val offOf = scala.collection.mutable.Map.empty[Int, Int] // objnum → body offset (last wins)
     var i = 0
     while ({ i = s.indexOf(" obj", i); i >= 0 }) {
       // walk back over "N G " to find the object number
@@ -256,20 +380,107 @@ object Pdf {
                 PStream(d, raw)
               case other => other
             }
-            objs += num -> obj
+            objs(num) = obj
+            objAt(k + 1) = num
+            offOf(num) = k + 1
           } catch { case _: ParseError => } // skip unparsable object
         }
       }
       i += 4
     }
     val tIdx = s.lastIndexOf("trailer")
-    val trailer =
+    var trailer =
       if (tIdx < 0) PDict(Map.empty)
       else {
         val lex = new Lexer(s); lex.pos = tIdx + 7
         lex.parseObj() match { case d: PDict => d; case _ => PDict(Map.empty) }
       }
-    PdfDoc(objs.result(), trailer)
+    var doc = PdfDoc(objs.toMap, trailer)
+
+    def typeIs(d: PDict, t: String): Boolean =
+      doc.resolve(d.m.getOrElse("Type", PNull)) == PName(t)
+
+    // ---- PDF 1.5: expand compressed object streams (/ObjStm) ----
+    // header: N pairs "objnum offset", offsets relative to /First
+    val fromStm = scala.collection.mutable.Map.empty[Int, PObj]
+    doc.objects.foreach {
+      case (_, st @ PStream(d, _)) if typeIs(d, "ObjStm") =>
+        try {
+          val data = new String(decodeStream(doc, st), ISO_8859_1)
+          val n = numOf(doc, d.m.getOrElse("N", PNull), 0)
+          val first = numOf(doc, d.m.getOrElse("First", PNull), 0)
+          val hdr = new Lexer(data)
+          val pairs = Vector.fill(n)((hdr.parseNumber().toInt, hdr.parseNumber().toInt))
+          pairs.foreach { case (onum, off) =>
+            try {
+              val lx = new Lexer(data); lx.pos = first + off
+              fromStm(onum) = lx.parseObj()
+            } catch { case _: ParseError => }
+          }
+        } catch { case _: ParseError => } // corrupt ObjStm: C5 isolation
+      case _ =>
+    }
+    fromStm.foreach { case (num, o) => if (!objs.contains(num)) objs(num) = o }
+    doc = PdfDoc(objs.toMap, trailer)
+
+    // ---- PDF 1.5: xref streams — trailer recovery + current-version
+    // selection along the /Prev chain (newest first) ----
+    val xrefNums = doc.objects.collect {
+      case (num, PStream(d, _)) if typeIs(d, "XRef") => num
+    }.toSet
+    if (xrefNums.nonEmpty) {
+      def xrefAtOffset(off: Int): Option[Int] = objAt.get(off).filter(xrefNums)
+      // newest = the startxref target, else the xref stream latest in file
+      val sxIdx = s.lastIndexOf("startxref")
+      val viaStartxref =
+        if (sxIdx < 0) None
+        else try {
+          val lx = new Lexer(s); lx.pos = sxIdx + 9
+          xrefAtOffset(lx.parseNumber().toInt)
+        } catch { case _: ParseError => None }
+      val newest = viaStartxref
+        .orElse(xrefNums.toVector.sortBy(n => offOf.getOrElse(n, -1)).lastOption)
+      var chain = Vector.empty[Int]
+      val seen = scala.collection.mutable.Set.empty[Int]
+      var cur = newest
+      while (cur.isDefined && seen.add(cur.get)) {
+        chain :+= cur.get
+        cur = doc.objects(cur.get) match {
+          case PStream(d, _) => d.m.get("Prev") match {
+            case Some(PNum(v)) => xrefAtOffset(v.toInt)
+            case _ => None
+          }
+          case _ => None
+        }
+      }
+      // recovered trailer: the xref dicts merged oldest→newest, but an
+      // explicit `trailer` keyword (hybrid files) still wins
+      if (!trailer.m.contains("Root")) {
+        val merged = chain.reverse.foldLeft(Map.empty[String, PObj]) { (acc, num) =>
+          acc ++ doc.dictOf(PRef(num)).m
+        }
+        trailer = PDict(merged ++ trailer.m)
+      }
+      // W-decoded entries, first-seen (= newest) wins per object: a
+      // type-2 entry says the CURRENT version is the compressed one
+      val current = scala.collection.mutable.Map.empty[Int, Int]
+      chain.foreach { num =>
+        doc.objects(num) match {
+          case st: PStream =>
+            val entries = try xrefEntries(doc, st)
+                          catch { case _: ParseError => Vector.empty }
+            entries.foreach { case (onum, typ, _, _) =>
+              if (!current.contains(onum)) current(onum) = typ
+            }
+          case _ =>
+        }
+      }
+      current.foreach {
+        case (onum, 2) => fromStm.get(onum).foreach(o => objs(onum) = o)
+        case _ =>
+      }
+    }
+    PdfDoc(objs.toMap, trailer)
   }
 
   // ------------------------------------------------------------- page model
@@ -294,13 +505,7 @@ object Pdf {
       }
 
     def contentBytes(o: PObj): Array[Byte] = doc.resolve(o) match {
-      case PStream(d, raw) =>
-        doc.resolve(d.m.getOrElse("Filter", PNull)) match {
-          case PName("FlateDecode")                      => inflate(raw)
-          case PArr(Vector(PName("FlateDecode")))        => inflate(raw)
-          case PNull                                     => raw
-          case other => throw new ParseError(s"unsupported filter $other")
-        }
+      case st: PStream => decodeStream(doc, st)
       case PArr(items) =>
         val b = new ByteArrayOutputStream()
         items.foreach { it => b.write(contentBytes(it)); b.write('\n') }

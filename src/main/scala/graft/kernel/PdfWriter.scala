@@ -109,4 +109,107 @@ object PdfWriter {
     w(s"trailer\n<< /Size $total /Root 1 0 R >>\nstartxref\n$xrefPos\n%%EOF\n")
     out.toByteArray
   }
+
+  /** PDF 1.5-style build: same page/text semantics as [[build]], but the
+    * modern file layout — document dictionaries (catalog, page tree,
+    * pages, font) packed into a compressed object stream (`/ObjStm`) and
+    * the cross-reference emitted as a `/Type /XRef` stream (`/W [1 4 2]`)
+    * behind FlateDecode + PNG Up predictor (`/Predictor 12`), with no
+    * `trailer` keyword. This is the shape virtually every post-2005
+    * real-crawl PDF has, and it keeps the parser's 1.5 path inside the
+    * co-designed fixture domain.
+    */
+  def build15(pages: Seq[Seq[String]], compress: Boolean,
+              mediaBox: (Double, Double) = (612.0, 792.0)): Array[Byte] = {
+    require(pages.nonEmpty, "pdf needs at least one page")
+    buildRaw15(pages.map(pageContent), compress, Seq.fill(pages.size)(mediaBox))
+  }
+
+  /** 1.5 layout from already-rendered content streams. */
+  def buildRaw15(contents: Seq[Array[Byte]], compress: Boolean,
+                 boxes: Seq[(Double, Double)]): Array[Byte] = {
+    val n = contents.size
+    val out = new ByteArrayOutputStream(4096)
+    def w(s: String): Unit = out.write(s.getBytes(ISO_8859_1))
+    def fmtNum(d: Double): String =
+      if (d == d.floor && !d.isInfinite) d.toLong.toString else d.toString
+    // numbering: 1..n content streams (streams may not live in an
+    // ObjStm), n+1 the ObjStm, n+2 catalog, n+3 pages, n+4..2n+3 page
+    // dicts, 2n+4 font (all compressed), 2n+5 the xref stream
+    val objStm = n + 1; val catalog = n + 2; val pagesObj = n + 3
+    def pageObj(i: Int) = n + 4 + i
+    val fontObj = 2 * n + 4; val xrefObj = 2 * n + 5
+    val offsets = new Array[Long](xrefObj + 1)
+
+    w("%PDF-1.5\n%âãÏÓ\n")
+    (0 until n).foreach { i =>
+      offsets(i + 1) = out.size()
+      val raw = contents(i)
+      val body = if (compress) deflate(raw) else raw
+      val filter = if (compress) " /Filter /FlateDecode" else ""
+      w(s"${i + 1} 0 obj\n<< /Length ${body.length}$filter >>\nstream\n")
+      out.write(body)
+      w("\nendstream\nendobj\n")
+    }
+    // the compressed object stream: header = N (objnum, offset) pairs,
+    // offsets relative to /First
+    val inner: Seq[(Int, String)] = Seq(
+      catalog -> s"<< /Type /Catalog /Pages $pagesObj 0 R >>",
+      pagesObj -> (s"<< /Type /Pages /Kids [ " +
+        (0 until n).map(i => s"${pageObj(i)} 0 R").mkString(" ") +
+        s" ] /Count $n >>")) ++
+      (0 until n).map { i =>
+        val (mw, mh) = boxes(i)
+        pageObj(i) -> (s"<< /Type /Page /Parent $pagesObj 0 R " +
+          s"/MediaBox [ 0 0 ${fmtNum(mw)} ${fmtNum(mh)} ] " +
+          s"/Resources << /Font << /F1 $fontObj 0 R >> >> /Contents ${i + 1} 0 R >>")
+      } :+ (fontObj -> "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    val bodySb = new StringBuilder
+    val innerOffs = inner.map { case (_, src) =>
+      val o = bodySb.length; bodySb.append(src).append('\n'); o
+    }
+    val hdr = inner.zip(innerOffs)
+      .map { case ((num, _), o) => s"$num $o" }.mkString(" ") + "\n"
+    val stmBody = deflate((hdr + bodySb).getBytes(ISO_8859_1))
+    offsets(objStm) = out.size()
+    w(s"$objStm 0 obj\n<< /Type /ObjStm /N ${inner.size} /First ${hdr.length} " +
+      s"/Filter /FlateDecode /Length ${stmBody.length} >>\nstream\n")
+    out.write(stmBody)
+    w("\nendstream\nendobj\n")
+    // xref stream: W [1 4 2] rows for objects 0..xrefObj, Up-predicted
+    offsets(xrefObj) = out.size()
+    val rowLen = 7
+    val rows = new Array[Byte]((xrefObj + 1) * rowLen)
+    def setRow(i: Int, typ: Int, f2: Long, f3: Int): Unit = {
+      val p = i * rowLen
+      rows(p) = typ.toByte
+      rows(p + 1) = ((f2 >> 24) & 0xff).toByte
+      rows(p + 2) = ((f2 >> 16) & 0xff).toByte
+      rows(p + 3) = ((f2 >> 8) & 0xff).toByte
+      rows(p + 4) = (f2 & 0xff).toByte
+      rows(p + 5) = ((f3 >> 8) & 0xff).toByte
+      rows(p + 6) = (f3 & 0xff).toByte
+    }
+    setRow(0, 0, 0, 65535)
+    (1 to objStm).foreach(i => setRow(i, 1, offsets(i), 0))
+    inner.zipWithIndex.foreach { case ((num, _), k) => setRow(num, 2, objStm, k) }
+    setRow(xrefObj, 1, offsets(xrefObj), 0)
+    // Predictor 12: every row Up-filtered (type byte 2, delta vs row above)
+    val pred = new Array[Byte]((xrefObj + 1) * (rowLen + 1))
+    (0 to xrefObj).foreach { r =>
+      pred(r * (rowLen + 1)) = 2
+      (0 until rowLen).foreach { c =>
+        val above = if (r > 0) rows((r - 1) * rowLen + c) else 0: Byte
+        pred(r * (rowLen + 1) + 1 + c) = (rows(r * rowLen + c) - above).toByte
+      }
+    }
+    val xBody = deflate(pred)
+    w(s"$xrefObj 0 obj\n<< /Type /XRef /Size ${xrefObj + 1} /Root $catalog 0 R " +
+      s"/W [ 1 4 2 ] /Filter /FlateDecode " +
+      s"/DecodeParms << /Predictor 12 /Columns $rowLen >> " +
+      s"/Length ${xBody.length} >>\nstream\n")
+    out.write(xBody)
+    w(s"\nendstream\nendobj\nstartxref\n${offsets(xrefObj)}\n%%EOF\n")
+    out.toByteArray
+  }
 }

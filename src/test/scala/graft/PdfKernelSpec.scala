@@ -116,4 +116,114 @@ class PdfKernelSpec extends AnyFunSuite {
   test("non-PDF bytes raise ParseError") {
     intercept[Pdf.ParseError](Pdf.parseDoc("<html>not a pdf</html>".getBytes(ISO_8859_1)))
   }
+
+  // ------------------------------------------------ PDF 1.5 (round-4 add)
+
+  test("pdf 1.5: xref-stream + ObjStm file extracts byte-identically to classic") {
+    val content = Seq(Seq("modern layout", "second line"), Seq("page two here"))
+    for (compress <- Seq(false, true)) {
+      val classic = PdfWriter.build(content, compress)
+      val modern = PdfWriter.build15(content, compress)
+      val s15 = new String(modern, ISO_8859_1)
+      // really 1.5-shaped: no trailer keyword, no classic xref table
+      assert(!s15.contains("trailer"), "1.5 file must have no trailer keyword")
+      assert(!s15.contains("xref\n0 "), "1.5 file must have no xref table")
+      assert(s15.contains("/ObjStm") && s15.contains("/XRef") &&
+        s15.contains("/Predictor 12"))
+      val psC = Pdf.pages(Pdf.parseDoc(classic))
+      val psM = Pdf.pages(Pdf.parseDoc(modern))
+      assert(psM.length === psC.length)
+      psC.zip(psM).foreach { case (c, m) =>
+        assert(Pdf.pageText(m.content) === Pdf.pageText(c.content))
+        assert(m.width === c.width && m.height === c.height)
+      }
+    }
+  }
+
+  test("pdf 1.5: trailer is recovered from the xref stream dict (no keyword)") {
+    val doc = Pdf.parseDoc(PdfWriter.build15(Seq(Seq("root recovery")), compress = true))
+    assert(doc.trailer.m.contains("Root"), "Root must come from the /XRef dict")
+    assert(Pdf.pages(doc).nonEmpty)
+  }
+
+  test("pdf 1.5: W-field xref entries describe the layout exactly") {
+    val n = 3
+    val bytes = PdfWriter.build15(Seq.fill(n)(Seq("x")), compress = false)
+    val doc = Pdf.parseDoc(bytes)
+    val xrefSt = doc.objects.collectFirst {
+      case (_, st @ Pdf.PStream(d, _))
+        if doc.resolve(d.m.getOrElse("Type", Pdf.PNull)) == Pdf.PName("XRef") => st
+    }.get
+    val entries = Pdf.xrefEntries(doc, xrefSt)
+    // objects: 0 free, 1..n content + objstm direct (type 1), the inner
+    // dicts compressed (type 2: catalog, pages, n pages, font), xref direct
+    assert(entries.length === 2 * n + 6)
+    val byType = entries.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byType(0) === 1 && byType(1) === n + 2 && byType(2) === n + 3)
+    // every type-1 offset points at the "N G obj" header of that object
+    val s = new String(bytes, ISO_8859_1)
+    entries.filter(_._2 == 1).foreach { case (num, _, off, _) =>
+      assert(s.startsWith(s"$num 0 obj", off.toInt), s"offset of obj $num")
+    }
+    // every type-2 entry points into the single ObjStm
+    val objStmNum = doc.objects.collectFirst {
+      case (num, Pdf.PStream(d, _))
+        if doc.resolve(d.m.getOrElse("Type", Pdf.PNull)) == Pdf.PName("ObjStm") => num
+    }.get
+    assert(entries.filter(_._2 == 2).forall(_._3 == objStmNum.toLong))
+  }
+
+  test("pdf 1.5: chunker handles modern files (25 pages → 10/10/5)") {
+    val pages = (1 to 25).map(i => Seq(s"page $i"))
+    val chunks = Pdf.chunkBytes(PdfWriter.build15(pages, compress = true))
+    assert(chunks.map(c => Pdf.pages(Pdf.parseDoc(c)).length) === Vector(10, 10, 5))
+    val whole = chunks.map(c => Pdf.extractChunk(c).text).mkString
+    assert(whole === (1 to 25).map(i => s"page $i\n").mkString)
+  }
+
+  test("pdf 1.5: newest xref's type-2 entry overrides a stale direct object") {
+    // an incremental-update shape: object 4 (the page dict) exists BOTH
+    // directly (old version → contents obj 1 "OLD") and inside an ObjStm
+    // (new version → contents obj 2 "NEW"); the xref stream marks obj 4
+    // type 2, so the compressed version is current. A parser that only
+    // body-scans would return "OLD" — this pins the W-decode as
+    // load-bearing, not dead code.
+    val out = new java.io.ByteArrayOutputStream()
+    def w(str: String): Int = { val at = out.size(); out.write(str.getBytes(ISO_8859_1)); at }
+    def stream(num: Int, dict: String, body: String): Int =
+      w(s"$num 0 obj\n<< $dict /Length ${body.length} >>\nstream\n$body\nendstream\nendobj\n")
+    w("%PDF-1.5\n%âãÏÓ\n")
+    val cOld = "BT /F1 12 Tf 72 720 Td (OLD) Tj ET"
+    val cNew = "BT /F1 12 Tf 72 720 Td (NEW) Tj ET"
+    stream(1, "", cOld)
+    stream(2, "", cNew)
+    w("4 0 obj\n<< /Type /Page /Parent 3 0 R /MediaBox [ 0 0 612 792 ] /Contents 1 0 R >>\nendobj\n")
+    val inner = Seq(
+      3 -> "<< /Type /Pages /Kids [ 4 0 R ] /Count 1 >>",
+      4 -> "<< /Type /Page /Parent 3 0 R /MediaBox [ 0 0 612 792 ] /Contents 2 0 R >>",
+      6 -> "<< /Type /Catalog /Pages 3 0 R >>")
+    val bodySb = new StringBuilder
+    val offs = inner.map { case (_, src) => val o = bodySb.length; bodySb.append(src).append('\n'); o }
+    val hdr = inner.zip(offs).map { case ((num, _), o) => s"$num $o" }.mkString(" ") + "\n"
+    val stmAt = stream(5, s"/Type /ObjStm /N 3 /First ${hdr.length}", hdr + bodySb)
+    // xref stream, uncompressed, W [1 4 2]: 0 free, 1/2 direct, 3 in
+    // stm idx 0, 4 in stm idx 1 (the OVERRIDE), 5 direct, 6 in stm idx 2,
+    // 7 (this stream) direct — offsets patched after writing
+    def row(t: Int, f2: Long, f3: Int): Array[Byte] =
+      Array[Byte](t.toByte, ((f2 >> 24) & 0xff).toByte, ((f2 >> 16) & 0xff).toByte,
+        ((f2 >> 8) & 0xff).toByte, (f2 & 0xff).toByte,
+        ((f3 >> 8) & 0xff).toByte, (f3 & 0xff).toByte)
+    val xrefAt = out.size()
+    val xrows = Array(row(0, 0, 65535), row(1, 9999, 0), row(1, 9999, 0),
+      row(2, 5, 0), row(2, 5, 1), row(1, stmAt, 0), row(2, 5, 2),
+      row(1, xrefAt, 0)).flatten
+    w(s"7 0 obj\n<< /Type /XRef /Size 8 /Root 6 0 R /W [ 1 4 2 ] /Length ${xrows.length} >>\nstream\n")
+    out.write(xrows)
+    w(s"\nendstream\nendobj\nstartxref\n$xrefAt\n%%EOF\n")
+    val doc = Pdf.parseDoc(out.toByteArray)
+    val ps = Pdf.pages(doc)
+    assert(ps.length === 1)
+    assert(Pdf.pageText(ps.head.content) === "NEW\n",
+      "type-2 xref entry must select the compressed (updated) page dict")
+  }
 }
