@@ -332,6 +332,21 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"),
           col("_asof_ts").as("state_ts"), round(col("_r_state_v"), 2).as("state_v"))
     }),
+    // identical answer to q38 — the point of q51 is the SKEW-SAFE plan:
+    // the window partitions by (user_id, day-slice) with carry-in rows,
+    // so one hot user no longer serializes into a single task (OpsSpec
+    // proves equality with the unsalted operator at several widths)
+    "q51_asof_salted" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val right = e.where(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts")).agg(max(col("value")).as("state_v"))
+      val left = e.where(col("event_type") =!= "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      graft.ops.Relational.asofJoinSalted(left, right, "user_id", "ts",
+          splitSeconds = 86400L)
+        .select(col("event_id"), col("user_id"),
+          col("_asof_ts").as("state_ts"), round(col("_r_state_v"), 2).as("state_v"))
+    }),
     // point-in-interval range join via the binned equi-join rewrite
     // (overlapping, non-grid-aligned intervals; bin width deliberately
     // misaligned with the interval bounds — the residual filter decides)
@@ -843,6 +858,10 @@ object SparkEntry {
       "FROM lines JOIN cnt USING (line) WHERE c = 1 GROUP BY doc_id"),
     "q36_redact" -> "SELECT event_id, sha256(regexp_replace(props, '[0-9]+', '<NUM>', 'g')) AS redacted_hash FROM events ORDER BY event_id LIMIT 200",
     "q38_asof_join" -> ("WITH r AS (SELECT user_id, ts, max(value) AS state_v FROM events WHERE event_type = 'click' GROUP BY user_id, ts), " +
+      "l AS (SELECT event_id, user_id, ts FROM events WHERE event_type <> 'click') " +
+      "SELECT l.event_id, l.user_id, r.ts AS state_ts, round(r.state_v, 2) AS state_v " +
+      "FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts"),
+    "q51_asof_salted" -> ("WITH r AS (SELECT user_id, ts, max(value) AS state_v FROM events WHERE event_type = 'click' GROUP BY user_id, ts), " +
       "l AS (SELECT event_id, user_id, ts FROM events WHERE event_type <> 'click') " +
       "SELECT l.event_id, l.user_id, r.ts AS state_ts, round(r.state_v, 2) AS state_v " +
       "FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts"),

@@ -68,6 +68,85 @@ object Relational {
         rightVals.map(c => col(s"_asof.$c").as(s"_r_$c")): _*)
   }
 
+  /** Skew-safe as-of join: identical semantics and output columns to
+    * [[asofJoin]], but each key's timeline is RANGE-SPLIT into
+    * `splitSeconds`-wide slices and the window partitions by
+    * `(key, slice)` — so one hot key (a single user with 10^9 events)
+    * spreads across many tasks instead of serializing into one, the
+    * as-of analog of the two-phase salted aggregate in [[Skew]].
+    *
+    * Correctness across slice boundaries is restored by a CARRY pass:
+    * the latest right row of each `(key, slice)` is aggregated (tiny:
+    * keys × slices), a per-key running `last` over slice order yields
+    * each slice's carry-in (the newest right row strictly before it,
+    * skipping over empty slices), and the carry-in is injected into the
+    * slice as one synthetic right row — its original timestamp is older
+    * than every row of the slice, so the in-slice window sees it first
+    * and `_asof_ts` still reports the true matched timestamp.
+    *
+    * Cost shape: the bulk data (left + right) is shuffled once on
+    * `(key, slice)` exactly as [[asofJoin]] shuffles once on `key`; the
+    * carry machinery adds two aggregations over the small per-slice
+    * summary only. Slice width trades skew spread against carry-table
+    * size and does not affect results (OpsSpec asserts equality with
+    * [[asofJoin]] at several widths).
+    */
+  def asofJoinSalted(left: DataFrame, right: DataFrame, keyCol: String,
+                     tsCol: String, splitSeconds: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(splitSeconds > 0, "splitSeconds must be positive")
+    val reserved = (left.columns ++ right.columns).filter(c =>
+      c == "_side" || c == "_asof" || c == "_asof_ts" || c == "_split" ||
+        c.startsWith("_r_"))
+    require(reserved.isEmpty,
+      s"asofJoinSalted reserves column names '_side', '_asof', '_asof_ts', " +
+        s"'_split' and the '_r_' prefix; rename ${reserved.mkString(", ")}")
+    val rightVals = right.columns.filterNot(c => c == keyCol || c == tsCol).toSeq
+    // numeric timeline for slicing; timestamps go through timestamp_ltz
+    // (UTC session → same instant; NTZ refuses a direct double cast)
+    def sliceOf(df: DataFrame): Column = {
+      val num = df.schema(tsCol).dataType match {
+        case _: org.apache.spark.sql.types.NumericType => col(tsCol).cast("double")
+        case _ => col(tsCol).cast("timestamp_ltz").cast("double")
+      }
+      floor(num / splitSeconds).cast("long")
+    }
+    val l2 = left.withColumn("_split", sliceOf(left)).withColumn("_side", lit(1))
+    val rCore = right.select(
+      col(keyCol) +: col(tsCol) +: rightVals.map(c => col(c).as(s"_r_$c")): _*)
+    val r2 = rCore.withColumn("_split", sliceOf(right)).withColumn("_side", lit(0))
+    val rowStructR = struct(
+      col(tsCol).as("ts") +: rightVals.map(c => col(s"_r_$c").as(c)): _*)
+    // newest right row per (key, slice) — the carry source
+    val lastIn = r2.groupBy(col(keyCol), col("_split"))
+      .agg(max_by(rowStructR, col(tsCol)).as("_last"))
+    // every (key, slice) either side touches needs a carry-in
+    val needed = l2.select(col(keyCol), col("_split"))
+      .union(r2.select(col(keyCol), col("_split"))).distinct()
+    val wCarry = Window.partitionBy(col(keyCol)).orderBy(col("_split"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carryRights = needed.join(lastIn, Seq(keyCol, "_split"), "left")
+      .select(col(keyCol), col("_split"),
+        last(col("_last"), ignoreNulls = true).over(wCarry).as("_carry"))
+      .where(col("_carry").isNotNull)
+      .select(
+        (col(keyCol) +: col("_carry.ts").as(tsCol) +: col("_split") +:
+          rightVals.map(c => col(s"_carry.$c").as(s"_r_$c"))): _*)
+      .withColumn("_side", lit(0))
+    val u = l2.unionByName(r2, allowMissingColumns = true)
+      .unionByName(carryRights, allowMissingColumns = true)
+    val w = Window.partitionBy(col(keyCol), col("_split"))
+      .orderBy(col(tsCol), col("_side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val rowStruct = when(col("_side") === 0,
+      struct(col(tsCol).as("ts") +: rightVals.map(c => col(s"_r_$c").as(c)): _*))
+    val keep = u.columns.filterNot(_.startsWith("_r_")).map(col)
+    u.select(keep :+ last(rowStruct, ignoreNulls = true).over(w).as("_asof"): _*)
+      .where(col("_side") === 1)
+      .select((left.columns.map(col) :+ col("_asof.ts").as("_asof_ts")) ++
+        rightVals.map(c => col(s"_asof.$c").as(s"_r_$c")): _*)
+  }
+
   /** Binned point-in-interval join: rows of `points` paired with every
     * interval `[loCol, hiCol)` containing `ptCol`. Both sides land on a
     * `binWidth`-wide grid; the grid id is the equi-join key and the

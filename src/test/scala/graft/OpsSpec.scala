@@ -356,6 +356,36 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
     assert(e2.getMessage.contains("_r_v"))
   }
 
+  test("salted asof join: equals the unsalted operator at every slice width") {
+    import graft.ops.Relational
+    val r = new scala.util.Random(64)
+    // hot-key shape: key 0 carries 80 % of both sides (the single-task
+    // serialization case the salting exists for), plus sparse keys whose
+    // right rows sit many empty slices before their left rows (deep
+    // carry), plus a key with no right rows at all
+    val right = (Seq.tabulate(300)(i =>
+        (0L, 1000L + r.nextInt(4000) * 3, i * 1.0)) ++
+      Seq((1L, 40L, -1.0), (1L, 55L, -2.0), (3L, 9000L, -3.0)))
+      .distinct.groupBy(t => (t._1, t._2)).map(_._2.head).toSeq
+    val left = Seq.tabulate(400)(i => (500L + i, 0L, 1000L + r.nextInt(12200))) ++
+      Seq((1L, 1L, 9000L), (2L, 1L, 12000L), (3L, 2L, 100L), (4L, 3L, 8999L))
+    val rightDf = right.toDF("k", "ts", "v")
+    val leftDf = left.toDF("id", "k", "ts")
+    val want = Relational.asofJoin(leftDf, rightDf, "k", "ts")
+      .select($"id", $"_asof_ts", $"_r_v")
+      .as[(Long, Option[Long], Option[Double])].collect().sortBy(_._1).toSeq
+    for (width <- Seq(7L, 100L, 1000L, 100000L)) {
+      val got = Relational.asofJoinSalted(leftDf, rightDf, "k", "ts", width)
+        .select($"id", $"_asof_ts", $"_r_v")
+        .as[(Long, Option[Long], Option[Double])].collect().sortBy(_._1).toSeq
+      assert(got === want, s"slice width $width diverged from unsalted")
+    }
+    // the hot key's window really is split: > 1 distinct slice partition
+    val slices = leftDf.where($"k" === 0L)
+      .select(floor($"ts".cast("double") / 1000).cast("long")).distinct().count()
+    assert(slices > 1, "fixture must span multiple slices for the hot key")
+  }
+
   test("binned range join: equals the naive theta join at any bin width") {
     import graft.ops.Relational
     val r = new scala.util.Random(62)
