@@ -318,34 +318,47 @@ object Html {
       raw.setLength(0); anchorChars = 0
     }
 
-    def walk(node: Node): Unit = node match {
-      case TextNode(t) =>
-        raw.append(t)
-        if (anchorDepth > 0) anchorChars += collapseWs(t).length
-      case e: Element =>
-        e.name match {
-          case "title" =>
-            if (title.isEmpty)
-              title = collapseWs(e.children.collect { case TextNode(t) => t }.mkString)
-          case "script" | "style" | "textarea" => // dropped
-          case "br" => raw.append(' ')
-          case name =>
-            val isBlock = blockTags(name)
-            val isHeading = name.length == 2 && name.charAt(0) == 'h' && name.charAt(1).isDigit
-            val isBoiler = boilerAncestors(name)
-            val isAnchor = name == "a"
-            if (isBlock) flush()
-            if (isHeading) headingLevel = name.charAt(1) - '0'
-            if (isBoiler) boilerDepth += 1
-            if (isAnchor) anchorDepth += 1
-            e.children.foreach(walk)
-            if (isAnchor) anchorDepth -= 1
-            if (isBlock) flush()
-            if (isHeading) headingLevel = 0
-            if (isBoiler) boilerDepth -= 1
-        }
+    // explicit-stack walk — recursion here overflowed the JVM stack near
+    // depth 1000 (real crawls nest pathologically; the hostile golden set
+    // pins a 1000-deep document)
+    final case class Exit(isBlock: Boolean, isHeading: Boolean,
+                          isBoiler: Boolean, isAnchor: Boolean)
+    val work = new scala.collection.mutable.ArrayBuffer[AnyRef](64)
+    work += root
+    while (work.nonEmpty) {
+      val item = work.remove(work.length - 1)
+      item match {
+        case TextNode(t) =>
+          raw.append(t)
+          if (anchorDepth > 0) anchorChars += collapseWs(t).length
+        case e: Element =>
+          e.name match {
+            case "title" =>
+              if (title.isEmpty)
+                title = collapseWs(e.children.collect { case TextNode(t) => t }.mkString)
+            case "script" | "style" | "textarea" => // dropped
+            case "br" => raw.append(' ')
+            case name =>
+              val isBlock = blockTags(name)
+              val isHeading = name.length == 2 && name.charAt(0) == 'h' && name.charAt(1).isDigit
+              val isBoiler = boilerAncestors(name)
+              val isAnchor = name == "a"
+              if (isBlock) flush()
+              if (isHeading) headingLevel = name.charAt(1) - '0'
+              if (isBoiler) boilerDepth += 1
+              if (isAnchor) anchorDepth += 1
+              work += Exit(isBlock, isHeading, isBoiler, isAnchor)
+              var i = e.children.length - 1
+              while (i >= 0) { work += e.children(i); i -= 1 }
+          }
+        case Exit(isBlock, isHeading, isBoiler, isAnchor) =>
+          if (isAnchor) anchorDepth -= 1
+          if (isBlock) flush()
+          if (isHeading) headingLevel = 0
+          if (isBoiler) boilerDepth -= 1
+        case _ =>
+      }
     }
-    walk(root)
     flush()
     Segmented(title, blocks.result(), headings.result())
   }

@@ -123,4 +123,79 @@ class HtmlStreamSpec extends AnyFunSuite {
     assert(r.text.contains("after") || r.text.nonEmpty || r.text.isEmpty) // must terminate
     assert(Html.tokenize("<a x/y>ok</a>").nonEmpty)
   }
+
+  // ---- hostile corpus (round-3 verdict item 7): the shapes real crawls
+  // are ugliest at — unclosed raw-text elements, nested/implied tables,
+  // entity edge cases, >64 KB attributes, pathological nesting. Both
+  // kernels must agree byte-for-byte AND match the frozen goldens in
+  // src/test/resources/golden/hostile_html.tsv, so the behavior on
+  // hostile input is pinned across refactors, not just self-consistent.
+
+  private[graft] def hostileCorpus: Seq[(String, String)] = {
+    // the Boilerpipe rules need > 16 words for a lone block to classify
+    // as content - every block meant to SURVIVE extraction carries this
+    // filler, so the goldens pin non-empty extracted text
+    val pad = "with plenty of additional plain filler words so the block " +
+      "clears the classifier threshold of sixteen words easily"
+    val bigAttr = "x" * 70000
+    val bigText = ("lorem ipsum dolor sit amet " * 3000).trim // ~80 KB
+    val deepDivs = "<div>" * 1000 + s"<p>deep core text $pad</p>" + "</div>" * 1000
+    val manyOpenPs = s"<p>open $pad " * 5000
+    Seq(
+      "unclosed-script" ->
+        s"<p>before the script $pad</p><script>var a = 1; // never closed",
+      "unclosed-title" -> s"<title>title never closes <p>swallowed by title $pad</p>",
+      "unclosed-textarea" -> s"<p>kept paragraph $pad</p><textarea>swallowed",
+      "script-with-fake-close" ->
+        s"<script>var s = \"</scr\" + \"ipt>\"; x();</script><p>after the script $pad</p>",
+      "nested-tables" ->
+        (s"<table><tr><td>outer cell one $pad<table><tr><td>inner cell $pad" +
+          s"<table><tr><td>innermost cell $pad</td></tr></table>" +
+          s"</td></tr></table></td><td>outer cell two $pad</td></tr></table>"),
+      "implied-table-closes" ->
+        s"<table><tr><td>cell a $pad<td>cell b $pad<tr><td>cell c $pad<td>cell d $pad</table><p>after the table $pad</p>",
+      "entity-edge-cases" ->
+        (s"<p>double &amp;amp; nul &#0; huge &#x110000; surrogate &#xD800; " +
+          s"bare &ampnothing unknown &NotARealEntity; trailing & $pad</p>"),
+      "giant-attribute" ->
+        s"<p>visible before $pad</p><a href='$bigAttr'>link</a><p>visible after the giant attribute $pad</p>",
+      "giant-text-block" -> s"<p>$bigText</p>",
+      "deep-nesting" -> deepDivs,
+      "five-thousand-open-p" -> manyOpenPs,
+      "mixed-case-tags" ->
+        s"<DIV><P>Mixed case paragraph $pad</P><ScRiPt>drop()</sCrIpT><P>second paragraph $pad</P></DIV>",
+      "newlines-and-gt-in-attrs" ->
+        s"<p\n  class=\"a>b\"\n  data-x='1\n2'>attr soup paragraph $pad</p>",
+      "unclosed-comment" -> s"<p>kept text $pad</p><!-- comment that never closes <p>gone</p>",
+      "unclosed-cdata" -> s"<p>kept text $pad</p><![CDATA[swallowed forever",
+      "unclosed-pi-and-doctype" -> s"<?php echo 'x'; <p>in pi</p><!DOCTYPEgarbage<p>tail $pad</p>",
+      "null-bytes-in-text" -> s"<p>null\u0000byte laden\u0000paragraph $pad</p>",
+      "multibyte-content" ->
+        s"<p>emoji \ud83d\ude00 and CJK \u6f22\u5b57\u6df7\u5408 and umlauts \u00e4\u00f6\u00fc $pad</p>",
+      "nested-anchors" ->
+        s"<p><a href='/a'>outer <a href='/b'>inner</a> tail</a> $pad</p>",
+      "stray-lt-in-text" -> s"<p>5<6 and a<b and x < y are all just text $pad</p>",
+      "duplicate-roots" ->
+        s"<html><body><p>first body paragraph $pad</p></body></html><html><body><p>second body paragraph $pad</p></body></html>")
+  }
+
+  test("hostile corpus: streaming == DOM and both match the frozen goldens") {
+    def sha(b: Array[Byte]): String =
+      java.security.MessageDigest.getInstance("SHA-256")
+        .digest(b).map("%02x".format(_)).mkString
+    val golden: Map[String, String] = {
+      val src = scala.io.Source.fromResource("golden/hostile_html.tsv")
+      try src.getLines().map { l =>
+        val Array(id, h) = l.split('\t'); id -> h
+      }.toMap
+      finally src.close()
+    }
+    assert(golden.size === hostileCorpus.size)
+    hostileCorpus.foreach { case (id, html) =>
+      val (a, b) = both(html)
+      assert(a == b, s"kernel mismatch on hostile '$id'")
+      assert(sha(a.text.getBytes("UTF-8")) === golden(id),
+        s"extraction drifted from golden for hostile '$id'")
+    }
+  }
 }
