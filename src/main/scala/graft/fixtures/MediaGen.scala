@@ -1655,13 +1655,19 @@ object MediaGen {
       r.nextInt(10) match {
         case 9 =>
           val w = 4 + r.nextInt(28); val h = 4 + r.nextInt(20)
-          val px = Array.fill(w * h)(0xff000000 | r.nextInt(0x1000000))
-          Media(i.toLong, s"https://host$host.example.com/img/$i.webp", "image",
-            webpLossless(px, w, h,
-              useLz77 = r.nextBoolean(),
-              cacheBits = if (r.nextBoolean()) 0 else 4,
-              subtractGreen = r.nextBoolean(),
-              predictor = r.nextBoolean()))
+          if (r.nextBoolean()) { // lossless (VP8L)
+            val px = Array.fill(w * h)(0xff000000 | r.nextInt(0x1000000))
+            Media(i.toLong, s"https://host$host.example.com/img/$i.webp", "image",
+              webpLossless(px, w, h,
+                useLz77 = r.nextBoolean(),
+                cacheBits = if (r.nextBoolean()) 0 else 4,
+                subtractGreen = r.nextBoolean(),
+                predictor = r.nextBoolean()))
+          } else { // lossy (VP8 keyframe)
+            val luma = Array.fill(w * h)(r.nextInt(256))
+            Media(i.toLong, s"https://host$host.example.com/img/$i.webp", "image",
+              vp8(luma, w, h, qi = r.nextInt(40)))
+          }
         case 8 =>
           val ch = if (r.nextBoolean()) 1 else 3
           val w = 4 + r.nextInt(28); val h = 4 + r.nextInt(20)
@@ -1739,4 +1745,352 @@ object MediaGen {
       }
     }
   }
+
+  // ===================================================== VP8 (lossy WebP)
+
+  /** RFC 6386 boolean arithmetic encoder (7.x reference shape): carry
+    * propagates into already-emitted bytes; [[graft.kernel.Vp8.Bool]]
+    * round-trips it bit-exactly (MediaSpec property test).
+    */
+  final class Vp8BoolEnc {
+    private val buf = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    private var range = 255
+    private var bottom = 0L // 32-bit window, Long for carry visibility
+    private var bitCount = 24
+
+    private def carry(): Unit = {
+      var i = buf.length - 1
+      while (buf(i) == -1) { buf(i) = 0; i -= 1 }
+      buf(i) = (buf(i) + 1).toByte
+    }
+
+    def put(prob: Int, bit: Int): Unit = {
+      val split = 1 + (((range - 1) * prob) >> 8)
+      if (bit != 0) { bottom += split; range -= split }
+      else range = split
+      while (range < 128) {
+        range <<= 1
+        if ((bottom & (1L << 31)) != 0) carry()
+        bottom = (bottom << 1) & 0xffffffffL
+        bitCount -= 1
+        if (bitCount == 0) {
+          buf += ((bottom >> 24) & 0xff).toByte
+          bottom &= 0xffffffL
+          bitCount = 8
+        }
+      }
+    }
+
+    def literal(n: Int, v: Int): Unit = {
+      var k = n - 1
+      while (k >= 0) { put(128, (v >> k) & 1); k -= 1 }
+    }
+
+    def maybeSigned(n: Int, v: Int): Unit =
+      if (v == 0) put(128, 0)
+      else { put(128, 1); literal(n, math.abs(v)); put(128, if (v < 0) 1 else 0) }
+
+    /** Emit the tree path to `leaf` (leaves stored as -(id+1)). */
+    def tree(t: Array[Int], probs: Array[Int], probOff: Int, leaf: Int,
+             from: Int = 0): Unit = {
+      def walk(i: Int, path: List[(Int, Int)]): Option[List[(Int, Int)]] = {
+        var b = 0
+        var found: Option[List[(Int, Int)]] = None
+        while (b < 2 && found.isEmpty) {
+          val v = t(i + b)
+          if (v <= 0) { if (-v - 1 == leaf) found = Some(((i, b)) :: path) }
+          else found = walk(v, ((i, b)) :: path)
+          b += 1
+        }
+        found
+      }
+      walk(from, Nil).getOrElse(throw new IllegalArgumentException(s"leaf $leaf unreachable"))
+        .reverse.foreach { case (i, b) => put(probs(probOff + (i >> 1)), b) }
+    }
+
+    def result(): Array[Byte] = {
+      // flush the 32-bit window (standard tail: 32 zero bits)
+      var k = 0
+      while (k < 32) {
+        if ((bottom & (1L << 31)) != 0) carry()
+        bottom = (bottom << 1) & 0xffffffffL
+        bitCount -= 1
+        if (bitCount == 0) {
+          buf += ((bottom >> 24) & 0xff).toByte
+          bottom &= 0xffffffL
+          bitCount = 8
+        }
+        k += 1
+      }
+      buf.toArray
+    }
+  }
+
+  /** Lossy-WebP fixture writer: a VP8 keyframe (RFC 6386) holding `luma`
+    * as the Y plane with flat chroma. Every macroblock is B_PRED with
+    * all-B_DC sub-modes — the smallest spec-complete mode set — with
+    * residuals forward-DCT'd, quantized at index `qi` and reconstructed
+    * encoder-side exactly as the decoder will, so prediction never
+    * drifts. `filter_level` is always 0 (decoded output is bit-exact,
+    * see [[graft.kernel.Vp8]]); skipped MBs are used whenever every
+    * block quantizes to zero. Returns a full RIFF/WEBP container.
+    */
+  def vp8(luma: Array[Int], w: Int, h: Int, qi: Int = 12): Array[Byte] = {
+    import graft.kernel.Vp8Tables._
+    require(luma.length == w * h && w > 0 && h > 0 && w <= 16383 && h <= 16383)
+    require(qi >= 0 && qi <= 127)
+    val mbW = (w + 15) >> 4
+    val mbH = (h + 15) >> 4
+    val yStride = mbW * 16 + 1 + 4
+    val Y = new Array[Int]((mbH * 16 + 1) * yStride)
+    var x = 0
+    while (x < yStride) { Y(x) = 127; x += 1 }
+    var yy = 1
+    while (yy <= mbH * 16) { Y(yy * yStride) = 129; yy += 1 }
+    // chroma is flat 128: with DC prediction every chroma block's
+    // residual is zero everywhere, so chroma never contributes tokens
+    val dcq = dcQLookup(qi)
+    val acq = acQLookup(qi)
+
+    def srcAt(px: Int, py: Int): Int =
+      luma(math.min(h - 1, py) * w + math.min(w - 1, px))
+
+    def fdct(in: Array[Int], out: Array[Int]): Unit = {
+      val tmp = new Array[Int](16)
+      var r = 0
+      while (r < 4) {
+        val o = r * 4
+        val a1 = (in(o) + in(o + 3)) * 8; val b1 = (in(o + 1) + in(o + 2)) * 8
+        val c1 = (in(o + 1) - in(o + 2)) * 8; val d1 = (in(o) - in(o + 3)) * 8
+        tmp(o) = a1 + b1; tmp(o + 2) = a1 - b1
+        tmp(o + 1) = (c1 * 2217 + d1 * 5352 + 14500) >> 12
+        tmp(o + 3) = (d1 * 2217 - c1 * 5352 + 7500) >> 12
+        r += 1
+      }
+      r = 0
+      while (r < 4) {
+        val a1 = tmp(r) + tmp(r + 12); val b1 = tmp(r + 4) + tmp(r + 8)
+        val c1 = tmp(r + 4) - tmp(r + 8); val d1 = tmp(r) - tmp(r + 12)
+        out(r) = (a1 + b1 + 7) >> 4
+        out(r + 8) = (a1 - b1 + 7) >> 4
+        out(r + 4) = ((c1 * 2217 + d1 * 5352 + 12000) >> 16) + (if (d1 != 0) 1 else 0)
+        out(r + 12) = (d1 * 2217 - c1 * 5352 + 51000) >> 16
+        r += 1
+      }
+    }
+
+    // pass A: reconstruct, collecting quantized levels per Y block
+    val levels = Array.ofDim[Int](mbH * mbW * 16, 16)
+    val skips = new Array[Boolean](mbH * mbW)
+    val res = new Array[Int](16)
+    val freq = new Array[Int](16)
+    val recon = new Array[Int](16)
+    var mbY = 0
+    while (mbY < mbH) {
+      var mbX = 0
+      while (mbX < mbW) {
+        val yOff = (mbY * 16 + 1) * yStride + mbX * 16 + 1
+        if (mbY > 0 && mbX == mbW - 1) {
+          var k = 0
+          while (k < 4) { Y(yOff - yStride + 16 + k) = Y(yOff - yStride + 15); k += 1 }
+        }
+        var anyNz = false
+        var sb = 0
+        while (sb < 16) {
+          val sx = sb & 3; val sy = sb >> 2
+          val bo = yOff + sy * 4 * yStride + sx * 4
+          // B_DC prediction (matches the decoder exactly)
+          var sum = 4
+          var i = 0
+          while (i < 4) { sum += Y(bo - yStride + i) + Y(bo - 1 + i * yStride); i += 1 }
+          val dc = sum >> 3
+          // residual vs (edge-replicated) source
+          i = 0
+          while (i < 16) {
+            val px = mbX * 16 + sx * 4 + (i & 3)
+            val py = mbY * 16 + sy * 4 + (i >> 2)
+            res(i) = srcAt(px, py) - dc
+            i += 1
+          }
+          fdct(res, freq)
+          val lv = levels((mbY * mbW + mbX) * 16 + sb)
+          i = 0
+          while (i < 16) {
+            val q = if (i == 0) dcq else acq
+            val c = freq(i)
+            val a = math.abs(c)
+            val l = math.min(2047, a / q) // truncating quantizer (valid; decoder just multiplies)
+            lv(i) = if (c < 0) -l else l
+            if (l != 0) anyNz = true
+            // dequantized coefficients feed the reconstruction
+            freq(i) = lv(i) * q
+            i += 1
+          }
+          graft.kernel.Vp8.idct4x4(freq, recon)
+          i = 0
+          while (i < 16) {
+            val o = bo + (i >> 2) * yStride + (i & 3)
+            val v = dc + recon(i)
+            Y(o) = if (v < 0) 0 else if (v > 255) 255 else v
+            i += 1
+          }
+          sb += 1
+        }
+        skips(mbY * mbW + mbX) = !anyNz
+        mbX += 1
+      }
+      mbY += 1
+    }
+
+    // pass B: first partition — headers + per-MB modes/skip
+    val e0 = new Vp8BoolEnc
+    e0.put(128, 0) // color space
+    e0.put(128, 0) // clamping
+    e0.put(128, 0) // segmentation disabled
+    e0.put(128, 0) // filter type
+    e0.literal(6, 0) // filter level 0 (bit-exact decode contract)
+    e0.literal(3, 0) // sharpness
+    e0.put(128, 0) // lf deltas disabled
+    e0.literal(2, 0) // one token partition
+    e0.literal(7, qi)
+    var k5 = 0
+    while (k5 < 5) { e0.put(128, 0); k5 += 1 } // no quant deltas
+    e0.put(128, 0) // refresh entropy (ignored for stills)
+    var pi = 0
+    while (pi < 4 * 8 * 3 * 11) { e0.put(coeffUpdateProbs(pi), 0); pi += 1 }
+    e0.put(128, 1) // mb_no_coeff_skip enabled
+    e0.literal(8, 128) // prob_skip_false
+    // mode stream: every MB B_PRED, all sub-modes B_DC, chroma DC.
+    // B_DC neighbors are always B_DC (borders too), so the sub-mode
+    // context is constant (0,0)
+    mbY = 0
+    while (mbY < mbH) {
+      var mbX = 0
+      while (mbX < mbW) {
+        e0.put(128, if (skips(mbY * mbW + mbX)) 1 else 0)
+        e0.tree(kfYModeTree, kfYModeProbs, 0, 4) // B_PRED
+        var sb = 0
+        while (sb < 16) { e0.tree(bModeTree, kfBModeProbs, 0, 0); sb += 1 }
+        e0.tree(uvModeTree, kfUvModeProbs, 0, 0) // chroma DC
+        mbX += 1
+      }
+      mbY += 1
+    }
+    val part0 = e0.result()
+
+    // pass C: token partition. Contexts mirror the decoder's nz state.
+    val e1 = new Vp8BoolEnc
+    val aboveNz = new Array[Int](mbW * 9)
+    val leftNz = new Array[Int](9)
+    val yNz = new Array[Int](16)
+    val cNz = new Array[Int](4)
+    def putBlock(lv: Array[Int], typ: Int, ctx0: Int): Int = {
+      // last nonzero position in ZIGZAG order (the token order)
+      var last = -1
+      var i = 0
+      while (i < 16) { if (lv(zigzag(i)) != 0) last = i; i += 1 }
+      var n = 0
+      var ctx = ctx0
+      var from = 0
+      while (n <= last) {
+        val off = ((typ * 8 + bands(n)) * 3 + ctx) * 11
+        val lvl = lv(zigzag(n))
+        val a = math.abs(lvl)
+        if (a == 0) { e1.tree(tokenTree, probsDefault, off, 1, from); ctx = 0; from = 2 }
+        else {
+          if (a == 1) { e1.tree(tokenTree, probsDefault, off, 2, from); ctx = 1 }
+          else if (a <= 4) { e1.tree(tokenTree, probsDefault, off, a + 1, from); ctx = 2 }
+          else {
+            var cat = 5
+            while (cat > 0 && a < catBase(cat)) cat -= 1
+            e1.tree(tokenTree, probsDefault, off, 6 + cat, from); ctx = 2
+            val cp = cats(cat)
+            val extra = a - catBase(cat)
+            var k = cp.length - 1
+            var bi = 0
+            while (k >= 0) { e1.put(cp(bi), (extra >> k) & 1); k -= 1; bi += 1 }
+          }
+          e1.put(128, if (lvl < 0) 1 else 0)
+          from = 0
+        }
+        n += 1
+      }
+      if (last < 15) { // EOB; never follows a ZERO (trailing zeros are
+        // not emitted, so the previous token was nonzero or this is the
+        // first token of the block)
+        val off = ((typ * 8 + bands(last + 1)) * 3 + ctx) * 11
+        e1.tree(tokenTree, probsDefault, off, 0, from)
+      }
+      if (last >= 0) 1 else 0
+    }
+    mbY = 0
+    while (mbY < mbH) {
+      java.util.Arrays.fill(leftNz, 0)
+      var mbX = 0
+      while (mbX < mbW) {
+        if (skips(mbY * mbW + mbX)) {
+          var k = 0
+          while (k < 8) { leftNz(k) = 0; aboveNz(mbX * 9 + k) = 0; k += 1 }
+          // B_PRED MBs have no Y2: dc ctx (index 8) untouched
+        } else {
+          var sb = 0
+          while (sb < 16) {
+            val sx = sb & 3; val sy = sb >> 2
+            val ctx = (if (sx == 0) leftNz(sy) else yNz(sb - 1)) +
+              (if (sy == 0) aboveNz(mbX * 9 + sx) else yNz(sb - 4))
+            val nz = putBlock(levels((mbY * mbW + mbX) * 16 + sb), 3, ctx)
+            yNz(sb) = nz
+            if (sx == 3) leftNz(sy) = nz
+            if (sy == 3) aboveNz(mbX * 9 + sx) = nz
+            sb += 1
+          }
+          // chroma: all-zero blocks, still tokenized (EOB each)
+          var pl = 0
+          while (pl < 2) {
+            val base = 4 + pl * 2
+            var cb = 0
+            while (cb < 4) {
+              val sx = cb & 1; val sy = cb >> 1
+              val ctx = (if (sx == 0) leftNz(base + sy) else cNz(cb - 1)) +
+                (if (sy == 0) aboveNz(mbX * 9 + base + sx) else cNz(cb - 2))
+              val off = ((2 * 8 + bands(0)) * 3 + ctx) * 11
+              e1.tree(tokenTree, probsDefault, off, 0) // EOB
+              cNz(cb) = 0
+              if (sx == 1) leftNz(base + sy) = 0
+              if (sy == 1) aboveNz(mbX * 9 + base + sx) = 0
+              cb += 1
+            }
+            pl += 1
+          }
+        }
+        mbX += 1
+      }
+      mbY += 1
+    }
+    val part1 = e1.result()
+
+    // frame assembly
+    val part0Len = part0.length
+    require(part0Len < (1 << 19), "first partition too large")
+    val tag = part0Len << 5 // keyframe=0, version=0, show=0 bit... show_frame:
+    val tagShown = tag | (1 << 4)
+    val frame = new java.io.ByteArrayOutputStream()
+    frame.write(tagShown & 0xff); frame.write((tagShown >> 8) & 0xff); frame.write((tagShown >> 16) & 0xff)
+    frame.write(0x9d); frame.write(0x01); frame.write(0x2a)
+    frame.write(w & 0xff); frame.write((w >> 8) & 0x3f)
+    frame.write(h & 0xff); frame.write((h >> 8) & 0x3f)
+    frame.write(part0, 0, part0.length)
+    frame.write(part1, 0, part1.length)
+    val payload = frame.toByteArray
+    val riff = new java.io.ByteArrayOutputStream()
+    def fourcc(s: String): Unit = riff.write(s.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    def le32w(v: Int): Unit = { riff.write(v & 0xff); riff.write((v >> 8) & 0xff); riff.write((v >> 16) & 0xff); riff.write((v >> 24) & 0xff) }
+    val chunk = payload.length + (payload.length & 1)
+    fourcc("RIFF"); le32w(4 + 8 + chunk); fourcc("WEBP")
+    fourcc("VP8 "); le32w(payload.length); riff.write(payload, 0, payload.length)
+    if ((payload.length & 1) == 1) riff.write(0)
+    riff.toByteArray
+  }
+
+  private def probsDefault: Array[Int] = graft.kernel.Vp8Tables.coeffProbs
 }

@@ -12,8 +12,8 @@ package graft.kernel
   * Supported: the full VP8L still-image feature set — all four
   * transforms (all 14 predictor modes), meta-prefix (huffman-image)
   * group selection, color cache, LZ77 including the 120-entry
-  * neighborhood map. Lossy WebP ("VP8 " chunk) is a video-codec
-  * keyframe and stays behind the stub container.
+  * neighborhood map. Lossy WebP ("VP8 " chunk) dispatches to the
+  * RFC 6386 keyframe decoder in [[Vp8]].
   *
   * Output is the BT.601 luma plane like every other image decoder here.
   * All loops bound on explicit sizes; malformed input throws (C5).
@@ -518,9 +518,10 @@ object WebP {
     Media.Decoded("webp", w, h, 0, 1, luma, 255)
   }
 
-  /** Decode a WebP container; only the lossless "VP8L" payload is
-    * decodable without a video codec ("VP8 " lossy is rejected
-    * explicitly, like every other unsupported-but-recognized format).
+  /** Decode a WebP container: lossless "VP8L" payloads through the
+    * prefix-code path here, lossy "VP8 " keyframes through the [[Vp8]]
+    * decoder (whose luma plane IS the grey output — VP8 codes Y
+    * directly, no RGB detour to take luma of).
     */
   def decode(p: Array[Byte]): Media.Decoded = {
     require(isWebP(p), "not a WebP")
@@ -536,9 +537,12 @@ object WebP {
         require(len >= 2 && (p(o + 8) & 0xff) == 0x2f, "bad VP8L signature")
         return decodeVp8l(p, o + 9, o + 8 + len)
       }
-      require(id != "VP8 ", "lossy WebP (VP8 keyframe) unsupported")
+      if (id == "VP8 ") {
+        val f = Vp8.decodeFrame(java.util.Arrays.copyOfRange(p, o + 8, o + 8 + len))
+        return Media.Decoded("webp", f.width, f.height, 0, 1, f.y, 255)
+      }
       off += 8L + len + (len & 1)
     }
-    throw new IllegalArgumentException("no VP8L chunk")
+    throw new IllegalArgumentException("no VP8L/VP8 chunk")
   }
 }

@@ -799,6 +799,87 @@ class MediaSpec extends AnyFunSuite {
     assert(r1 === r2)
   }
 
+  // ------------------------------------------- VP8 (lossy WebP, round 4)
+
+  test("vp8: boolean encoder round-trips through the RFC decoder (property)") {
+    import graft.kernel.Vp8
+    val r = new scala.util.Random(81)
+    for (trial <- 0 until 40) {
+      val n = 50 + r.nextInt(3000)
+      val probs = Array.fill(n)(1 + r.nextInt(254))
+      val bits = Array.fill(n)(r.nextInt(2))
+      val e = new MediaGen.Vp8BoolEnc
+      var i = 0
+      while (i < n) { e.put(probs(i), bits(i)); i += 1 }
+      val bytes = e.result()
+      val d = new Vp8.Bool(bytes, 0, bytes.length)
+      i = 0
+      while (i < n) {
+        assert(d.bit(probs(i)) === bits(i), s"trial $trial bit $i")
+        i += 1
+      }
+    }
+  }
+
+  test("vp8: lossy round-trip error is bounded and scales with quant index") {
+    import graft.kernel.WebP
+    val r = new scala.util.Random(82)
+    def maxErr(w: Int, h: Int, qi: Int, luma: Array[Int]): Int = {
+      val d = WebP.decode(MediaGen.vp8(luma, w, h, qi))
+      assert(d.codec === "webp" && d.width === w && d.height === h)
+      d.samples.zip(luma).map(t => math.abs(t._1 - t._2)).max
+    }
+    // smooth gradient: near-exact at tiny quant
+    val (w, h) = (64, 48)
+    val grad = Array.tabulate(w * h)(i => ((i % w) * 3 + (i / w) * 2) % 256)
+    assert(maxErr(w, h, 0, grad) <= 2)
+    assert(maxErr(w, h, 8, grad) <= 8)
+    // noise at a coarse quantizer still bounded by the step size
+    val noise = Array.fill(w * h)(r.nextInt(256))
+    assert(maxErr(w, h, 0, noise) <= 4)
+    assert(maxErr(w, h, 30, noise) <= graft.kernel.Vp8Tables.acQLookup(30) + 4)
+    // non-multiple-of-16 dims and a 1-pixel image
+    val odd = Array.tabulate(17 * 13)(i => i * 7 % 256)
+    assert(maxErr(17, 13, 4, odd) <= 6)
+    assert(maxErr(1, 1, 4, Array(200)) <= 6)
+    // flat image compresses to skipped macroblocks
+    val flatBytes = MediaGen.vp8(Array.fill(64 * 64)(128), 64, 64, 12)
+    assert(flatBytes.length < 100, s"flat image should skip-code: ${flatBytes.length}")
+  }
+
+  test("vp8: malformed streams are rejected, not hung") {
+    import graft.kernel.{Vp8, WebP}
+    val good = MediaGen.vp8(Array.tabulate(32 * 32)(_ % 256), 32, 32, 10)
+    intercept[Exception](Vp8.decodeFrame(Array[Byte](1, 2, 3)))
+    val badStart = good.slice(20, good.length)
+    badStart(3) = 0x42 // break the 0x9d012a start code
+    intercept[Exception](Vp8.decodeFrame(badStart))
+    // truncations at every prefix either throw or decode bounded output
+    val payload = {
+      var off = 12; var p: Array[Byte] = null
+      while (p == null) {
+        val id = new String(good.slice(off, off + 4), "ISO-8859-1")
+        val sz = (good(off + 4) & 0xff) | ((good(off + 5) & 0xff) << 8) |
+          ((good(off + 6) & 0xff) << 16) | ((good(off + 7) & 0xff) << 24)
+        if (id == "VP8 ") p = good.slice(off + 8, off + 8 + sz) else off += 8 + sz + (sz & 1)
+      }
+      p
+    }
+    for (cut <- Seq(5, 9, 12, payload.length / 2)) {
+      try { Vp8.decodeFrame(payload.take(cut)); () }
+      catch { case _: Exception => () }
+    }
+    // garbage fuzz through the container path
+    val r = new scala.util.Random(83)
+    for (_ <- 0 until 200) {
+      val junk = good.clone()
+      val at = 20 + r.nextInt(junk.length - 20)
+      junk(at) = r.nextInt(256).toByte
+      try { WebP.decode(junk); () }
+      catch { case _: Exception => () }
+    }
+  }
+
   // ---- differentials vs INDEPENDENT implementations (round-3 ADVICE):
   // the MediaGen writers and graft decoders are co-designed, so a matched
   // misread of a spec detail would pass every round-trip. Where the JDK
