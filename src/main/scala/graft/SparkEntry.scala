@@ -347,6 +347,15 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"),
           col("_asof_ts").as("state_ts"), round(col("_r_state_v"), 2).as("state_v"))
     }),
+    // certified-exact distributed top-k heavy hitters (Misra-Gries scan
+    // + exact verify of the candidate union) — the corpus-stats operator
+    // behind "top tokens across the whole crawl"; the DuckDB oracle is
+    // the brute-force exact top-k with the same deterministic tie-break
+    "q52_top_tokens" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(explode(split(trim(col("text")), "\\s+")).as("token"))
+      graft.ops.TextOps.topKExact(toks, "token", k = 25, capacity = 4096)
+    }),
     // point-in-interval range join via the binned equi-join rewrite
     // (overlapping, non-grid-aligned intervals; bin width deliberately
     // misaligned with the interval bounds — the residual filter decides)
@@ -861,6 +870,9 @@ object SparkEntry {
       "l AS (SELECT event_id, user_id, ts FROM events WHERE event_type <> 'click') " +
       "SELECT l.event_id, l.user_id, r.ts AS state_ts, round(r.state_v, 2) AS state_v " +
       "FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts"),
+    "q52_top_tokens" -> ("SELECT token, cnt FROM (" +
+      "SELECT token, count(*) AS cnt FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS token FROM documents) t " +
+      "GROUP BY token ORDER BY cnt DESC, token ASC LIMIT 25)"),
     "q51_asof_salted" -> ("WITH r AS (SELECT user_id, ts, max(value) AS state_v FROM events WHERE event_type = 'click' GROUP BY user_id, ts), " +
       "l AS (SELECT event_id, user_id, ts FROM events WHERE event_type <> 'click') " +
       "SELECT l.event_id, l.user_id, r.ts AS state_ts, round(r.state_v, 2) AS state_v " +

@@ -94,4 +94,81 @@ object TextOps {
     */
   def fingerprint(text: Column): Column =
     sha2(regexp_replace(lower(trim(text)), "\\s+", " "), 256)
+
+  /** CERTIFIED-EXACT distributed top-k heavy hitters over a string
+    * column — the corpus-statistics operator ("top 10^3 tokens across
+    * 10^12 documents") Spark has no native form of, built as the
+    * textbook two-pass sketch-then-verify:
+    *
+    *  1. one scan computing a per-partition Misra-Gries summary of
+    *     `capacity` counters inside `mapPartitions` (amortized O(1) per
+    *     token: each decrement round burns `capacity` units of counted
+    *     mass, so rounds ≤ n/capacity). Pigeonhole over partitions makes
+    *     the UNION of per-partition candidates a superset of every item
+    *     with global frequency > N/(capacity+1);
+    *  2. one filtered scan counting ONLY the candidates exactly — a
+    *     left-semi join against the (broadcast) candidate set, then a
+    *     hash aggregate whose shuffle carries candidate rows only.
+    *
+    * The result is then CERTIFIED: every non-candidate has true
+    * frequency ≤ N/(capacity+1), so if the k-th returned count strictly
+    * exceeds that bound, no missing item could belong in the top-k and
+    * the answer is provably exact (not approximate) — the operator
+    * throws otherwise, telling the caller to raise `capacity`. Ties
+    * break deterministically (count desc, token asc).
+    *
+    * 100 TB shape: two scans (the second pre-filtered map-side), no
+    * driver collect beyond the k result rows, candidate cardinality
+    * bounded by capacity x partitions but deduplicated distributedly.
+    */
+  def topKExact(df: org.apache.spark.sql.DataFrame, tokenCol: String,
+                k: Int, capacity: Int = 4096): org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    require(k >= 1 && capacity >= math.max(16, 2 * k),
+      s"capacity ($capacity) must be >= max(16, 2k)")
+    val toks = df.select(col(tokenCol).cast("string")).as[String]
+    // pass 1: per-partition Misra-Gries; a null-token marker row carries
+    // the partition's row count so N needs no second full scan
+    val summary = toks.mapPartitions { it =>
+      val counters = new java.util.HashMap[String, Long](capacity * 2)
+      var np = 0L
+      it.foreach { t =>
+        np += 1
+        val c = counters.get(t)
+        if (c != 0L || counters.containsKey(t)) counters.put(t, c + 1)
+        else if (counters.size < capacity) counters.put(t, 1L)
+        else {
+          val del = new java.util.ArrayList[String](8)
+          val e = counters.entrySet().iterator()
+          while (e.hasNext) {
+            val kv = e.next()
+            if (kv.getValue == 1L) del.add(kv.getKey) else kv.setValue(kv.getValue - 1)
+          }
+          var i = 0
+          while (i < del.size()) { counters.remove(del.get(i)); i += 1 }
+        }
+      }
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+      val e = counters.entrySet().iterator()
+      while (e.hasNext) { val kv = e.next(); out += ((kv.getKey, kv.getValue)) }
+      out += ((null, np))
+      out.iterator
+    }.toDF("token", "cnt").persist()
+    val total = summary.where($"token".isNull)
+      .agg(coalesce(sum($"cnt"), lit(0L))).as[Long].head()
+    val cand = summary.where($"token".isNotNull).select($"token").distinct()
+    // pass 2: exact counts of candidates only
+    val exact = df.select(col(tokenCol).cast("string").as("token"))
+      .join(broadcast(cand), Seq("token"), "left_semi")
+      .groupBy($"token").agg(count(lit(1)).as("cnt"))
+      .orderBy($"cnt".desc, $"token".asc)
+      .limit(k)
+    val rows = exact.as[(String, Long)].collect()
+    summary.unpersist()
+    val bound = total.toDouble / (capacity + 1)
+    require(rows.length < k || rows.last._2 > bound,
+      f"top-$k not certifiable: k-th count ${rows.last._2} <= N/(capacity+1) = $bound%.1f - raise capacity")
+    spark.createDataset(rows.toIndexedSeq).toDF("token", "cnt")
+  }
 }

@@ -356,6 +356,30 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
     assert(e2.getMessage.contains("_r_v"))
   }
 
+  test("topKExact: equals brute force, survives repartitioning, certifies") {
+    import graft.ops.TextOps
+    val r = new scala.util.Random(65)
+    // Zipf-ish corpus: token i appears ~40000/(i+1) times, shuffled
+    val toks = scala.util.Random.javaRandomToRandom(new java.util.Random(65))
+      .shuffle((0 until 400).flatMap(i => Seq.fill(40000 / (i + 1))(s"tok$i")))
+    val df = toks.toDF("token").repartition(13)
+    val got = TextOps.topKExact(df, "token", k = 10, capacity = 256)
+      .as[(String, Long)].collect().toSeq
+    val want = toks.groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      .sortBy { case (t, c) => (-c, t) }.take(10)
+    assert(got === want)
+    // partitioning must not change the answer
+    val got2 = TextOps.topKExact(df.repartition(3), "token", k = 10, capacity = 256)
+      .as[(String, Long)].collect().toSeq
+    assert(got2 === want)
+    // a near-uniform corpus at tiny capacity cannot certify: loud failure
+    val flat = (0 until 5000).map(i => s"u${i % 1000}").toDF("token")
+    val e = intercept[IllegalArgumentException](
+      TextOps.topKExact(flat, "token", k = 10, capacity = 32))
+    assert(e.getMessage.contains("not certifiable"))
+    val _ = r
+  }
+
   test("salted asof join: equals the unsalted operator at every slice width") {
     import graft.ops.Relational
     val r = new scala.util.Random(64)
