@@ -6,7 +6,7 @@ package graft
   */
 object Vp8Probe {
   def main(args: Array[String]): Unit = {
-    val names = Seq("grad", "flat", "blocks", "noise", "sine", "chroma", "odd", "parts", "seg", "q10")
+    val names = Seq("grad", "flat", "blocks", "noise", "sine", "chroma", "odd", "parts", "seg", "q10", "f60", "f100s3", "fsimple", "fseg", "fq10", "fsharp7", "fchroma")
     var pass = 0
     names.foreach { name =>
       try {

@@ -18,13 +18,20 @@ package graft.kernel
   *    probabilities, value categories 1–6, dequantization (14.1),
   *    inverse WHT for Y2 (14.3) and the exact integer inverse DCT
   *    (14.4);
-  *  - the in-loop deblocking filter is NOT applied: output is the
-  *    pre-filter reconstruction, bit-exact for streams coded at
-  *    `filter_level == 0` (what the [[graft.fixtures.MediaGen]] encoder
-  *    always emits and libwebp emits at `filter_strength = 0`). Other
-  *    streams still decode without desync — the filter never feeds back
-  *    into entropy decoding within a keyframe — but pixels near block
-  *    edges differ; `Frame.filtered` flags it.
+  *  - the in-loop deblocking filter (15): both the normal filter
+  *    (high-edge-variance logic, 27/18/9-tap macroblock edges, luma +
+  *    chroma) and the simple filter, with sharpness-adjusted interior
+  *    limits, per-segment filter levels and the intra/B_PRED loop-filter
+  *    deltas; applied in-place in MB raster order after reconstruction
+  *    (intra prediction consumes unfiltered neighbors, per spec).
+  *    `Frame.filtered` reports whether the stream carried a nonzero
+  *    filter level.
+  *
+  * The whole path — unfiltered and filtered, segmented, multi-partition,
+  * odd dims, q10…q90 — decodes byte-exactly against the system
+  * libwebp's own output (tools/vp8_differential.py + Vp8Probe, 17/17
+  * streams exact), and libwebp decodes [[graft.fixtures.MediaGen.vp8]]
+  * fixture streams byte-exactly in the reverse direction.
   *
   * Output is the Y (luma) plane plus subsampled U/V, the same
   * grey-plane convention as the other image kernels (C5 isolation
@@ -183,6 +190,7 @@ object Vp8 {
 
     // ---- segmentation header (9.3)
     val segPerMb = new Array[Int](4)
+    val segLf = new Array[Int](4)
     var segAbs = false
     var segEnabled = false
     var segUpdateMap = false
@@ -196,7 +204,7 @@ object Vp8 {
         var i = 0
         while (i < 4) { segPerMb(i) = br.maybeSigned(7); i += 1 }
         i = 0
-        while (i < 4) { br.maybeSigned(6); i += 1 } // per-segment loop-filter levels
+        while (i < 4) { segLf(i) = br.maybeSigned(6); i += 1 }
       }
       if (segUpdateMap) {
         var i = 0
@@ -207,14 +215,22 @@ object Vp8 {
       }
     }
 
-    // ---- loop filter header (9.4) — parsed, not applied (see scaladoc)
-    br.bit(128) // filter type
+    // ---- loop filter header (9.4)
+    val simpleFilter = br.bit(128) == 1
     val filterLevel = br.literal(6)
-    br.literal(3) // sharpness
-    if (br.bit(128) == 1) { // lf deltas enabled
+    val sharpness = br.literal(3)
+    // ref/mode lf deltas persist across frames in video; a still decodes
+    // with all-zero initial values updated by this header
+    val refLfDeltas = new Array[Int](4)
+    val modeLfDeltas = new Array[Int](4)
+    var lfDeltaEnabled = false
+    if (br.bit(128) == 1) {
+      lfDeltaEnabled = true
       if (br.bit(128) == 1) { // update
         var i = 0
-        while (i < 8) { if (br.bit(128) == 1) br.signed(6); i += 1 }
+        while (i < 4) { if (br.bit(128) == 1) refLfDeltas(i) = br.signed(6); i += 1 }
+        i = 0
+        while (i < 4) { if (br.bit(128) == 1) modeLfDeltas(i) = br.signed(6); i += 1 }
       }
     }
 
@@ -476,6 +492,11 @@ object Vp8 {
     val cNz = new Array[Int](4)
     val y2 = new Array[Int](16)
 
+    // per-MB record for the loop-filter pass
+    val mbSeg = new Array[Byte](mbW * mbH)
+    val mbIsB = new Array[Boolean](mbW * mbH)
+    val mbHasCoeffs = new Array[Boolean](mbW * mbH)
+
     var mbY = 0
     while (mbY < mbH) {
       java.util.Arrays.fill(leftNz, 0)
@@ -484,12 +505,13 @@ object Vp8 {
       var mbX = 0
       while (mbX < mbW) {
         // ---- modes (partition 0, raster order)
-        val segQ =
+        val segId =
           if (segEnabled && segUpdateMap) {
             val b0 = br.bit(segTreeProbs(0))
             val b1 = if (b0 == 0) br.bit(segTreeProbs(1)) else br.bit(segTreeProbs(2))
-            segQuants(b0 * 2 + b1)
-          } else segQuants(0)
+            b0 * 2 + b1
+          } else 0
+        val segQ = segQuants(segId)
         val skip = skipEnabled && br.bit(probSkipFalse) == 1
         val yMode = br.tree(kfYModeTree, kfYModeProbs)
         if (yMode == 4) { // B_PRED: 16 context-coded sub-modes
@@ -530,10 +552,12 @@ object Vp8 {
         while (k < 4) { topRight(k) = Y(yOff - yStride + 16 + k); k += 1 }
 
         val useY2 = yMode != 4
+        var anyNz = false
         var y2Nz = 0
         if (!skip && useY2) {
           val ctx = leftNz(8) + aboveNz(mbX * 9 + 8)
           y2Nz = readCoeffs(bd, 1, 0, ctx, segQ(2), segQ(3))
+          if (y2Nz != 0) anyNz = true
           System.arraycopy(coeffs, 0, y2, 0, 16)
           iwht4x4(y2, dcBuf)
           leftNz(8) = y2Nz; aboveNz(mbX * 9 + 8) = y2Nz
@@ -557,6 +581,7 @@ object Vp8 {
             val ctx = (if (sx == 0) leftNz(sy) else yNz(sb - 1)) +
               (if (sy == 0) aboveNz(mbX * 9 + sx) else yNz(sb - 4))
             nz = readCoeffs(bd, typ, first, ctx, segQ(0), segQ(1))
+            if (nz != 0) anyNz = true
             if (useY2) coeffs(0) = dcBuf(sb)
             if (nz != 0 || (useY2 && dcBuf(sb) != 0)) addResidual(Y, bo, yStride)
           }
@@ -582,7 +607,7 @@ object Vp8 {
               val ctx = (if (sx == 0) leftNz(base + sy) else cNz(cb - 1)) +
                 (if (sy == 0) aboveNz(mbX * 9 + base + sx) else cNz(cb - 2))
               nz = readCoeffs(bd, 2, 0, ctx, segQ(4), segQ(5))
-              if (nz != 0) addResidual(plane, bo, cStride)
+              if (nz != 0) { anyNz = true; addResidual(plane, bo, cStride) }
             }
             cNz(cb) = nz
             if (sx == 1) leftNz(base + sy) = nz
@@ -591,9 +616,175 @@ object Vp8 {
           }
           pl += 1
         }
+        mbSeg(mbY * mbW + mbX) = segId.toByte
+        mbIsB(mbY * mbW + mbX) = yMode == 4
+        mbHasCoeffs(mbY * mbW + mbX) = anyNz
         mbX += 1
       }
       mbY += 1
+    }
+
+    // ---- in-loop deblocking (RFC 6386 15): in-place, MB raster order,
+    // left edge -> inner verticals -> top edge -> inner horizontals,
+    // exactly the reference decoder's application order. Intra
+    // prediction above consumed UNFILTERED neighbors (the spec applies
+    // the filter after reconstruction), so filtering is a pure
+    // post-pass over the padded planes.
+    if (filterLevel > 0) {
+      def clampS(v: Int): Int = if (v < -128) -128 else if (v > 127) 127 else v
+      def u2s(v: Int): Int = v - 128
+      def s2u(v: Int): Int = {
+        val c = clampS(v); c + 128
+      }
+      // one edge position: plane(base + k*step) walks across the edge,
+      // k = 0..7 maps P3 P2 P1 P0 Q0 Q1 Q2 Q3
+      def commonAdjust(plane: Array[Int], base: Int, step: Int,
+                       useOuterTaps: Boolean): Int = {
+        val p1 = u2s(plane(base + 2 * step)); val p0 = u2s(plane(base + 3 * step))
+        val q0 = u2s(plane(base + 4 * step)); val q1 = u2s(plane(base + 5 * step))
+        val a = clampS((if (useOuterTaps) clampS(p1 - q1) else 0) + 3 * (q0 - p0))
+        val f = clampS(a + 4) >> 3
+        val e = clampS(a + 3) >> 3
+        plane(base + 4 * step) = s2u(q0 - f)
+        plane(base + 3 * step) = s2u(p0 + e)
+        f
+      }
+      def filterMask(plane: Array[Int], base: Int, step: Int,
+                     interior: Int, edge: Int): Boolean = {
+        def px(k: Int): Int = plane(base + k * step)
+        math.abs(px(3) - px(4)) * 2 + math.abs(px(2) - px(5)) / 2 <= edge &&
+          math.abs(px(0) - px(1)) <= interior &&
+          math.abs(px(1) - px(2)) <= interior &&
+          math.abs(px(2) - px(3)) <= interior &&
+          math.abs(px(7) - px(6)) <= interior &&
+          math.abs(px(6) - px(5)) <= interior &&
+          math.abs(px(5) - px(4)) <= interior
+      }
+      def isHev(plane: Array[Int], base: Int, step: Int, t: Int): Boolean =
+        math.abs(plane(base + 2 * step) - plane(base + 3 * step)) > t ||
+          math.abs(plane(base + 5 * step) - plane(base + 4 * step)) > t
+      def subblockFilter(plane: Array[Int], base: Int, step: Int,
+                         hevT: Int, interior: Int, edge: Int): Unit =
+        if (filterMask(plane, base, step, interior, edge)) {
+          val hv = isHev(plane, base, step, hevT)
+          val a = (commonAdjust(plane, base, step, hv) + 1) >> 1
+          if (!hv) {
+            plane(base + 5 * step) = s2u(u2s(plane(base + 5 * step)) - a)
+            plane(base + 2 * step) = s2u(u2s(plane(base + 2 * step)) + a)
+          }
+        }
+      def mbFilter(plane: Array[Int], base: Int, step: Int,
+                   hevT: Int, interior: Int, edge: Int): Unit =
+        if (filterMask(plane, base, step, interior, edge)) {
+          if (!isHev(plane, base, step, hevT)) {
+            val p2 = u2s(plane(base + step)); val p1 = u2s(plane(base + 2 * step))
+            val p0 = u2s(plane(base + 3 * step)); val q0 = u2s(plane(base + 4 * step))
+            val q1 = u2s(plane(base + 5 * step)); val q2 = u2s(plane(base + 6 * step))
+            val w = clampS(clampS(p1 - q1) + 3 * (q0 - p0))
+            var a = clampS((27 * w + 63) >> 7)
+            plane(base + 4 * step) = s2u(q0 - a)
+            plane(base + 3 * step) = s2u(p0 + a)
+            a = clampS((18 * w + 63) >> 7)
+            plane(base + 5 * step) = s2u(q1 - a)
+            plane(base + 2 * step) = s2u(p1 + a)
+            a = clampS((9 * w + 63) >> 7)
+            plane(base + 6 * step) = s2u(q2 - a)
+            plane(base + step) = s2u(p2 + a)
+          } else commonAdjust(plane, base, step, useOuterTaps = true)
+        }
+      def simpleSegment(plane: Array[Int], base: Int, step: Int, edge: Int): Unit = {
+        def px(k: Int): Int = plane(base + k * step)
+        if (math.abs(px(3) - px(4)) * 2 + math.abs(px(2) - px(5)) / 2 <= edge)
+          commonAdjust(plane, base, step, useOuterTaps = true)
+      }
+
+      var fy = 0
+      while (fy < mbH) {
+        var fx = 0
+        while (fx < mbW) {
+          val mi = fy * mbW + fx
+          var level = if (segEnabled) {
+            if (segAbs) segLf(mbSeg(mi)) else filterLevel + segLf(mbSeg(mi))
+          } else filterLevel
+          if (lfDeltaEnabled) {
+            level += refLfDeltas(0) // keyframe MBs reference INTRA
+            if (mbIsB(mi)) level += modeLfDeltas(0)
+          }
+          level = if (level < 0) 0 else if (level > 63) 63 else level
+          if (level > 0) {
+            var interior = level
+            if (sharpness > 0) {
+              interior >>= (if (sharpness > 4) 2 else 1)
+              if (interior > 9 - sharpness) interior = 9 - sharpness
+            }
+            if (interior < 1) interior = 1
+            val hevT =
+              if (level >= 40) 2 else if (level >= 15) 1 else 0 // keyframe table
+            val mbEdge = (level + 2) * 2 + interior
+            val subEdge = level * 2 + interior
+            val inner = mbIsB(mi) || mbHasCoeffs(mi)
+            val yOff = (fy * 16 + 1) * yStride + fx * 16 + 1
+            val cOffU = (fy * 8 + 1) * cStride + fx * 8 + 1
+            if (simpleFilter) {
+              // simple filter: luma only, same edge selection
+              if (fx > 0) { var r = 0; while (r < 16) { simpleSegment(Y, yOff + r * yStride - 4, 1, mbEdge); r += 1 } }
+              if (inner) {
+                var c = 4
+                while (c < 16) { var r = 0; while (r < 16) { simpleSegment(Y, yOff + r * yStride + c - 4, 1, subEdge); r += 1 }; c += 4 }
+              }
+              if (fy > 0) { var c = 0; while (c < 16) { simpleSegment(Y, yOff + c - 4 * yStride, yStride, mbEdge); c += 1 } }
+              if (inner) {
+                var rr = 4
+                while (rr < 16) { var c = 0; while (c < 16) { simpleSegment(Y, yOff + (rr - 4) * yStride + c, yStride, subEdge); c += 1 }; rr += 4 }
+              }
+            } else {
+              // normal filter: luma + both chroma planes
+              if (fx > 0) {
+                var r = 0
+                while (r < 16) { mbFilter(Y, yOff + r * yStride - 4, 1, hevT, interior, mbEdge); r += 1 }
+                r = 0
+                while (r < 8) {
+                  mbFilter(U, cOffU + r * cStride - 4, 1, hevT, interior, mbEdge)
+                  mbFilter(V, cOffU + r * cStride - 4, 1, hevT, interior, mbEdge)
+                  r += 1
+                }
+              }
+              if (inner) {
+                var c = 4
+                while (c < 16) { var r = 0; while (r < 16) { subblockFilter(Y, yOff + r * yStride + c - 4, 1, hevT, interior, subEdge); r += 1 }; c += 4 }
+                var r = 0
+                while (r < 8) {
+                  subblockFilter(U, cOffU + r * cStride, 1, hevT, interior, subEdge)
+                  subblockFilter(V, cOffU + r * cStride, 1, hevT, interior, subEdge)
+                  r += 1
+                }
+              }
+              if (fy > 0) {
+                var c = 0
+                while (c < 16) { mbFilter(Y, yOff + c - 4 * yStride, yStride, hevT, interior, mbEdge); c += 1 }
+                c = 0
+                while (c < 8) {
+                  mbFilter(U, cOffU + c - 4 * cStride, cStride, hevT, interior, mbEdge)
+                  mbFilter(V, cOffU + c - 4 * cStride, cStride, hevT, interior, mbEdge)
+                  c += 1
+                }
+              }
+              if (inner) {
+                var rr = 4
+                while (rr < 16) { var c = 0; while (c < 16) { subblockFilter(Y, yOff + (rr - 4) * yStride + c, yStride, hevT, interior, subEdge); c += 1 }; rr += 4 }
+                var c = 0
+                while (c < 8) {
+                  subblockFilter(U, cOffU + c, cStride, hevT, interior, subEdge)
+                  subblockFilter(V, cOffU + c, cStride, hevT, interior, subEdge)
+                  c += 1
+                }
+              }
+            }
+          }
+          fx += 1
+        }
+        fy += 1
+      }
     }
 
     val outY = new Array[Int](width * height)

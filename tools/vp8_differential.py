@@ -137,3 +137,66 @@ gen('odd', 33, 17, 'grad')
 gen('parts', 128, 96, 'blocks', partitions=2)
 gen('seg', 96, 80, 'sine', segments=4, sns=50)
 gen('q10', 64, 48, 'grad', quality=10.0)
+
+
+# ---- round-4 additions: loop-filtered streams (the probe decodes all of
+# these byte-exactly too — normal + simple filter, sharpness, segment
+# loop-filter deltas, chroma edges)
+def encode_yuv_f(w, h, y, u, v, quality=75.0, filter_strength=60, sharpness=0,
+                 ftype=1, segments=1, partitions=0, method=4, sns=0):
+    cfg = WebPConfig()
+    assert lw.WebPConfigInitInternal(ctypes.byref(cfg), 0, ctypes.c_float(quality), ABI) == 1
+    cfg.filter_strength = filter_strength; cfg.filter_sharpness = sharpness
+    cfg.filter_type = ftype; cfg.autofilter = 0
+    cfg.segments = segments; cfg.partitions = partitions
+    cfg.method = method; cfg.sns_strength = sns
+    pic = WebPPicture()
+    assert lw.WebPPictureInitInternal(ctypes.byref(pic), ABI) == 1
+    pic.width = w; pic.height = h; pic.use_argb = 0; pic.colorspace = 0
+    assert lw.WebPPictureAlloc(ctypes.byref(pic)) == 1
+    cw, ch = (w+1)//2, (h+1)//2
+    for r in range(h):
+        ctypes.memmove(ctypes.addressof(pic.y.contents) + r*pic.y_stride, bytes(y[r*w:(r+1)*w]), w)
+    for r in range(ch):
+        ctypes.memmove(ctypes.addressof(pic.u.contents) + r*pic.uv_stride, bytes(u[r*cw:(r+1)*cw]), cw)
+        ctypes.memmove(ctypes.addressof(pic.v.contents) + r*pic.uv_stride, bytes(v[r*cw:(r+1)*cw]), cw)
+    out = bytearray()
+    def wr(data, size, _):
+        out.extend(ctypes.string_at(data, size)); return 1
+    wfn = WriterFunc(wr); pic.writer = wfn
+    r = lw.WebPEncode(ctypes.byref(cfg), ctypes.byref(pic))
+    err = pic.error_code
+    lw.WebPPictureFree(ctypes.byref(pic))
+    assert r == 1, f'encode failed err={err}'
+    return bytes(out)
+
+def gen_f(name, w, h, kind, **kw):
+    import math
+    y = [0]*(w*h); cw, ch = (w+1)//2, (h+1)//2
+    u = [128]*(cw*ch); v = [128]*(cw*ch)
+    for r in range(h):
+        for c in range(w):
+            if kind=='grad': y[r*w+c] = (c*3 + r*2) % 256
+            elif kind=='blocks': y[r*w+c] = ((c//16 + r//16)*40) % 256
+            elif kind=='noise': y[r*w+c] = (c*97 + r*131 + (c*r)%53) % 256
+            else: y[r*w+c] = int(128+100*math.sin(c/7.0)*math.cos(r/9.0))
+    if kind=='chroma':
+        for r in range(ch):
+            for c in range(cw):
+                u[r*cw+c] = (c*5)%256; v[r*cw+c] = (r*7)%256
+    webp = encode_yuv_f(w, h, y, u, v, **kw)
+    dw, dh, Y, U, V = decode_yuv(webp)
+    assert (dw, dh) == (w, h)
+    open(f'/tmp/vp8_{name}.webp','wb').write(webp)
+    with open(f'/tmp/vp8_{name}.yuv','wb') as f:
+        f.write(struct.pack('<4i', w, h, len(U), len(V)))
+        f.write(bytes(Y)); f.write(bytes(U)); f.write(bytes(V))
+    print(name, w, h, len(webp), 'bytes')
+
+gen_f('f60', 64, 48, 'sine', filter_strength=60)
+gen_f('f100s3', 80, 64, 'blocks', filter_strength=100, sharpness=3)
+gen_f('fsimple', 64, 48, 'sine', filter_strength=80, ftype=0)
+gen_f('fseg', 96, 80, 'sine', filter_strength=70, segments=4, sns=60)
+gen_f('fq10', 64, 48, 'blocks', quality=10.0, filter_strength=90)
+gen_f('fsharp7', 48, 48, 'noise', quality=30.0, filter_strength=60, sharpness=7)
+gen_f('fchroma', 64, 32, 'chroma', filter_strength=60)
