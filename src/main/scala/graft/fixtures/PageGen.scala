@@ -108,7 +108,34 @@ object PageGen {
          |<footer>Copyright <a href="/tos">terms</a> 2024</footer>
          |</body></html>""".stripMargin
     val truth = (heading +: (p0truth +: paras.tail)).mkString("\n")
-    (html.getBytes(UTF_8), truth)
+    // charset variation (the real-crawl tail): ~15 % of pages ship as
+    // windows-1252 (bare charset or http-equiv/ISO-8859-1-labelled) or
+    // UTF-16LE-with-BOM; CharsetSniff must recover the SAME truth bytes,
+    // which the 1.5M-doc bench match_rate then proves at scale. Encoding
+    // picks that cannot represent the text fall back to UTF-8.
+    r.nextInt(20) match {
+      case 0 =>
+        val h2 = html.replace("<meta charset=\"utf-8\">",
+          "<meta charset=\"windows-1252\">")
+        val cs = java.nio.charset.Charset.forName("windows-1252")
+        if (cs.newEncoder().canEncode(h2)) (h2.getBytes(cs), truth)
+        else (html.getBytes(UTF_8), truth)
+      case 1 =>
+        // BOM outranks the (still utf-8) meta — the sniff order itself
+        // is exercised
+        val b = new java.io.ByteArrayOutputStream()
+        b.write(0xff); b.write(0xfe)
+        b.write(html.getBytes(java.nio.charset.StandardCharsets.UTF_16LE))
+        (b.toByteArray, truth)
+      case 2 =>
+        val h2 = html.replace("<meta charset=\"utf-8\">",
+          "<meta http-equiv=\"Content-Type\" content=\"text/html; charset=ISO-8859-1\">")
+        // the iso-8859-1 label decodes as windows-1252 per WHATWG
+        val cs = java.nio.charset.Charset.forName("windows-1252")
+        if (cs.newEncoder().canEncode(h2)) (h2.getBytes(cs), truth)
+        else (html.getBytes(UTF_8), truth)
+      case _ => (html.getBytes(UTF_8), truth)
+    }
   }
 
   /** One PDF payload + ground truth (page lines, each page ends '\n'). */

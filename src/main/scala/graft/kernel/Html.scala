@@ -410,7 +410,7 @@ object Html {
     * differential-tested against.
     */
   def extract(htmlBytes: Array[Byte]): Extraction =
-    extract(new String(htmlBytes, java.nio.charset.StandardCharsets.UTF_8))
+    extract(CharsetSniff.decode(htmlBytes))
 
   def extract(html: String): Extraction = HtmlStream.extract(html)
 

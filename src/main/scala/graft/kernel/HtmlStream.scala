@@ -44,7 +44,7 @@ object HtmlStream {
   }
 
   def extract(htmlBytes: Array[Byte]): Html.Extraction =
-    extract(new String(htmlBytes, java.nio.charset.StandardCharsets.UTF_8))
+    extract(CharsetSniff.decode(htmlBytes))
 
   def extract(html: String): Html.Extraction = Html.classify(segmentStream(html))
 

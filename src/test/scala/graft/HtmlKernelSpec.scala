@@ -99,6 +99,52 @@ class HtmlKernelSpec extends AnyFunSuite {
     assert(Html.extract(html).text === "")
   }
 
+  test("charset sniffing: BOM > meta > utf-8 validation > windows-1252") {
+    import graft.kernel.CharsetSniff
+    def enc(s: String, cs: String): Array[Byte] =
+      s.getBytes(java.nio.charset.Charset.forName(cs))
+    // BOM wins over a contradicting meta
+    val u16 = Array[Byte](0xff.toByte, 0xfe.toByte) ++
+      enc("<meta charset=\"shift_jis\"><p>BOM beats meta: café</p>", "UTF-16LE")
+    assert(CharsetSniff.sniff(u16) === "UTF-16LE")
+    assert(CharsetSniff.decode(u16).contains("café"))
+    // bare meta charset, quoted and unquoted, case-insensitive
+    assert(CharsetSniff.sniff(enc("<META CHARSET=WINDOWS-1252><p>x</p>", "windows-1252"))
+      === "windows-1252")
+    assert(CharsetSniff.sniff(enc("<meta charset='Shift_JIS'>", "US-ASCII")) === "Shift_JIS")
+    // http-equiv form; iso-8859-1 label resolves to windows-1252 (WHATWG)
+    val he = enc("<meta http-equiv=\"Content-Type\" content=\"text/html; charset=ISO-8859-1\">" +
+      "<p>le café coûte 3€</p>", "windows-1252")
+    assert(CharsetSniff.sniff(he) === "windows-1252")
+    assert(CharsetSniff.decode(he).contains("café coûte 3€"))
+    // undeclared valid UTF-8 stays UTF-8 (incl. astral plane)
+    val u8 = "<p>emoji 😀 und schöne Wörter</p>".getBytes("UTF-8")
+    assert(CharsetSniff.sniff(u8) === "UTF-8")
+    assert(CharsetSniff.decode(u8).contains("schöne"))
+    // undeclared NON-utf8 bytes fall back to windows-1252
+    val legacy = enc("<p>naïve façade</p>", "windows-1252")
+    assert(CharsetSniff.sniff(legacy) === "windows-1252")
+    assert(CharsetSniff.decode(legacy).contains("naïve façade"))
+    // overlong/surrogate/truncated sequences are invalid UTF-8
+    assert(!CharsetSniff.isValidUtf8(Array(0xc0.toByte, 0xaf.toByte))) // overlong
+    assert(!CharsetSniff.isValidUtf8(Array(0xed.toByte, 0xa0.toByte, 0x80.toByte))) // surrogate
+    assert(!CharsetSniff.isValidUtf8("é".getBytes("UTF-8").take(1))) // truncated
+    assert(CharsetSniff.isValidUtf8("😀éx".getBytes("UTF-8")))
+    // unknown labels are skipped, not fatal; later valid labels win
+    val unk = enc("<meta charset=\"x-banana\"><meta charset=\"koi8-r\">", "US-ASCII")
+    assert(CharsetSniff.sniff(unk) === "KOI8-R")
+    // full pipeline: the same page in three encodings extracts identically
+    val page = "<html><head><title>t</title>%CS%</head><body><p>" +
+      "der große café-garten bietet schöne plätze und noch mehr davon " +
+      "für viele lange abende mit den netten nachbarn und guten freunden</p></body></html>"
+    val utf8 = page.replace("%CS%", "<meta charset=\"utf-8\">").getBytes("UTF-8")
+    val w1252 = enc(page.replace("%CS%", "<meta charset=\"windows-1252\">"), "windows-1252")
+    val utf16 = Array[Byte](0xff.toByte, 0xfe.toByte) ++
+      enc(page.replace("%CS%", ""), "UTF-16LE")
+    val a = Html.extract(utf8).text
+    assert(a.nonEmpty && a === Html.extract(w1252).text && a === Html.extract(utf16).text)
+  }
+
   test("language detection on stopword profiles") {
     assert(graft.kernel.Lang.detect("the cat and the dog are in the house with a bird") === "en")
     assert(graft.kernel.Lang.detect("le chat et le chien sont dans la maison avec un oiseau") === "fr")
