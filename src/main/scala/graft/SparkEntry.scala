@@ -670,6 +670,25 @@ object SparkEntry {
         .select(col("user_id"), col("session_start"), col("session_end"),
           col("events"), col("value_sum"))
     }),
+    // §A-source: WARC ingestion — the container Common-Crawl-style
+    // corpora actually arrive in. Fixture pages are packed into
+    // per-record-gzip-member archives (the crawl convention), read back
+    // via binaryFile + flatMap parse, and run through the SAME fused
+    // extraction as the parquet path; WarcSpec proves byte-identical
+    // truth and per-file corrupt-archive isolation.
+    "pipe26_warc_ingest" -> ((s, _) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-pipe26").toString
+      val pages = graft.fixtures.PageGen.pages(FixtureN)
+      pages.grouped(100).zipWithIndex.foreach { case (grp, i) =>
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(s"$tmp/crawl-$i.warc.gz"),
+          graft.fixtures.MediaGen.warcGz(grp.map(p => (p.url, p.warc_ts, p.html))))
+      }
+      val df = graft.sources.Warc.read(s, s"$tmp/*.warc.gz")
+      Extraction.extractAll(df)
+        .select(col("url"), col("source_type"),
+          length(col("extracted_text")).as("text_len"), col("ok"))
+    }),
     // §2-I + C6: TTL'd streaming dedup — the memoization cache WITH the
     // reference's 24 h expiry as a continuous operator. Two phases, each
     // two AvailableNow drains over the same stream with byte-identical

@@ -2093,4 +2093,53 @@ object MediaGen {
   }
 
   private def probsDefault: Array[Int] = graft.kernel.Vp8Tables.coeffProbs
+
+  // ============================================================== WARC
+
+  /** WARC archive fixture writer (crawl convention: each record is its
+    * own gzip member, members concatenated) — the co-designed input for
+    * [[graft.sources.Warc]]. Pages become `response` records wrapped in
+    * a minimal HTTP response; a leading `warcinfo` record exercises the
+    * skip path.
+    */
+  def warcGz(pages: Seq[(String, java.sql.Timestamp, Array[Byte])],
+             gzipMembers: Boolean = true): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def member(record: Array[Byte]): Unit =
+      if (gzipMembers) {
+        val gz = new java.util.zip.GZIPOutputStream(out)
+        gz.write(record); gz.finish()
+      } else out.write(record)
+    def crlf(lines: Seq[String]): String = lines.mkString("", "\r\n", "\r\n")
+    val info = "software: graft-fixtures\r\nformat: WARC File Format 1.1\r\n"
+      .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    member((crlf(Seq(
+      "WARC/1.1",
+      "WARC-Type: warcinfo",
+      "WARC-Date: 2024-01-01T00:00:00Z",
+      s"Content-Length: ${info.length}",
+      "Content-Type: application/warc-fields",
+      "")).getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+      ++ info ++ "\r\n\r\n".getBytes)
+    )
+    pages.foreach { case (url, ts, html) =>
+      val date = java.time.Instant.ofEpochMilli(ts.getTime).toString
+      val http = (crlf(Seq(
+        "HTTP/1.1 200 OK",
+        "Content-Type: text/html; charset=UTF-8",
+        s"Content-Length: ${html.length}",
+        "")).getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)) ++ html
+      val rec = (crlf(Seq(
+        "WARC/1.1",
+        "WARC-Type: response",
+        s"WARC-Target-URI: $url",
+        s"WARC-Date: $date",
+        s"Content-Length: ${http.length}",
+        "Content-Type: application/http; msgtype=response",
+        "")).getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+        ) ++ http ++ "\r\n\r\n".getBytes
+      member(rec)
+    }
+    out.toByteArray
+  }
 }

@@ -114,7 +114,12 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     Checkpoint.writePages(spark.createDataset(wave1).toDF(), s"$tmpB/pages")
     val m1 = StreamingRun.dedupStreamTtl(spark, s"$tmpB/pages", s"$tmpB/novel",
       s"$tmpB/ckpt", ttlMs, maxFilesPerBatch = 8)
-    assert(m1 === uniq1.toLong)
+    // >= not ===: with a TTL this short, an entry admitted in an early
+    // micro-batch can legitimately EXPIRE before a later batch of the
+    // same drain replays its duplicate - that re-admission is the
+    // operator's contract, not a bug (the exact-suppression case is
+    // phase A's long-TTL assertion)
+    assert(m1 >= uniq1.toLong)
     Thread.sleep(ttlMs + 1000)
     val late = wave1.take(20).map(p => p.copy(url = p.url + "?late"))
     Checkpoint.withPartitionCols(spark.createDataset(late).toDF())
