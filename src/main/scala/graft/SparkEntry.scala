@@ -347,6 +347,12 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"),
           col("_asof_ts").as("state_ts"), round(col("_r_state_v"), 2).as("state_v"))
     }),
+    // Gopher-rule quality filter (Rae et al. table A1) — the standard
+    // pre-training document filter as pure column expressions; every
+    // metric AND the keep flag hash-match the DuckDB re-derivation
+    "q53_gopher_quality" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        (col("doc_id") +: graft.ops.TextOps.gopherQuality(col("text"))): _*)),
     // certified-exact distributed top-k heavy hitters (Misra-Gries scan
     // + exact verify of the candidate union) — the corpus-stats operator
     // behind "top tokens across the whole crawl"; the DuckDB oracle is
@@ -889,6 +895,18 @@ object SparkEntry {
       "l AS (SELECT event_id, user_id, ts FROM events WHERE event_type <> 'click') " +
       "SELECT l.event_id, l.user_id, r.ts AS state_ts, round(r.state_v, 2) AS state_v " +
       "FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts"),
+    "q53_gopher_quality" -> ("""WITH m AS (SELECT doc_id,
+        len(regexp_split_to_array(trim(text), '\s+')) AS word_cnt,
+        round(CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE) / len(regexp_split_to_array(trim(text), '\s+')), 4) AS mean_word_len,
+        round(CAST((length(text) - length(replace(text, '#', ''))) + (length(text) - length(replace(text, '...', ''))) / 3 AS DOUBLE) / len(regexp_split_to_array(trim(text), '\s+')), 4) AS symbol_ratio,
+        round(CAST(len(list_filter(string_split(text, chr(10)), l -> l LIKE '- %' OR l LIKE '* %' OR l LIKE chr(8226) || '%')) AS DOUBLE) / len(string_split(text, chr(10))), 4) AS bullet_ratio,
+        round(CAST(len(list_filter(string_split(text, chr(10)), l -> l LIKE '%...' OR l LIKE '%' || chr(8230))) AS DOUBLE) / len(string_split(text, chr(10))), 4) AS ellipsis_ratio,
+        round(CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'), w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE) / len(regexp_split_to_array(trim(text), '\s+')), 4) AS alpha_ratio,
+        round(1.0 - CAST(len(list_distinct(string_split(text, chr(10)))) AS DOUBLE) / len(string_split(text, chr(10))), 4) AS dup_line_frac
+      FROM documents)
+      SELECT *, (word_cnt >= 50 AND word_cnt <= 100000 AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+        AND symbol_ratio < 0.1 AND bullet_ratio < 0.9 AND ellipsis_ratio < 0.3
+        AND alpha_ratio > 0.8 AND dup_line_frac < 0.3) AS keep FROM m"""),
     "q52_top_tokens" -> ("SELECT token, cnt FROM (" +
       "SELECT token, count(*) AS cnt FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS token FROM documents) t " +
       "GROUP BY token ORDER BY cnt DESC, token ASC LIMIT 25)"),

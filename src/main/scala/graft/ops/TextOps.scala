@@ -171,4 +171,43 @@ object TextOps {
       f"top-$k not certifiable: k-th count ${rows.last._2} <= N/(capacity+1) = $bound%.1f - raise capacity")
     spark.createDataset(rows.toIndexedSeq).toDF("token", "cnt")
   }
+
+  /** Gopher-style document quality rules (Rae et al. 2021, table A1 —
+    * the de-facto standard pre-training text filter), as pure Catalyst
+    * column expressions over whitespace words and raw lines: word count
+    * bounds, mean word length bounds, symbol-to-word ratio (# and
+    * ellipsis), bullet-line and ellipsis-line ratios, fraction of words
+    * carrying an alphabetic character, and duplicate-line fraction.
+    * Ratios are rounded to 4 dp BEFORE thresholding so the keep flag is
+    * FP-stable and the whole operator cross-checks against a DuckDB
+    * oracle (q53). Returns the metric columns + `keep`.
+    */
+  def gopherQuality(text: Column): Seq[Column] = {
+    val words = split(trim(text), "\\s+")
+    val wordCnt = size(words)
+    val lines = split(text, "\\n")
+    val lineCnt = size(lines)
+    val meanWordLen = round(
+      length(regexp_replace(text, "\\s+", "")).cast("double") / wordCnt, 4)
+    def occurrences(needle: String): Column =
+      (length(text) - length(regexp_replace(text, java.util.regex.Pattern.quote(needle), "")))./(lit(needle.length))
+    val symbolRatio = round(
+      (occurrences("#") + occurrences("...")).cast("double") / wordCnt, 4)
+    val bulletRatio = round(size(filter(lines, l =>
+      l.startsWith("- ") || l.startsWith("* ") || l.startsWith("\u2022"))).cast("double") / lineCnt, 4)
+    val ellipsisRatio = round(size(filter(lines, l =>
+      l.endsWith("...") || l.endsWith("\u2026"))).cast("double") / lineCnt, 4)
+    val alphaRatio = round(size(filter(words, w =>
+      w.rlike("[A-Za-z]"))).cast("double") / wordCnt, 4)
+    val dupLineFrac = round(lit(1.0) -
+      size(array_distinct(lines)).cast("double") / lineCnt, 4)
+    val keep = wordCnt.geq(50) && wordCnt.leq(100000) &&
+      meanWordLen.geq(3.0) && meanWordLen.leq(10.0) &&
+      symbolRatio.lt(0.1) && bulletRatio.lt(0.9) &&
+      ellipsisRatio.lt(0.3) && alphaRatio.gt(0.8) && dupLineFrac.lt(0.3)
+    Seq(wordCnt.as("word_cnt"), meanWordLen.as("mean_word_len"),
+      symbolRatio.as("symbol_ratio"), bulletRatio.as("bullet_ratio"),
+      ellipsisRatio.as("ellipsis_ratio"), alphaRatio.as("alpha_ratio"),
+      dupLineFrac.as("dup_line_frac"), keep.as("keep"))
+  }
 }
