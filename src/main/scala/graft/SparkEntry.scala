@@ -347,6 +347,15 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"),
           col("_asof_ts").as("state_ts"), round(col("_r_state_v"), 2).as("state_v"))
     }),
+    // Unicode NFC normalization as a NATIVE codegen expression (Spark
+    // has no built-in; a UDF would break WholeStageCodegen). The suffix
+    // appends a decomposed e + COMBINING ACUTE so normalization has real
+    // work to do; DuckDB's identically-named nfc_normalize is the oracle
+    "q54_nfc_normalize" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s) // idempotent belt-and-braces
+      t(s, dir, "documents").selectExpr("doc_id",
+        "nfc_normalize(concat(substring(text, 1, 64), ' café suffix')) AS norm_text")
+    }),
     // Gopher-rule quality filter (Rae et al. table A1) — the standard
     // pre-training document filter as pure column expressions; every
     // metric AND the keep flag hash-match the DuckDB re-derivation
@@ -895,6 +904,7 @@ object SparkEntry {
       "l AS (SELECT event_id, user_id, ts FROM events WHERE event_type <> 'click') " +
       "SELECT l.event_id, l.user_id, r.ts AS state_ts, round(r.state_v, 2) AS state_v " +
       "FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts"),
+    "q54_nfc_normalize" -> ("SELECT doc_id, nfc_normalize(substring(text, 1, 64) || ' cafe' || chr(769) || ' suffix') AS norm_text FROM documents"),
     "q53_gopher_quality" -> ("""WITH m AS (SELECT doc_id,
         len(regexp_split_to_array(trim(text), '\s+')) AS word_cnt,
         round(CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE) / len(regexp_split_to_array(trim(text), '\s+')), 4) AS mean_word_len,

@@ -61,13 +61,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(ExtractMainText.registration)
     ext.injectFunction(LangId.registration)
+    ext.injectFunction(NormalizeText.registration)
   }
 }
 
 object GraftFunctions {
   /** Imperative fallback for sessions built without the extension. */
   def register(spark: SparkSession): Unit =
-    Seq(ExtractMainText.registration, LangId.registration).foreach {
+    Seq(ExtractMainText.registration, LangId.registration,
+        NormalizeText.registration).foreach {
       case (id, info, builder) =>
         spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     }

@@ -76,4 +76,31 @@ class FunctionsSpec extends AnyFunSuite with SparkSuite {
     val n = df.where(expr("length(extract_main_text(html)) > 0")).count()
     assert(n === 5)
   }
+
+  test("nfc_normalize: composes, is idempotent, zero-copies NFC input, codegen'd") {
+    graft.functions.GraftFunctions.register(spark)
+    val rows = Seq(
+      "cafe\u0301",          // e + COMBINING ACUTE -> composed e-acute
+      "caf\u00e9",           // already composed
+      "A\u030aB",            // A + COMBINING RING -> A-ring
+      "plain ascii text",
+      "s\u0323\u0307",        // multi-mark composition -> s with dot below+above
+      "emoji \ud83d\ude00 pass-through").toDF("t").repartition(2)
+    val got = rows.selectExpr("nfc_normalize(t) AS n").as[String].collect().toSet
+    val want = rows.as[String].collect()
+      .map(s => java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)).toSet
+    assert(got === want)
+    assert(got.contains("caf\u00e9") && got.contains("\u00c5B") && got.contains("\u1e69"))
+    // idempotence via SQL double application
+    val twice = rows.selectExpr("nfc_normalize(nfc_normalize(t)) AS n").as[String].collect().toSet
+    assert(twice === want)
+    // null propagation
+    assert(Seq[Option[String]](None).toDF("t")
+      .selectExpr("nfc_normalize(t)").first().isNullAt(0))
+    // inside WholeStageCodegen (no fallback)
+    val q = rows.selectExpr("length(nfc_normalize(t))")
+    q.collect()
+    assert(q.queryExecution.executedPlan.toString
+      .contains("*(1) Project [length(nfc_normalize("), q.queryExecution.executedPlan.toString)
+  }
 }
