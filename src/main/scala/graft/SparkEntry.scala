@@ -347,6 +347,21 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"),
           col("_asof_ts").as("state_ts"), round(col("_r_state_v"), 2).as("state_v"))
     }),
+    // per-host crawl statistics — the skew census that sizes the salting
+    // ops (one hot host dominating a crawl is THE practical skew case);
+    // host via Spark's parse_url built-in, oracle re-derives with regex
+    "q55_host_stats" -> ((s, dir) => {
+      val url = concat(lit("https://host"), (col("user_id") % 50).cast("string"),
+        lit(".example.com/t/"), col("event_type"),
+        lit("?k="), (col("event_id") % 7).cast("string"))
+      t(s, dir, "events")
+        .groupBy(parse_url(url, lit("HOST")).as("host"),
+          parse_url(url, lit("PATH")).as("path"))
+        .agg(count(lit(1)).as("hits"),
+          countDistinct(col("user_id")).as("users"),
+          round(sum(col("value")), 2).as("value_sum"),
+          max(parse_url(url, lit("QUERY"), lit("k")).cast("int")).as("max_k"))
+    }),
     // Unicode NFC normalization as a NATIVE codegen expression (Spark
     // has no built-in; a UDF would break WholeStageCodegen). The suffix
     // appends a decomposed e + COMBINING ACUTE so normalization has real
@@ -904,6 +919,13 @@ object SparkEntry {
       "l AS (SELECT event_id, user_id, ts FROM events WHERE event_type <> 'click') " +
       "SELECT l.event_id, l.user_id, r.ts AS state_ts, round(r.state_v, 2) AS state_v " +
       "FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts"),
+    "q55_host_stats" -> ("""WITH u AS (SELECT *, 'https://host' || CAST(user_id % 50 AS VARCHAR) || '.example.com/t/' || event_type || '?k=' || CAST(event_id % 7 AS VARCHAR) AS url FROM events)
+      SELECT regexp_extract(url, '^https://([^/]+)', 1) AS host,
+             regexp_extract(url, '^https://[^/]+([^?]*)', 1) AS path,
+             count(*) AS hits, count(DISTINCT user_id) AS users,
+             round(sum(value), 2) AS value_sum,
+             max(CAST(regexp_extract(url, 'k=([0-9]+)', 1) AS INT)) AS max_k
+      FROM u GROUP BY 1, 2"""),
     "q54_nfc_normalize" -> ("SELECT doc_id, nfc_normalize(substring(text, 1, 64) || ' cafe' || chr(769) || ' suffix') AS norm_text FROM documents"),
     "q53_gopher_quality" -> ("""WITH m AS (SELECT doc_id,
         len(regexp_split_to_array(trim(text), '\s+')) AS word_cnt,
