@@ -84,11 +84,15 @@ object Relational {
     * than every row of the slice, so the in-slice window sees it first
     * and `_asof_ts` still reports the true matched timestamp.
     *
-    * Cost shape: the bulk data (left + right) is shuffled once on
-    * `(key, slice)` exactly as [[asofJoin]] shuffles once on `key`; the
-    * carry machinery adds two aggregations over the small per-slice
-    * summary only. Slice width trades skew spread against carry-table
-    * size and does not affect results (OpsSpec asserts equality with
+    * Cost shape: the bulk data (left + right) is shuffled FULL-WIDTH
+    * exactly once, on `(key, slice)` — the analog of [[asofJoin]]'s one
+    * shuffle on `key`. The carry machinery adds (a) two extra
+    * column-pruned scans (right's `(key, ts, values)` for the per-slice
+    * maxima; both sides' `(key, ts)` for the needed-slice set — cheap
+    * under parquet column pruning, and the price of not materializing
+    * the bulk) and (b) a handful of exchanges over the tiny keys×slices
+    * summary. Slice width trades skew spread against carry-table size
+    * and does not affect results (OpsSpec asserts equality with
     * [[asofJoin]] at several widths).
     */
   def asofJoinSalted(left: DataFrame, right: DataFrame, keyCol: String,
