@@ -135,8 +135,10 @@ object TextOps {
       var np = 0L
       it.foreach { t =>
         np += 1
+        // values are never 0 (decremented-to-zero keys are removed), so
+        // a 0 from the unboxing of an absent key is unambiguous
         val c = counters.get(t)
-        if (c != 0L || counters.containsKey(t)) counters.put(t, c + 1)
+        if (c != 0L) counters.put(t, c + 1)
         else if (counters.size < capacity) counters.put(t, 1L)
         else {
           val del = new java.util.ArrayList[String](8)
