@@ -44,7 +44,10 @@ object CharsetSniff {
     "big5" -> "Big5", "euc-kr" -> "EUC-KR",
     "windows-1256" -> "windows-1256", "windows-1250" -> "windows-1250",
     "windows-1254" -> "windows-1254", "tis-620" -> "TIS-620",
-    "utf-16" -> "UTF-16", "utf-16le" -> "UTF-16LE", "utf-16be" -> "UTF-16BE")
+    // WHATWG: a UTF-16 label found by the ASCII prescan maps to UTF-8 —
+    // the prescan can only have read the label because the bytes are
+    // ASCII-compatible, which genuine UTF-16 never is
+    "utf-16" -> "UTF-8", "utf-16le" -> "UTF-8", "utf-16be" -> "UTF-8")
 
   /** The declared/sniffed charset name, for observability. */
   def sniff(bytes: Array[Byte]): String = {
@@ -66,9 +69,15 @@ object CharsetSniff {
     */
   def decode(bytes: Array[Byte]): String = {
     val name = sniff(bytes)
+    // strip only an ACTUAL byte-order mark — a BOM-less UTF-8 page whose
+    // first character merely starts with 0xEF (U+F000..U+FFFF) keeps it
     val skip = name match {
-      case "UTF-8" if bytes.length >= 3 && (bytes(0) & 0xff) == 0xef => 3
-      case "UTF-16LE" | "UTF-16BE" => 2
+      case "UTF-8" if bytes.length >= 3 && (bytes(0) & 0xff) == 0xef &&
+        (bytes(1) & 0xff) == 0xbb && (bytes(2) & 0xff) == 0xbf => 3
+      case "UTF-16LE" if bytes.length >= 2 && (bytes(0) & 0xff) == 0xff &&
+        (bytes(1) & 0xff) == 0xfe => 2
+      case "UTF-16BE" if bytes.length >= 2 && (bytes(0) & 0xff) == 0xfe &&
+        (bytes(1) & 0xff) == 0xff => 2
       case _ => 0
     }
     val cs = java.nio.charset.Charset.forName(name)
@@ -92,31 +101,41 @@ object CharsetSniff {
       i += 1
     }
     val head = s.toString
-    var at = head.indexOf("charset")
-    while (at >= 0) {
-      var j = at + 7
-      while (j < head.length && (head.charAt(j) == ' ' || head.charAt(j) == '\t')) j += 1
-      if (j < head.length && head.charAt(j) == '=') {
-        j += 1
-        while (j < head.length && (head.charAt(j) == ' ' || head.charAt(j) == '\t')) j += 1
-        var quote = 0.toChar
-        if (j < head.length && (head.charAt(j) == '"' || head.charAt(j) == '\'')) {
-          quote = head.charAt(j); j += 1
+    // WHATWG prescan: a charset declaration counts ONLY inside a <meta>
+    // tag — honoring bare "charset=" anywhere would let an href query
+    // string or inline script override correct UTF-8 detection
+    var metaAt = head.indexOf("<meta")
+    while (metaAt >= 0) {
+      var tagEnd = head.indexOf('>', metaAt)
+      if (tagEnd < 0) tagEnd = head.length
+      var at = head.indexOf("charset", metaAt)
+      while (at >= 0 && at < tagEnd) {
+        var j = at + 7
+        while (j < tagEnd && (head.charAt(j) == ' ' || head.charAt(j) == '\t')) j += 1
+        if (j < tagEnd && head.charAt(j) == '=') {
+          j += 1
+          while (j < tagEnd && (head.charAt(j) == ' ' || head.charAt(j) == '\t')) j += 1
+          var quote = 0.toChar
+          if (j < tagEnd && (head.charAt(j) == '"' || head.charAt(j) == '\'')) {
+            quote = head.charAt(j); j += 1
+          }
+          val b = j
+          while (j < tagEnd && {
+            val c = head.charAt(j)
+            if (quote != 0) c != quote
+            else c != ' ' && c != '\t' && c != ';' && c != '"' && c != '\'' &&
+              c != '>' && c != '/' && c != '\n' && c != '\r'
+          }) j += 1
+          val label = head.substring(b, j).trim
+          aliases.get(label) match {
+            case Some(cs) => return Some(cs)
+            case None => // unknown label: keep scanning (a later meta may be valid)
+          }
         }
-        val b = j
-        while (j < head.length && {
-          val c = head.charAt(j)
-          if (quote != 0) c != quote
-          else c != ' ' && c != '\t' && c != ';' && c != '"' && c != '\'' &&
-            c != '>' && c != '/' && c != '\n' && c != '\r'
-        }) j += 1
-        val label = head.substring(b, j).trim
-        aliases.get(label) match {
-          case Some(cs) => return Some(cs)
-          case None => // unknown label: keep scanning (a later meta may be valid)
-        }
+        at = head.indexOf("charset", at + 7)
+        if (at >= tagEnd) at = -1
       }
-      at = head.indexOf("charset", at + 7)
+      metaAt = head.indexOf("<meta", metaAt + 5)
     }
     None
   }

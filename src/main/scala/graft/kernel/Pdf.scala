@@ -401,20 +401,28 @@ object Pdf {
       doc.resolve(d.m.getOrElse("Type", PNull)) == PName(t)
 
     // ---- PDF 1.5: expand compressed object streams (/ObjStm) ----
-    // header: N pairs "objnum offset", offsets relative to /First
+    // header: N pairs "objnum offset", offsets relative to /First.
+    // Members are kept BOTH by objnum (gap filling) and by
+    // (container stream, index) so an xref type-2 entry can later pick
+    // the exact version it names — two ObjStms may both carry the same
+    // objnum across incremental updates, and map iteration order must
+    // not decide which one wins.
     val fromStm = scala.collection.mutable.Map.empty[Int, PObj]
+    val stmMember = scala.collection.mutable.Map.empty[(Int, Int), (Int, PObj)]
     doc.objects.foreach {
-      case (_, st @ PStream(d, _)) if typeIs(d, "ObjStm") =>
+      case (stmNum, st @ PStream(d, _)) if typeIs(d, "ObjStm") =>
         try {
           val data = new String(decodeStream(doc, st), ISO_8859_1)
           val n = numOf(doc, d.m.getOrElse("N", PNull), 0)
           val first = numOf(doc, d.m.getOrElse("First", PNull), 0)
           val hdr = new Lexer(data)
           val pairs = Vector.fill(n)((hdr.parseNumber().toInt, hdr.parseNumber().toInt))
-          pairs.foreach { case (onum, off) =>
+          pairs.zipWithIndex.foreach { case ((onum, off), idx) =>
             try {
               val lx = new Lexer(data); lx.pos = first + off
-              fromStm(onum) = lx.parseObj()
+              val obj = lx.parseObj()
+              fromStm(onum) = obj
+              stmMember((stmNum, idx)) = (onum, obj)
             } catch { case _: ParseError => }
           }
         } catch { case _: ParseError => } // corrupt ObjStm: C5 isolation
@@ -462,21 +470,26 @@ object Pdf {
         trailer = PDict(merged ++ trailer.m)
       }
       // W-decoded entries, first-seen (= newest) wins per object: a
-      // type-2 entry says the CURRENT version is the compressed one
-      val current = scala.collection.mutable.Map.empty[Int, Int]
+      // type-2 entry says the CURRENT version is the compressed one, and
+      // names exactly WHICH one — (object stream f2, index f3)
+      val current = scala.collection.mutable.Map.empty[Int, (Int, Long, Long)]
       chain.foreach { num =>
         doc.objects(num) match {
           case st: PStream =>
             val entries = try xrefEntries(doc, st)
                           catch { case _: ParseError => Vector.empty }
-            entries.foreach { case (onum, typ, _, _) =>
-              if (!current.contains(onum)) current(onum) = typ
+            entries.foreach { case (onum, typ, f2, f3) =>
+              if (!current.contains(onum)) current(onum) = ((typ, f2, f3))
             }
           case _ =>
         }
       }
       current.foreach {
-        case (onum, 2) => fromStm.get(onum).foreach(o => objs(onum) = o)
+        case (onum, (2, f2, f3)) =>
+          stmMember.get((f2.toInt, f3.toInt)) match {
+            case Some((n, o)) if n == onum => objs(onum) = o
+            case _ => fromStm.get(onum).foreach(o => objs(onum) = o)
+          }
         case _ =>
       }
     }

@@ -383,9 +383,17 @@ object Dedup {
       .distinct()
       .persist()
     edges.count()
+    // a localCheckpoint'd frame pins its materialized rows in the block
+    // manager until GC'd; an iterative loop must release superseded
+    // rounds EXPLICITLY or N rounds pin 2N+1 copies of the label table
+    def ckptRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+      df.queryExecution.analyzed.collectFirst {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+      }
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("cluster", col("id"))
       .localCheckpoint(true)
+    var labelsRdd = ckptRdd(labels)
     var it = 0
     var converged = false
     while (!converged && it < maxIter) {
@@ -409,7 +417,12 @@ object Dedup {
         .localCheckpoint(true)
       val changed = next.as("n").join(labels.as("o"), Seq("id"))
         .where(col("n.cluster") =!= col("o.cluster")).limit(1).count() > 0
+      // next is materialized (eager) and changed computed: the previous
+      // round's blocks are dead weight now
+      ckptRdd(hop).foreach(_.unpersist(false))
+      labelsRdd.foreach(_.unpersist(false))
       labels = next
+      labelsRdd = ckptRdd(next)
       converged = !changed
       it += 1
     }

@@ -133,7 +133,9 @@ object TextOps {
     val summary = toks.mapPartitions { it =>
       val counters = new java.util.HashMap[String, Long](capacity * 2)
       var np = 0L
-      it.foreach { t =>
+      // nulls are excluded from both the ranking and N — a null is not a
+      // token, and the null key doubles as the partition-count marker
+      it.foreach { t => if (t != null) {
         np += 1
         // values are never 0 (decremented-to-zero keys are removed), so
         // a 0 from the unboxing of an absent key is unambiguous
@@ -150,7 +152,7 @@ object TextOps {
           var i = 0
           while (i < del.size()) { counters.remove(del.get(i)); i += 1 }
         }
-      }
+      } }
       val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
       val e = counters.entrySet().iterator()
       while (e.hasNext) { val kv = e.next(); out += ((kv.getKey, kv.getValue)) }
@@ -169,8 +171,19 @@ object TextOps {
     val rows = exact.as[(String, Long)].collect()
     summary.unpersist()
     val bound = total.toDouble / (capacity + 1)
-    require(rows.length < k || rows.last._2 > bound,
-      f"top-$k not certifiable: k-th count ${rows.last._2} <= N/(capacity+1) = $bound%.1f - raise capacity")
+    // a full top-k certifies when the k-th count beats the sketch bound;
+    // a SHORT result (< k rows) certifies only when the bound is below 1
+    // - i.e. no token can be missing from the candidate set at all.
+    // (Misra-Gries decrement rounds can empty the candidate set on
+    // near-uniform data, so "fewer than k candidates" alone proves
+    // nothing about the corpus having fewer than k distinct tokens.)
+    val certified =
+      if (rows.length == k) rows.last._2 > bound
+      else bound < 1.0
+    require(certified,
+      f"top-$k not certifiable: ${rows.length} candidate rows, bound N/(capacity+1) = $bound%.1f" +
+        (if (rows.nonEmpty && rows.length == k) f", k-th count ${rows.last._2}" else "") +
+        " - raise capacity")
     spark.createDataset(rows.toIndexedSeq).toDF("token", "cnt")
   }
 

@@ -21,12 +21,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    payload; everything else (`warcinfo`, `request`, `metadata`
   *    records) is skipped.
   *
+  * Parsing is STREAMING: records are produced lazily off a (gunzipping)
+  * InputStream, so a ~1 GB crawl archive whose records decompress to
+  * several GB never materializes — only one record's block is in memory
+  * at a time (bounded by [[MaxRecordBytes]]; a crafted Content-Length
+  * fails the record, it cannot balloon the heap).
+  *
   * [[read]] exposes the archive as the engine's canonical page shape
-  * `(url, warc_ts, html)` via Spark's `binaryFile` source + a
+  * `(url, warc_ts, html)` via Spark's `binaryFile` source + a lazy
   * `flatMap` — file-level parallelism, no driver-side I/O. One WARC
   * file becomes one task (crawl convention sizes them ~1 GB for
   * exactly this reason); C5 isolation applies per file: a corrupt
-  * archive yields its good prefix rather than killing the job.
+  * archive yields its good prefix of records rather than killing the
+  * job.
   */
 object Warc {
 
@@ -35,120 +42,160 @@ object Warc {
 
   final class WarcError(msg: String) extends RuntimeException(msg)
 
+  /** Per-record block ceiling (256 MiB): no real crawl response comes
+    * close, and a crafted Content-Length must not allocate the heap.
+    */
+  val MaxRecordBytes: Long = 1L << 28
+
   private def isGzip(b: Array[Byte]): Boolean =
     b.length >= 2 && (b(0) & 0xff) == 0x1f && (b(1) & 0xff) == 0x8b
 
-  /** Inflate a (possibly multi-member) gzip stream, bounded: refuse
-    * payloads amplifying past 1024x or 1 GiB (crafted-archive guard,
-    * same class as the FLAC/PNG bounds).
+  /** Parse one WARC file's bytes (gzip'd or clear) into response
+    * records, strictly: malformed data raises [[WarcError]]. The Spark
+    * path ([[read]]) uses the lazy [[parseStream]] with good-prefix
+    * semantics instead.
     */
-  private[sources] def gunzip(b: Array[Byte]): Array[Byte] = {
-    val cap = math.min(1L << 30, math.max(1L << 16, b.length.toLong * 1024))
-    val in = new java.util.zip.GZIPInputStream(
-      new java.io.ByteArrayInputStream(b), 64 * 1024)
-    val out = new java.io.ByteArrayOutputStream(math.min(cap, b.length.toLong * 8).toInt)
-    val buf = new Array[Byte](64 * 1024)
-    var n = in.read(buf)
-    while (n > 0) {
-      out.write(buf, 0, n)
-      if (out.size() > cap) throw new WarcError("gzip amplification bound exceeded")
-      n = in.read(buf)
-    }
-    in.close()
-    out.toByteArray
+  def parse(bytes: Array[Byte]): Vector[WarcRecord] = {
+    val in = open(bytes)
+    try parseStream(in).toVector finally in.close()
   }
 
-  /** Parse one WARC file's bytes (gzip'd or clear) into response
-    * records. Malformed data raises [[WarcError]]; the Spark path wraps
-    * per-file (C5).
-    */
-  def parse(bytes: Array[Byte]): Vector[WarcRecord] =
-    parseClear(if (isGzip(bytes)) gunzip(bytes) else bytes)
-
   def parseClear(data: Array[Byte]): Vector[WarcRecord] = {
-    val out = Vector.newBuilder[WarcRecord]
-    var pos = 0
-    def lineEnd(from: Int): Int = {
-      var i = from
-      while (i < data.length && data(i) != '\n') i += 1
-      i
+    val in = new java.io.ByteArrayInputStream(data)
+    try parseStream(in).toVector finally in.close()
+  }
+
+  private def open(bytes: Array[Byte]): java.io.InputStream = {
+    val base = new java.io.ByteArrayInputStream(bytes)
+    if (isGzip(bytes)) new java.util.zip.GZIPInputStream(base, 64 * 1024) else base
+  }
+
+  /** Lazy record iterator over a WARC stream. Throws [[WarcError]] from
+    * `hasNext` on structural violations (callers wanting good-prefix
+    * tolerance wrap with [[goodPrefix]]).
+    */
+  def parseStream(in0: java.io.InputStream): Iterator[WarcRecord] = {
+    val in = new java.io.BufferedInputStream(in0, 64 * 1024)
+
+    // CRLF (or LF) terminated line as ISO-8859-1; None at clean EOF.
+    // Bounded: a header line past 64 KiB is not WARC (and an unbounded
+    // reader would be the decompression-bomb vector the streaming
+    // design otherwise eliminates)
+    def readLine(): Option[String] = {
+      val sb = new java.lang.StringBuilder(64)
+      var b = in.read()
+      if (b < 0) return None
+      while (b >= 0 && b != '\n') {
+        sb.append(b.toChar)
+        if (sb.length > 64 * 1024) throw new WarcError("unterminated header line")
+        b = in.read()
+      }
+      var e = sb.length
+      if (e > 0 && sb.charAt(e - 1) == '\r') e -= 1
+      Some(sb.substring(0, e))
     }
-    def lineAt(from: Int): (String, Int) = {
-      val e = lineEnd(from)
-      val trim = if (e > from && data(e - 1) == '\r') e - 1 else e
-      (new String(data, from, trim - from, java.nio.charset.StandardCharsets.ISO_8859_1),
-        math.min(e + 1, data.length))
+    def readFully(n: Int): Array[Byte] = {
+      val buf = new Array[Byte](n)
+      var off = 0
+      while (off < n) {
+        val k = in.read(buf, off, n - off)
+        if (k < 0) throw new WarcError("truncated record block")
+        off += k
+      }
+      buf
     }
-    while (pos < data.length) {
-      // tolerate inter-record CRLFs
-      while (pos < data.length && (data(pos) == '\r' || data(pos) == '\n')) pos += 1
-      if (pos >= data.length) return out.result()
-      val (version, afterVersion) = lineAt(pos)
-      if (!version.startsWith("WARC/"))
-        throw new WarcError(s"expected WARC version line at offset $pos")
-      pos = afterVersion
-      var warcType = ""
-      var uri = ""
-      var date = ""
-      var contentLength = -1L
-      var line = ""
-      var cont = true
-      while (cont) {
-        val (l, next) = lineAt(pos)
-        line = l
-        pos = next
-        if (line.isEmpty) cont = false
-        else {
-          val c = line.indexOf(':')
-          if (c > 0) {
-            val k = line.substring(0, c).trim.toLowerCase
-            val v = line.substring(c + 1).trim
-            k match {
-              case "warc-type" => warcType = v
-              case "warc-target-uri" => uri = v
-              case "warc-date" => date = v
-              case "content-length" => contentLength = v.toLong
-              case _ =>
-            }
+
+    new Iterator[WarcRecord] {
+      private var nextRec: WarcRecord = _
+      private var done = false
+
+      private def advance(): Unit = {
+        while (nextRec == null && !done) {
+          // tolerate inter-record blank lines
+          var line: Option[String] = readLine()
+          while (line.contains("")) line = readLine()
+          line match {
+            case None => done = true
+            case Some(version) =>
+              if (!version.startsWith("WARC/"))
+                throw new WarcError(s"expected WARC version line, got '${version.take(40)}'")
+              var warcType = ""
+              var uri = ""
+              var date = ""
+              var contentLength = -1L
+              var hdr = readLine().getOrElse(throw new WarcError("EOF in record headers"))
+              while (hdr.nonEmpty) {
+                val c = hdr.indexOf(':')
+                if (c > 0) {
+                  val k = hdr.substring(0, c).trim.toLowerCase
+                  val v = hdr.substring(c + 1).trim
+                  k match {
+                    case "warc-type" => warcType = v
+                    case "warc-target-uri" => uri = v
+                    case "warc-date" => date = v
+                    case "content-length" => contentLength = v.toLong
+                    case _ =>
+                  }
+                }
+                hdr = readLine().getOrElse(throw new WarcError("EOF in record headers"))
+              }
+              if (contentLength < 0 || contentLength > MaxRecordBytes)
+                throw new WarcError(s"bad Content-Length $contentLength")
+              val block = readFully(contentLength.toInt)
+              if (warcType == "response" && uri.nonEmpty) {
+                var hdrEnd = 0
+                var found = false
+                while (!found && hdrEnd + 3 < block.length) {
+                  if (block(hdrEnd) == '\r' && block(hdrEnd + 1) == '\n' &&
+                    block(hdrEnd + 2) == '\r' && block(hdrEnd + 3) == '\n') found = true
+                  else hdrEnd += 1
+                }
+                val (bodyStart, headers) =
+                  if (found)
+                    (hdrEnd + 4, new String(block, 0, hdrEnd,
+                      java.nio.charset.StandardCharsets.ISO_8859_1))
+                  else (0, "") // headerless block: whole block is body
+                val ct = headers.linesIterator
+                  .find(_.toLowerCase.startsWith("content-type:"))
+                  .map(_.substring("content-type:".length).trim).getOrElse("")
+                val tsMs =
+                  try java.time.Instant.parse(date).toEpochMilli
+                  catch { case _: Exception => 0L }
+                nextRec = WarcRecord(uri, tsMs, ct,
+                  java.util.Arrays.copyOfRange(block, bodyStart, block.length))
+              } // non-response records: loop to the next one
           }
         }
       }
-      if (contentLength < 0 || pos + contentLength > data.length)
-        throw new WarcError("bad or truncated Content-Length")
-      val blockStart = pos
-      val blockEnd = (pos + contentLength).toInt
-      pos = blockEnd
-      if (warcType == "response" && uri.nonEmpty) {
-        // HTTP response block: strip status line + headers
-        var hdrEnd = blockStart
-        var found = false
-        while (!found && hdrEnd + 3 < blockEnd) {
-          if (data(hdrEnd) == '\r' && data(hdrEnd + 1) == '\n' &&
-            data(hdrEnd + 2) == '\r' && data(hdrEnd + 3) == '\n') found = true
-          else hdrEnd += 1
-        }
-        val (bodyStart, headers) =
-          if (found)
-            (hdrEnd + 4, new String(data, blockStart, hdrEnd - blockStart,
-              java.nio.charset.StandardCharsets.ISO_8859_1))
-          else (blockStart, "") // headerless block: treat whole block as body
-        val ct = headers.linesIterator
-          .find(_.toLowerCase.startsWith("content-type:"))
-          .map(_.substring("content-type:".length).trim).getOrElse("")
-        val tsMs =
-          try java.time.Instant.parse(date).toEpochMilli
-          catch { case _: Exception => 0L }
-        out += WarcRecord(uri, tsMs,
-          ct, java.util.Arrays.copyOfRange(data, bodyStart, blockEnd))
+
+      override def hasNext: Boolean = { advance(); nextRec != null }
+      override def next(): WarcRecord = {
+        advance()
+        if (nextRec == null) throw new NoSuchElementException
+        val r = nextRec; nextRec = null; r
       }
     }
-    out.result()
+  }
+
+  /** Good-prefix wrapper: iteration stops at the first structural error
+    * (incl. gzip corruption surfacing mid-stream) instead of failing the
+    * task — the C5 rule at record granularity.
+    */
+  private def goodPrefix[A](it: => Iterator[A]): Iterator[A] = {
+    val inner = try it catch { case _: Exception => Iterator.empty }
+    new Iterator[A] {
+      private var dead = false
+      override def hasNext: Boolean =
+        !dead && (try inner.hasNext catch { case _: Exception => dead = true; false })
+      override def next(): A =
+        try inner.next() catch { case e: Exception => dead = true; throw e }
+    }
   }
 
   /** Read WARC archives as the engine's page shape
-    * `(url STRING, warc_ts TIMESTAMP, html BINARY)`. Corrupt files
-    * contribute zero rows instead of failing the job (C5 at file
-    * granularity); feed the result straight to
+    * `(url STRING, warc_ts TIMESTAMP, html BINARY)`. Corrupt data
+    * contributes its good prefix of records (possibly zero) instead of
+    * failing the job; feed the result straight to
     * [[graft.pipeline.Extraction.extractAll]].
     */
   def read(spark: SparkSession, pathGlob: String): DataFrame = {
@@ -156,8 +203,8 @@ object Warc {
     spark.read.format("binaryFile").load(pathGlob)
       .select($"path", $"content").as[(String, Array[Byte])]
       .flatMap { case (_, bytes) =>
-        val recs = try parse(bytes) catch { case _: Exception => Vector.empty }
-        recs.iterator.map(r => (r.url, new java.sql.Timestamp(r.warcTsMs), r.body))
+        goodPrefix(parseStream(open(bytes)))
+          .map(r => (r.url, new java.sql.Timestamp(r.warcTsMs), r.body))
       }
       .toDF("url", "warc_ts", "html")
   }

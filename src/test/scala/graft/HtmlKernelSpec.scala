@@ -133,6 +133,21 @@ class HtmlKernelSpec extends AnyFunSuite {
     // unknown labels are skipped, not fatal; later valid labels win
     val unk = enc("<meta charset=\"x-banana\"><meta charset=\"koi8-r\">", "US-ASCII")
     assert(CharsetSniff.sniff(unk) === "KOI8-R")
+    // charset= OUTSIDE a <meta> tag must NOT override detection (review
+    // fix: an href query string or inline JS is not a declaration)
+    val href = "<a href=\"/convert?charset=latin1\">x</a><p>sch\u00f6n \u00fcberall</p>".getBytes("UTF-8")
+    assert(CharsetSniff.sniff(href) === "UTF-8")
+    assert(CharsetSniff.decode(href).contains("sch\u00f6n \u00fcberall"))
+    // a BOM-less UTF-8 page whose FIRST char encodes as 0xEF.. keeps it
+    // (review fix: only a real EF BB BF sequence is a BOM)
+    val efStart = "\uffed<p>leading geometric char</p>".getBytes("UTF-8")
+    assert((efStart(0) & 0xff) === 0xef && (efStart(2) & 0xff) != 0xbf)
+    assert(CharsetSniff.decode(efStart).startsWith("\uffed"))
+    // WHATWG: a meta-declared UTF-16 label on ASCII-compatible bytes
+    // means UTF-8 (genuine UTF-16 could never reach the ASCII prescan)
+    val u16label = enc("<meta charset=\"utf-16le\"><p>ascii body text</p>", "US-ASCII")
+    assert(CharsetSniff.sniff(u16label) === "UTF-8")
+    assert(CharsetSniff.decode(u16label).contains("ascii body text"))
     // full pipeline: the same page in three encodings extracts identically
     val page = "<html><head><title>t</title>%CS%</head><body><p>" +
       "der große café-garten bietet schöne plätze und noch mehr davon " +

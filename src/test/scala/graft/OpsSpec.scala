@@ -377,6 +377,19 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
     val e = intercept[IllegalArgumentException](
       TextOps.topKExact(flat, "token", k = 10, capacity = 32))
     assert(e.getMessage.contains("not certifiable"))
+    // review fix: MG decrement rounds can EMPTY the candidate set while
+    // the corpus has >= k distinct tokens - a short result must not be
+    // sold as "certified exact"
+    val wipe = (0 until 33).map(i => s"w$i").toDF("token").coalesce(1)
+    val e2 = intercept[IllegalArgumentException](
+      TextOps.topKExact(wipe, "token", k = 10, capacity = 32))
+    assert(e2.getMessage.contains("not certifiable"))
+    // nulls are excluded from ranking AND from N (marker conflation fix)
+    val withNulls = (Seq.fill(300)(Some("hot")) ++ Seq.fill(200)(Option.empty[String]) ++
+      (0 until 30).map(i => Some(s"c$i"))).toDF("token")
+    val topWithNulls = TextOps.topKExact(withNulls, "token", k = 1, capacity = 64)
+      .as[(String, Long)].collect()
+    assert(topWithNulls.toSeq === Seq(("hot", 300L)))
     val _ = r
   }
 

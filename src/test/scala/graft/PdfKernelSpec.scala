@@ -206,9 +206,17 @@ class PdfKernelSpec extends AnyFunSuite {
     val offs = inner.map { case (_, src) => val o = bodySb.length; bodySb.append(src).append('\n'); o }
     val hdr = inner.zip(offs).map { case ((num, _), o) => s"$num $o" }.mkString(" ") + "\n"
     val stmAt = stream(5, s"/Type /ObjStm /N 3 /First ${hdr.length}", hdr + bodySb)
+    // a SECOND ObjStm (an even older incremental generation) also carries
+    // object 4, pointing back at the OLD content — the xref's (stream,
+    // index) fields must select stream 5's member, not whichever ObjStm
+    // happens to expand last in map iteration order
+    val stale = "4 0\n<< /Type /Page /Parent 3 0 R /MediaBox [ 0 0 612 792 ] /Contents 1 0 R >>\n"
+    val staleFirst = stale.indexOf('\n') + 1
+    val staleAt = stream(8, s"/Type /ObjStm /N 1 /First $staleFirst", stale)
+    val _ = staleAt
     // xref stream, uncompressed, W [1 4 2]: 0 free, 1/2 direct, 3 in
-    // stm idx 0, 4 in stm idx 1 (the OVERRIDE), 5 direct, 6 in stm idx 2,
-    // 7 (this stream) direct — offsets patched after writing
+    // stm 5 idx 0, 4 in stm 5 idx 1 (the OVERRIDE), 5 direct, 6 in stm 5
+    // idx 2, 7 (this stream) direct, 8 direct — offsets patched after
     def row(t: Int, f2: Long, f3: Int): Array[Byte] =
       Array[Byte](t.toByte, ((f2 >> 24) & 0xff).toByte, ((f2 >> 16) & 0xff).toByte,
         ((f2 >> 8) & 0xff).toByte, (f2 & 0xff).toByte,
@@ -216,8 +224,8 @@ class PdfKernelSpec extends AnyFunSuite {
     val xrefAt = out.size()
     val xrows = Array(row(0, 0, 65535), row(1, 9999, 0), row(1, 9999, 0),
       row(2, 5, 0), row(2, 5, 1), row(1, stmAt, 0), row(2, 5, 2),
-      row(1, xrefAt, 0)).flatten
-    w(s"7 0 obj\n<< /Type /XRef /Size 8 /Root 6 0 R /W [ 1 4 2 ] /Length ${xrows.length} >>\nstream\n")
+      row(1, xrefAt, 0), row(1, staleAt, 0)).flatten
+    w(s"7 0 obj\n<< /Type /XRef /Size 9 /Root 6 0 R /W [ 1 4 2 ] /Length ${xrows.length} >>\nstream\n")
     out.write(xrows)
     w(s"\nendstream\nendobj\nstartxref\n$xrefAt\n%%EOF\n")
     val doc = Pdf.parseDoc(out.toByteArray)
