@@ -719,6 +719,21 @@ object SparkEntry {
         .select(col("url"), col("source_type"),
           length(col("extracted_text")).as("text_len"), col("ok"))
     }),
+    // outlink graph — the crawl's edge list (link-based quality and
+    // frontier statistics start here): per HTML page, every <a href>
+    // resolved against the page url by the tokenizer-backed kernel,
+    // aggregated into per-target reference counts
+    "pipe27_link_graph" -> ((s, _) => {
+      import s.implicits._
+      val pages = fixturePages(s).where(!Extraction.isPdf(col("html")))
+        .select(col("url"), col("html")).as[(String, Array[Byte])]
+      pages.flatMap { case (url, html) =>
+          graft.kernel.Html.extractLinks(html, url).map(l => (url, l))
+        }.toDF("src_url", "dst_url")
+        .withColumn("dst_path", parse_url(col("dst_url"), lit("PATH")))
+        .groupBy(col("dst_path"))
+        .agg(count(lit(1)).as("refs"), countDistinct(col("src_url")).as("pages"))
+    }),
     // §2-I + C6: TTL'd streaming dedup — the memoization cache WITH the
     // reference's 24 h expiry as a continuous operator. Two phases, each
     // two AvailableNow drains over the same stream with byte-identical

@@ -415,4 +415,48 @@ object Html {
   def extract(html: String): Extraction = HtmlStream.extract(html)
 
   def extractDom(html: String): Extraction = classify(segment(parse(html)))
+
+  /** Outlinks of a page: every `<a href>` value, resolved against the
+    * page url when relative — the edge list feeding host-graph
+    * analytics (link-based quality/authority, crawl frontier stats).
+    * Fragments are dropped; `javascript:`/`mailto:`/`data:`/`tel:`
+    * pseudo-links are skipped; resolution handles protocol-relative
+    * (`//host/x`), root-relative (`/x`) and path-relative (`x`, `../x`)
+    * forms via `java.net.URI` semantics with a manual fallback for
+    * hrefs URI rejects (real crawls carry unencoded spaces etc).
+    */
+  def extractLinks(htmlBytes: Array[Byte], pageUrl: String): Vector[String] =
+    extractLinks(CharsetSniff.decode(htmlBytes), pageUrl)
+
+  def extractLinks(html: String, pageUrl: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    tokenize(html).foreach {
+      case TStart("a", attrs, _) =>
+        attrs.get("href").foreach { href0 =>
+          val href = {
+            val h = href0.trim
+            val f = h.indexOf('#')
+            if (f >= 0) h.substring(0, f) else h
+          }
+          val lower = href.toLowerCase
+          val pseudo = lower.startsWith("javascript:") || lower.startsWith("mailto:") ||
+            lower.startsWith("data:") || lower.startsWith("tel:")
+          if (href.nonEmpty && !pseudo) {
+            val resolved =
+              try {
+                val u = new java.net.URI(pageUrl).resolve(new java.net.URI(href))
+                if (u.isAbsolute) Some(u.toString) else None
+              } catch {
+                case _: Exception =>
+                  // crawl reality: hrefs URI refuses (spaces, bad escapes)
+                  if (lower.startsWith("http://") || lower.startsWith("https://")) Some(href)
+                  else None
+              }
+            resolved.foreach(out += _)
+          }
+        }
+      case _ =>
+    }
+    out.result()
+  }
 }

@@ -160,6 +160,35 @@ class HtmlKernelSpec extends AnyFunSuite {
     assert(a.nonEmpty && a === Html.extract(w1252).text && a === Html.extract(utf16).text)
   }
 
+  test("extractLinks: resolution, fragments, pseudo-links, crawl junk") {
+    val page = "https://example.com/a/b/page.html"
+    val html = """<body>
+      <a href="https://other.com/x">abs</a>
+      <a href="//cdn.example.com/lib.js">proto-relative</a>
+      <a href="/root.html">root-rel</a>
+      <a href="sibling.html">path-rel</a>
+      <a href="../up.html">dot-dot</a>
+      <a href="#frag">fragment-only</a>
+      <a href="/keep#frag">fragment-stripped</a>
+      <a href="javascript:void(0)">js</a>
+      <a href="mailto:x@y.z">mail</a>
+      <a href="tel:+123">tel</a>
+      <a>no href</a>
+      <a href="http://spaced.com/a b">unencoded space</a>
+      </body>"""
+    val links = Html.extractLinks(html, page)
+    assert(links === Vector(
+      "https://other.com/x",
+      "https://cdn.example.com/lib.js",
+      "https://example.com/root.html",
+      "https://example.com/a/b/sibling.html",
+      "https://example.com/a/up.html",
+      "https://example.com/keep",
+      "http://spaced.com/a b"))
+    // byte entry point goes through charset sniffing
+    assert(Html.extractLinks(html.getBytes("UTF-8"), page) === links)
+  }
+
   test("language detection on stopword profiles") {
     assert(graft.kernel.Lang.detect("the cat and the dog are in the house with a bird") === "en")
     assert(graft.kernel.Lang.detect("le chat et le chien sont dans la maison avec un oiseau") === "fr")
