@@ -719,6 +719,21 @@ object SparkEntry {
         .select(col("url"), col("source_type"),
           length(col("extracted_text")).as("text_len"), col("ok"))
     }),
+    // host/page authority over the link graph — damped PageRank power
+    // iteration (the link-based quality weight; Common Crawl publishes
+    // exactly this table for its own corpus), over pipe27's edge list
+    "pipe28_pagerank" -> ((s, _) => {
+      import s.implicits._
+      val pages = fixturePages(s).where(!Extraction.isPdf(col("html")))
+        .select(col("url"), col("html")).as[(String, Array[Byte])]
+      val edges = pages.flatMap { case (url, html) =>
+          graft.kernel.Html.extractLinks(html, url).map(l => (url, l))
+        }.toDF("src", "dst").distinct()
+      graft.ops.Graph.pageRank(edges, iters = 8)
+        .select(col("node"), round(col("rank"), 6).as("rank"))
+        .orderBy(col("rank").desc, col("node"))
+        .limit(50)
+    }),
     // outlink graph — the crawl's edge list (link-based quality and
     // frontier statistics start here): per HTML page, every <a href>
     // resolved against the page url by the tokenizer-backed kernel,

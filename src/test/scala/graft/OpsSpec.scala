@@ -393,6 +393,37 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
     val _ = r
   }
 
+  test("pageRank: matches a local reference, conserves mass, ranks hubs higher") {
+    import graft.ops.Graph
+    // a hub-and-chain graph with a dangling node: 0 is pointed at by
+    // everyone (hub), 1..4 a chain, 5 dangling (no out-edges)
+    val edgeSeq = Seq((1L, 0L), (2L, 0L), (3L, 0L), (4L, 0L),
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (0L, 1L))
+    val got = Graph.pageRank(edgeSeq.toDF("src", "dst"), iters = 15)
+      .as[(Long, Double)].collect().toMap
+    // local reference implementation (same semantics, plain Scala)
+    val nodes = edgeSeq.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val outs = edgeSeq.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val d = 0.85
+    var r = nodes.map(_ -> 1.0 / nodes.size).toMap
+    for (_ <- 1 to 15) {
+      val dangling = nodes.filterNot(outs.contains).map(r).sum
+      val base = (1 - d) / nodes.size + d * dangling / nodes.size
+      val in = nodes.map { v =>
+        v -> nodes.filter(u => outs.get(u).exists(_.contains(v)))
+          .map(u => r(u) / outs(u).size).sum
+      }.toMap
+      r = nodes.map(v => v -> (base + d * in(v))).toMap
+    }
+    assert(got.keySet === r.keySet)
+    r.foreach { case (v, want) =>
+      assert(math.abs(got(v) - want) < 1e-12, s"node $v: ${got(v)} vs $want")
+    }
+    // mass conservation and ordering sanity
+    assert(math.abs(got.values.sum - 1.0) < 1e-9)
+    assert(got(0L) === got.values.max, "the hub must rank highest")
+  }
+
   test("salted asof join: equals the unsalted operator at every slice width") {
     import graft.ops.Relational
     val r = new scala.util.Random(64)
