@@ -89,6 +89,19 @@ object SparkEntry {
       c.join(big, c("c_custkey") === big("o_custkey"), "left_anti")
         .groupBy(col("c_nationkey")).agg(count(lit(1)).as("lonely"))
     }),
+    // identical answer to q06 — the point of q56 is the SCALE SHAPE: a
+    // Bloom filter over the exclusion keys splits probes into
+    // definitely-new (no shuffle) and a maybe-seen sliver that alone
+    // pays the exact anti-join; false positives are re-checked, so the
+    // result is exact and shares q06's oracle
+    "q56_anti_join_bloom" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val big = t(s, dir, "orders").where(col("o_totalprice") > 400000)
+        .select(col("o_custkey").as("c_custkey"))
+      graft.ops.Relational.antiJoinBloom(c, big, "c_custkey",
+          expectedItems = 100000L, fpp = 0.01)
+        .groupBy(col("c_nationkey")).agg(count(lit(1)).as("lonely"))
+    }),
     "q07_semi_join" -> ((s, dir) => {
       val p = t(s, dir, "part")
       val l = t(s, dir, "lineitem")
@@ -912,6 +925,7 @@ object SparkEntry {
     "q04_window_first" -> "SELECT user_id, event_id, event_type FROM (SELECT user_id, event_id, event_type, row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn FROM events) t WHERE rn = 1",
     "q05_join_agg" -> "SELECT c.c_mktsegment, count(*) AS orders_cnt, CAST(sum(CAST(round(o.o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS total_cents FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey GROUP BY c.c_mktsegment",
     "q06_anti_join" -> "SELECT c.c_nationkey, count(*) AS lonely FROM customer c WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000) GROUP BY c.c_nationkey",
+    "q56_anti_join_bloom" -> "SELECT c.c_nationkey, count(*) AS lonely FROM customer c WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000) GROUP BY c.c_nationkey",
     "q07_semi_join" -> "SELECT p.p_brand, count(*) AS used_parts FROM part p WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey) GROUP BY p.p_brand",
     "q08_ordered_merge" -> "SELECT user_id, string_agg(event_type, ',' ORDER BY ts, event_id) AS event_seq, count(*) AS cnt FROM events GROUP BY user_id",
     "q09_dedup_exact" -> "SELECT lang, count(*) AS n_docs, count(DISTINCT sha256(text)) AS n_unique FROM documents GROUP BY lang",

@@ -151,6 +151,36 @@ object Relational {
         rightVals.map(c => col(s"_asof.$c").as(s"_r_$c")): _*)
   }
 
+  /** Bloom-pre-filtered anti-join — the classic 10^12-row resume/dedup
+    * optimization: when the EXCLUSION side (committed keys, seen hashes)
+    * is orders of magnitude smaller than the probe side, build a Bloom
+    * filter over it (`df.stat.bloomFilter`, driver-built and broadcast),
+    * split probes into DEFINITELY-NEW (filter says absent — no shuffle at
+    * all, the overwhelming majority on an incremental run) and
+    * MAYBE-SEEN (filter says present), and run the exact anti-join only
+    * over the maybe-seen sliver (true positives + `fpp` false
+    * positives). Result is EXACTLY `left.join(right, key, "left_anti")`
+    * — Bloom filters have no false negatives, and the false positives
+    * are re-checked by the real join (q56 shares q06's oracle) — but the
+    * shuffle carries ~`fpp` of the probe table instead of all of it.
+    *
+    * `expectedItems` sizes the filter (bits ≈ 1.44·n·log2(1/fpp); 10^9
+    * keys at 1 % fpp ≈ 1.7 GB — size fpp to the broadcast budget, or
+    * pre-partition the exclusion side and bloom per partition).
+    */
+  def antiJoinBloom(left: DataFrame, right: DataFrame, keyCol: String,
+                    expectedItems: Long = 1000000L,
+                    fpp: Double = 0.01): DataFrame = {
+    val bf = right.stat.bloomFilter(keyCol, expectedItems, fpp)
+    val spark = left.sparkSession
+    val bc = spark.sparkContext.broadcast(bf)
+    val mightContain = udf((k: Long) => bc.value.mightContainLong(k))
+    val definitelyNew = left.where(!mightContain(col(keyCol).cast("long")))
+    val maybeSeen = left.where(mightContain(col(keyCol).cast("long")))
+      .join(right.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
+    definitelyNew.unionByName(maybeSeen)
+  }
+
   /** Binned point-in-interval join: rows of `points` paired with every
     * interval `[loCol, hiCol)` containing `ptCol`. Both sides land on a
     * `binWidth`-wide grid; the grid id is the equi-join key and the

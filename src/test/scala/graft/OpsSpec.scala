@@ -393,6 +393,20 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
     val _ = r
   }
 
+  test("antiJoinBloom: exactly equals the plain anti-join at any fpp") {
+    import graft.ops.Relational
+    val r = new scala.util.Random(66)
+    val left = Seq.tabulate(3000)(i => (i.toLong, s"row$i")).toDF("k", "v")
+    val right = Seq.fill(400)(r.nextInt(3500).toLong).distinct.toDF("k")
+    val want = left.join(right, Seq("k"), "left_anti")
+      .as[(Long, String)].collect().toSet
+    for (fpp <- Seq(0.5, 0.01)) { // even an awful filter must stay exact
+      val got = Relational.antiJoinBloom(left, right, "k",
+        expectedItems = 500, fpp = fpp).as[(Long, String)].collect().toSet
+      assert(got === want, s"fpp=$fpp")
+    }
+  }
+
   test("pageRank: matches a local reference, conserves mass, ranks hubs higher") {
     import graft.ops.Graph
     // a hub-and-chain graph with a dangling node: 0 is pointed at by
