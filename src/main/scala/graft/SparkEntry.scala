@@ -102,6 +102,18 @@ object SparkEntry {
           expectedItems = 100000L, fpp = 0.01)
         .groupBy(col("c_nationkey")).agg(count(lit(1)).as("lonely"))
     }),
+    // the Bloom anti-join over STRING content-hash keys — the exact
+    // resume shape the memoization cache runs (`cache_manager.py:23-25`
+    // keys by sha256 hex): keep only documents whose content hash is not
+    // in the seen set; definitely-new rows skip the shuffle entirely
+    "q57_bloom_resume_hash" -> ((s, dir) => {
+      val h = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), sha2(col("text"), 256).as("content_hash"))
+      val seen = h.where(col("doc_id") % 7 === 0).select(col("content_hash"))
+      graft.ops.Relational.antiJoinBloom(h, seen, "content_hash",
+          expectedItems = 100000L, fpp = 0.01)
+        .groupBy(col("lang")).agg(count(lit(1)).as("survivors"))
+    }),
     "q07_semi_join" -> ((s, dir) => {
       val p = t(s, dir, "part")
       val l = t(s, dir, "lineitem")
@@ -926,6 +938,9 @@ object SparkEntry {
     "q05_join_agg" -> "SELECT c.c_mktsegment, count(*) AS orders_cnt, CAST(sum(CAST(round(o.o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS total_cents FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey GROUP BY c.c_mktsegment",
     "q06_anti_join" -> "SELECT c.c_nationkey, count(*) AS lonely FROM customer c WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000) GROUP BY c.c_nationkey",
     "q56_anti_join_bloom" -> "SELECT c.c_nationkey, count(*) AS lonely FROM customer c WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000) GROUP BY c.c_nationkey",
+    "q57_bloom_resume_hash" -> ("WITH h AS (SELECT doc_id, lang, sha256(text) AS content_hash FROM documents) " +
+      "SELECT lang, count(*) AS survivors FROM h WHERE NOT EXISTS " +
+      "(SELECT 1 FROM h s WHERE s.doc_id % 7 = 0 AND s.content_hash = h.content_hash) GROUP BY lang"),
     "q07_semi_join" -> "SELECT p.p_brand, count(*) AS used_parts FROM part p WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey) GROUP BY p.p_brand",
     "q08_ordered_merge" -> "SELECT user_id, string_agg(event_type, ',' ORDER BY ts, event_id) AS event_seq, count(*) AS cnt FROM events GROUP BY user_id",
     "q09_dedup_exact" -> "SELECT lang, count(*) AS n_docs, count(DISTINCT sha256(text)) AS n_unique FROM documents GROUP BY lang",

@@ -104,10 +104,25 @@ object CharsetSniff {
     // WHATWG prescan: a charset declaration counts ONLY inside a <meta>
     // tag — honoring bare "charset=" anywhere would let an href query
     // string or inline script override correct UTF-8 detection
+    // tag end = the first '>' OUTSIDE a quoted attribute value (the
+    // WHATWG "get an attribute" prescan skips quoted values): a '>'
+    // inside content="a>b; charset=…" must not truncate the tag before
+    // the charset label
+    def tagEndFrom(start: Int): Int = {
+      var j = start
+      var quote = 0.toChar
+      while (j < head.length) {
+        val c = head.charAt(j)
+        if (quote != 0) { if (c == quote) quote = 0 }
+        else if (c == '"' || c == '\'') quote = c
+        else if (c == '>') return j
+        j += 1
+      }
+      head.length
+    }
     var metaAt = head.indexOf("<meta")
     while (metaAt >= 0) {
-      var tagEnd = head.indexOf('>', metaAt)
-      if (tagEnd < 0) tagEnd = head.length
+      val tagEnd = tagEndFrom(metaAt + 5)
       var at = head.indexOf("charset", metaAt)
       while (at >= 0 && at < tagEnd) {
         var j = at + 7

@@ -9,28 +9,39 @@ import org.apache.spark.sql.functions._
   * this: host-level rank tables computed from the WARC link graph).
   *
   * [[pageRank]] is the standard damped power iteration expressed on
-  * Catalyst primitives: per round one join (ranks → edges on src), one
-  * aggregation (contributions by dst) and one small aggregate for the
-  * dangling mass — all hash-partitioned on the node id, the same
-  * iterative shape as [[Dedup.connectedComponentsWithStats]], with the
-  * same per-round `localCheckpoint` lineage truncation and explicit
-  * release of superseded rounds (a real cluster swaps in reliable
-  * `checkpoint()`).
+  * Catalyst primitives. Each round is ONE pass over the edge join: the
+  * left joins `ranks → outDeg → edges` route a dangling node's whole
+  * rank into a null-keyed bucket of the SAME aggregation that sums the
+  * per-target contributions, so the dangling-mass term costs no second
+  * scan (it used to be a separate anti-join + driver `.head()` per
+  * round). The null bucket is then broadcast back onto every node as a
+  * one-row frame — no driver round-trip, no global window. Rounds are
+  * hash-partitioned on the node id and use the same per-round
+  * `localCheckpoint` lineage truncation + explicit release of superseded
+  * rounds as [[Dedup.connectedComponentsWithStats]] (a real cluster
+  * swaps in reliable `checkpoint()`).
   */
 object Graph {
 
   /** Damped PageRank over a directed edge list. `edges` columns
-    * `srcCol`/`dstCol` (any equatable type); self-loops allowed;
+    * `srcCol`/`dstCol` (any equatable non-null type); self-loops allowed;
     * duplicate edges count as parallel edges (weight by multiplicity —
     * pre-`distinct` the input for simple-graph semantics). Dangling
     * nodes (no out-edges) redistribute their mass uniformly, so ranks
     * sum to 1 every round (asserted by OpsSpec against a local
     * reference implementation).
     *
+    * `tol > 0` adds an early exit: iteration stops once the L1 delta
+    * Σ|rank − prev_rank| falls below `tol` (one extra tiny aggregate
+    * per round over the two checkpointed rank tables); `tol = 0`
+    * (default) runs exactly `iters` rounds — the deterministic shape
+    * the differential tests pin.
+    *
     * Returns `(node, rank)` for every node appearing as src or dst.
     */
   def pageRank(edges: DataFrame, srcCol: String = "src", dstCol: String = "dst",
-               iters: Int = 10, damping: Double = 0.85): DataFrame = {
+               iters: Int = 10, damping: Double = 0.85,
+               tol: Double = 0.0): DataFrame = {
     require(iters >= 1 && damping > 0 && damping < 1)
     def ckptRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
       df.queryExecution.analyzed.collectFirst {
@@ -45,19 +56,42 @@ object Graph {
     var ranks = nodes.withColumn("rank", lit(1.0 / n)).localCheckpoint(true)
     var ranksRdd = ckptRdd(ranks)
     var it = 0
-    while (it < iters) {
-      // mass of dangling nodes (rank with no out-edges) — tiny aggregate
-      val dangling = ranks.join(outDeg, ranks("node") === outDeg("src"), "left_anti")
-        .agg(coalesce(sum(col("rank")), lit(0.0))).head().getDouble(0)
-      val contribs = ranks.join(e, ranks("node") === e("src"))
-        .join(outDeg, "src")
-        .select(col("dst").as("node"), (col("rank") / col("deg")).as("c"))
+    var done = false
+    while (!done && it < iters) {
+      // one pass: rank flow along edges AND the dangling mass, in the
+      // same join + aggregation. A node with out-edges fans its rank/deg
+      // to each dst; a dangling node (no outDeg row, no edge rows) keeps
+      // one left-join row with null dst and banks its whole rank in the
+      // null-keyed bucket.
+      val flow = ranks.as("r")
+        .join(outDeg.as("o"), col("r.node") === col("o.src"), "left")
+        .join(e.as("e"), col("r.node") === col("e.src"), "left")
+        .select(col("e.dst").as("node"),
+          when(col("e.dst").isNull, col("r.rank"))
+            .otherwise(col("r.rank") / col("o.deg")).as("c"))
         .groupBy(col("node")).agg(sum(col("c")).as("in_mass"))
-      val base = (1.0 - damping) / n + damping * dangling / n
-      val next = nodes.join(contribs, Seq("node"), "left")
-        .select(col("node"),
-          (lit(base) + lit(damping) * coalesce(col("in_mass"), lit(0.0))).as("rank"))
         .localCheckpoint(true)
+      val flowRdd = ckptRdd(flow)
+      // the dangling bucket as a 0-or-1-row broadcast frame (left join on
+      // a constant key — empty when every node has out-edges), so the
+      // redistribution term reaches every node without a driver action
+      val dang = flow.where(col("node").isNull)
+        .select(lit(1).as("_j"), col("in_mass").as("_dangling"))
+      val next = nodes.withColumn("_j", lit(1))
+        .join(flow.where(col("node").isNotNull), Seq("node"), "left")
+        .join(broadcast(dang), Seq("_j"), "left")
+        .select(col("node"),
+          (lit((1.0 - damping) / n) +
+            lit(damping) * coalesce(col("_dangling"), lit(0.0)) / n +
+            lit(damping) * coalesce(col("in_mass"), lit(0.0))).as("rank"))
+        .localCheckpoint(true)
+      if (tol > 0) {
+        val delta = next.as("n").join(ranks.as("o"), Seq("node"))
+          .agg(coalesce(sum(abs(col("n.rank") - col("o.rank"))), lit(0.0)))
+          .head().getDouble(0)
+        if (delta < tol) done = true
+      }
+      flowRdd.foreach(_.unpersist(false))
       ranksRdd.foreach(_.unpersist(false))
       ranks = next
       ranksRdd = ckptRdd(next)

@@ -171,14 +171,30 @@ object Relational {
   def antiJoinBloom(left: DataFrame, right: DataFrame, keyCol: String,
                     expectedItems: Long = 1000000L,
                     fpp: Double = 0.01): DataFrame = {
-    val bf = right.stat.bloomFilter(keyCol, expectedItems, fpp)
+    // TYPE-GENERIC key handling: both sides are hashed through xxhash64
+    // into the long domain the filter lives in, so string/binary keys
+    // (content hashes — the advertised use case) work exactly like
+    // numeric ones. Hashing the key before insertion and before probing
+    // with the SAME function preserves the no-false-negative guarantee;
+    // xxhash64 collisions only add false positives, which the exact
+    // anti-join re-checks like the filter's own.
+    val keyed = col(keyCol)
+    val bf = right.where(keyed.isNotNull)
+      .select(xxhash64(keyed).as("_h"))
+      .stat.bloomFilter("_h", expectedItems, fpp)
     val spark = left.sparkSession
     val bc = spark.sparkContext.broadcast(bf)
     val mightContain = udf((k: Long) => bc.value.mightContainLong(k))
-    val definitelyNew = left.where(!mightContain(col(keyCol).cast("long")))
-    val maybeSeen = left.where(mightContain(col(keyCol).cast("long")))
-      .join(right.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
-    definitelyNew.unionByName(maybeSeen)
+    // null keys never equal anything, so a true left_anti KEEPS them —
+    // route them straight to the output instead of through the filter
+    // (xxhash64 of null is the seed, which would misbucket them)
+    val nullKeys = left.where(keyed.isNull)
+    val nonNull = left.where(keyed.isNotNull)
+    val definitelyNew = nonNull.where(!mightContain(xxhash64(keyed)))
+    val maybeSeen = nonNull.where(mightContain(xxhash64(keyed)))
+      .join(right.select(keyed).where(keyed.isNotNull).distinct(),
+        Seq(keyCol), "left_anti")
+    definitelyNew.unionByName(maybeSeen).unionByName(nullKeys)
   }
 
   /** Binned point-in-interval join: rows of `points` paired with every

@@ -121,6 +121,14 @@ object TextOps {
     * driver collect beyond the k result rows, candidate cardinality
     * bounded by capacity x partitions but deduplicated distributedly.
     */
+  /** Broadcast ceiling for [[topKExact]]'s candidate set (distinct
+    * tokens): past this the semi-join shuffles instead of broadcasting —
+    * ~4M short tokens ≈ low hundreds of MB, the practical autoBroadcast
+    * territory; a 1000-executor run with capacity 4096 can legitimately
+    * produce more.
+    */
+  val MaxBroadcastCandidates: Long = 4L << 20
+
   def topKExact(df: org.apache.spark.sql.DataFrame, tokenCol: String,
                 k: Int, capacity: Int = 4096): org.apache.spark.sql.DataFrame = {
     val spark = df.sparkSession
@@ -162,9 +170,16 @@ object TextOps {
     val total = summary.where($"token".isNull)
       .agg(coalesce(sum($"cnt"), lit(0L))).as[Long].head()
     val cand = summary.where($"token".isNotNull).select($"token").distinct()
+    // candidate cardinality is bounded by capacity × numPartitions — at
+    // thousands of tasks that exceeds broadcast/driver budgets, so the
+    // broadcast is GATED on the actual distinct count (cheap: `summary`
+    // is persisted) and falls back to a shuffle semi-join above the cap
+    val nCand = cand.count()
+    val candSide =
+      if (nCand <= MaxBroadcastCandidates) broadcast(cand) else cand
     // pass 2: exact counts of candidates only
     val exact = df.select(col(tokenCol).cast("string").as("token"))
-      .join(broadcast(cand), Seq("token"), "left_semi")
+      .join(candSide, Seq("token"), "left_semi")
       .groupBy($"token").agg(count(lit(1)).as("cnt"))
       .orderBy($"cnt".desc, $"token".asc)
       .limit(k)

@@ -250,4 +250,32 @@ object Checkpoint {
     }
     total - keep
   }
+
+  /** A10 last gap: single-key cache invalidation — the reference's
+    * `CacheManager.invalidate(key)` (`cache_manager.py:81-93` deletes one
+    * per-hash file) as an idempotent filtered rewrite of the memoization
+    * table. Same temp-write + Hadoop-FS atomic swap as [[sweepExpired]];
+    * invalidating a hash that is not present is a no-op (returns 0), so
+    * retries are safe. The next `extractChunks(cache)` run recomputes
+    * exactly the invalidated hashes and cache-hits everything else.
+    * Returns removed-row count.
+    */
+  def invalidate(spark: SparkSession, cacheDir: String,
+                 hashes: Seq[String]): Long = {
+    require(hashes.nonEmpty, "no hashes to invalidate")
+    val cache = spark.read.parquet(cacheDir)
+    val keepRows = cache.where(!col("content_hash").isin(hashes: _*))
+    val total = cache.count()
+    val keep = keepRows.count()
+    if (keep < total) {
+      val tmp = cacheDir + ".invalidate"
+      keepRows.write.mode("overwrite").parquet(tmp)
+      val target = new org.apache.hadoop.fs.Path(cacheDir)
+      val side = new org.apache.hadoop.fs.Path(tmp)
+      val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      require(fs.delete(target, true), s"could not remove old cache at $cacheDir")
+      require(fs.rename(side, target), s"swap failed for $cacheDir")
+    }
+    total - keep
+  }
 }

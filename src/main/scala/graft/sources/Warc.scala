@@ -179,18 +179,31 @@ object Warc {
 
   /** Good-prefix wrapper: iteration stops at the first structural error
     * (incl. gzip corruption surfacing mid-stream) instead of failing the
-    * task — the C5 rule at record granularity.
+    * task — the C5 rule at record granularity. The underlying stream is
+    * CLOSED as soon as the iterator is exhausted or dies: a
+    * GZIPInputStream holds a native zlib Inflater that is otherwise only
+    * released at finalization, and executors churning through many
+    * archives (or bailing early on corrupt ones) would accumulate native
+    * memory between GCs.
     */
-  private def goodPrefix[A](it: => Iterator[A]): Iterator[A] = {
-    val inner = try it catch { case _: Exception => Iterator.empty }
+  private def goodPrefix[A](it: => Iterator[A], in: java.io.InputStream): Iterator[A] = {
+    val inner = try it catch { case _: Exception => closeQuietly(in); Iterator.empty }
     new Iterator[A] {
       private var dead = false
+      private def die(): Unit = { dead = true; closeQuietly(in) }
       override def hasNext: Boolean =
-        !dead && (try inner.hasNext catch { case _: Exception => dead = true; false })
+        !dead && (try {
+          val h = inner.hasNext
+          if (!h) die()
+          h
+        } catch { case _: Exception => die(); false })
       override def next(): A =
-        try inner.next() catch { case e: Exception => dead = true; throw e }
+        try inner.next() catch { case e: Exception => die(); throw e }
     }
   }
+
+  private def closeQuietly(in: java.io.InputStream): Unit =
+    try in.close() catch { case _: Exception => }
 
   /** Read WARC archives as the engine's page shape
     * `(url STRING, warc_ts TIMESTAMP, html BINARY)`. Corrupt data
@@ -203,7 +216,8 @@ object Warc {
     spark.read.format("binaryFile").load(pathGlob)
       .select($"path", $"content").as[(String, Array[Byte])]
       .flatMap { case (_, bytes) =>
-        goodPrefix(parseStream(open(bytes)))
+        val in = open(bytes)
+        goodPrefix(parseStream(in), in)
           .map(r => (r.url, new java.sql.Timestamp(r.warcTsMs), r.body))
       }
       .toDF("url", "warc_ts", "html")

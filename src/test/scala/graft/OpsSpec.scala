@@ -407,6 +407,30 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("antiJoinBloom: STRING sha-hex keys (the content-hash resume shape) and null keys") {
+    import graft.ops.Relational
+    def sha(s: String): String =
+      java.security.MessageDigest.getInstance("SHA-256").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    // left: 2000 rows keyed by sha256 hex (plus 5 null-key rows); right:
+    // every 3rd hash is "seen" plus some never-present hashes
+    val leftRows = Seq.tabulate(2000)(i => (Option(sha(s"doc$i")), i.toLong)) ++
+      Seq.tabulate(5)(i => (Option.empty[String], 10000L + i))
+    val left = leftRows.toDF("content_hash", "doc_id")
+    val right = (Seq.tabulate(2000)(i => sha(s"doc$i")).zipWithIndex
+      .collect { case (h, i) if i % 3 == 0 => h } ++
+      Seq.tabulate(50)(i => sha(s"ghost$i"))).toDF("content_hash")
+    val want = left.join(right, Seq("content_hash"), "left_anti")
+      .as[(Option[String], Long)].collect().toSet
+    // a true left_anti KEEPS null-key rows — so must the Bloom variant
+    assert(want.count(_._1.isEmpty) === 5)
+    for (fpp <- Seq(0.5, 0.05, 0.001)) {
+      val got = Relational.antiJoinBloom(left, right, "content_hash",
+        expectedItems = 1000, fpp = fpp).as[(Option[String], Long)].collect().toSet
+      assert(got === want, s"fpp=$fpp")
+    }
+  }
+
   test("pageRank: matches a local reference, conserves mass, ranks hubs higher") {
     import graft.ops.Graph
     // a hub-and-chain graph with a dangling node: 0 is pointed at by

@@ -224,6 +224,33 @@ class PipelineSpec extends AnyFunSuite with SparkSuite {
     assert(Checkpoint.sweepExpired(spark, dir, asOf) === 0L)
   }
 
+  test("invalidate(hash): exactly that hash recomputes, everything else cache-hits") {
+    val dir = Files.createTempDirectory("graft-cache-inv").toString + "/cache"
+    val pdfPages = pagesDs.where(Extraction.isPdf($"html")).as[Page]
+    val chunks = Extraction.pdfChunks(pdfPages)
+    val hashes = chunks.withColumn("content_hash", sha2($"payload", 256))
+      .select($"content_hash").distinct().as[String].collect().toSeq.sorted
+    assert(hashes.size > 2)
+    val ts = new Timestamp(PageGen.EpochMs)
+    // seed a cache entry for EVERY hash with sentinel text: any row whose
+    // output text is not the sentinel must have gone through the kernel
+    spark.createDataset(hashes.map(h =>
+        CacheEntry(h, ts, CacheResult("CACHED", Seq.empty, Seq.empty, "en"))))
+      .toDF().write.parquet(dir)
+    val victim = hashes.head
+    assert(Checkpoint.invalidate(spark, dir, Seq(victim)) === 1L)
+    // idempotent / absent keys: no-op
+    assert(Checkpoint.invalidate(spark, dir, Seq(victim)) === 0L)
+    assert(Checkpoint.invalidate(spark, dir, Seq("nope")) === 0L)
+    val out = Extraction.extractChunks(chunks,
+        cache = Some(spark.read.parquet(dir)), asOf = Some(ts))
+      .select($"content_hash", $"text", $"ok")
+      .as[(String, String, Boolean)].collect()
+    val (vic, rest) = out.partition(_._1 == victim)
+    assert(vic.nonEmpty && vic.forall(r => r._3 && r._2 != "CACHED"))
+    assert(rest.nonEmpty && rest.forall(_._2 == "CACHED"))
+  }
+
   test("response envelope: OCRResponse{success, data, error} + empty MapType metadata") {
     val env = Extraction.envelope(docs).cache()
     assert(env.where($"success").count() === fixture.size)
