@@ -166,6 +166,20 @@ object SparkEntry {
         .groupBy(col("lang"))
         .agg(sum(col("toks")).as("bpe_tokens"), count(lit(1)).as("cnt"))
     }),
+    // REAL byte-level BPE subword counts (kernel/Bpe: merges table
+    // applied, golden-pinned deterministic trainer) as the native
+    // codegen bpe_count expression — next to the q32 pretoken proxy;
+    // not SQL-expressible (the merge loop), so rows-only + BpeSpec
+    // differential/golden coverage
+    "pipe30_bpe_subwords" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s) // idempotent belt-and-braces
+      t(s, dir, "documents")
+        .selectExpr("lang", "bpe_count(text) AS toks",
+          "length(text) AS chars")
+        .groupBy(col("lang"))
+        .agg(sum(col("toks")).as("bpe_subwords"),
+          sum(col("chars")).as("chars"), count(lit(1)).as("cnt"))
+    }),
     "q14_quality_stats" -> ((s, dir) => {
       t(s, dir, "documents").groupBy(col("source"))
         .agg(sum(length(col("text"))).as("chars"),
@@ -577,6 +591,20 @@ object SparkEntry {
         .as[Array[Double]].head()
       graft.ops.Similarity.ivfProbeIndex(s, tmp, qv, k = 10, nprobe = 4)
     }),
+    // BATCH ANN probe over the at-rest IVF index — the 100 TB dedup
+    // shape: a queries DATAFRAME (no driver round-trip per query) joins
+    // the cell-partitioned corpus on cell; union of probed cells is the
+    // partition filter, per-query window cuts to k (OpsSpec proves
+    // equality with the in-memory twin + the pruned scan)
+    "pipe29_ann_batch" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-pipe29").toString
+      val emb = t(s, dir, "embeddings")
+      graft.ops.Similarity.ivfBuildIndex(emb, "vec_id", "embedding", tmp, nlist = 16)
+      val queries = emb.where(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      graft.ops.Similarity.ivfProbeIndexBatch(s, tmp, queries,
+        "qid", "qv", k = 5, nprobe = 4)
+    }),
     // hot-bucket-capped LSH over the near-dup-saturated synthetic corpus
     // (band buckets over 16 members collapse to star edges — the Ω(m²)
     // mirror-farm defense); candidates still exact-verified
@@ -585,6 +613,17 @@ object SparkEntry {
         t(s, dir, "documents").where(col("doc_id") < 2000), "doc_id", "text",
         shingleK = 3, numHashes = 32, numBands = 8, threshold = 0.8,
         maxBucket = 16)
+    }),
+    // the END-TO-END near-dedup job (FineWeb-style) as one call:
+    // MinHash → capped LSH → exact verify → connected components → keep
+    // min-id per cluster; output = the surviving corpus (OpsSpec proves
+    // equality with the exact-Jaccard union-find oracle)
+    "pipe31_neardup_filter" -> ((s, dir) => {
+      graft.ops.Dedup.nearDupFilter(
+          t(s, dir, "documents").where(col("doc_id") < 2000), "doc_id", "text",
+          shingleK = 3, numHashes = 32, numBands = 8, threshold = 0.8,
+          maxBucket = 16)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
     }),
     "pipe11_media_features" -> ((s, _) => {
       import s.implicits._

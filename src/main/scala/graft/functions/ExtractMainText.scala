@@ -62,6 +62,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(ExtractMainText.registration)
     ext.injectFunction(LangId.registration)
     ext.injectFunction(NormalizeText.registration)
+    ext.injectFunction(BpeCount.registration)
   }
 }
 
@@ -69,7 +70,7 @@ object GraftFunctions {
   /** Imperative fallback for sessions built without the extension. */
   def register(spark: SparkSession): Unit =
     Seq(ExtractMainText.registration, LangId.registration,
-        NormalizeText.registration).foreach {
+        NormalizeText.registration, BpeCount.registration).foreach {
       case (id, info, builder) =>
         spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     }

@@ -301,6 +301,35 @@ object Dedup {
       .select(col("a_id"), col("b_id"), round(jac, 4).as("jac"))
   }
 
+  /** The END-TO-END corpus near-dedup job as ONE call — the FineWeb /
+    * RefinedWeb-style pipeline stage: MinHash signatures → banded-LSH
+    * candidates (hot buckets star-capped) → exact shingle-Jaccard verify
+    * ([[minhashNearDupPairs]]) → connected components (pointer doubling,
+    * [[connectedComponents]]) → keep exactly ONE document per cluster
+    * (the minimum id — deterministic canonical representative) plus
+    * every document that near-dups nothing. Returns the SURVIVING
+    * corpus with `df`'s full schema.
+    *
+    * Scale shape: the only shuffles are the band-bucket self-join, the
+    * CC rounds (hash-partitioned, O(log diameter)), and one final
+    * left-anti join of the corpus against the loser ids — each already
+    * individually 100 TB-vetted; nothing new is materialized beyond the
+    * pair list.
+    */
+  def nearDupFilter(df: DataFrame, idCol: String, textCol: String,
+                    shingleK: Int = 3, numHashes: Int = 32,
+                    numBands: Int = 8, threshold: Double = 0.8,
+                    maxBucket: Int = 4096): DataFrame = {
+    val pairs = minhashNearDupPairs(df, idCol, textCol, shingleK, numHashes,
+      numBands, threshold, maxBucket)
+    val clusters = connectedComponents(pairs)
+    // every clustered id except its component's minimum is a loser; docs
+    // absent from the pair list survive untouched (left_anti keeps them)
+    val losers = clusters.where(col("id") =!= col("cluster"))
+      .select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   // ------------------------------------------------------------- SimHash
   /** 64-bit SimHash per row via the [[TextStats]] kernel (typed stage). */
   def simHashes(df: DataFrame, idCol: String, textCol: String): DataFrame = {

@@ -188,6 +188,125 @@ object Similarity extends Serializable {
       .limit(k)
   }
 
+  /** Primitive cosine rounded to 6 dp exactly like Spark's
+    * `round(col, 6)` (BigDecimal.valueOf = decimal string repr, HALF_UP)
+    * — so the typed batch kernel is bit-identical to the columnar
+    * [[cosine]] + `round` path the single-query operators use.
+    */
+  private[graft] def cos6(a: Array[Double], b: Array[Double]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var j = 0
+    val n = math.min(a.length, b.length)
+    while (j < n) { dot += a(j) * b(j); j += 1 }
+    j = 0
+    while (j < a.length) { na += a(j) * a(j); j += 1 }
+    j = 0
+    while (j < b.length) { nb += b(j) * b(j); j += 1 }
+    java.math.BigDecimal.valueOf(dot / (math.sqrt(na) * math.sqrt(nb)))
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+  }
+
+  /** BATCH IVF top-k — the shape a 100 TB dedup actually runs: millions
+    * of probe queries as a DataFrame, ZERO driver round-trips per query
+    * (the single-query [[ivfTopK]] collects its one probe vector on the
+    * driver; here assignment, probing, scoring and the top-k cut are all
+    * distributed). Per query:
+    *
+    *  1. the query is assigned to its `nprobe` nearest cells (typed map
+    *     over broadcast centroids, `nprobe` rows per query);
+    *  2. the corpus — assigned to cells in one stateless pass — is
+    *     equi-joined on `cell`, so each query scores only `~nprobe/nlist`
+    *     of the corpus (the join is THE scan reduction; hash-partitioned
+    *     on cell, AQE skew-splits hot cells);
+    *  3. candidates are scored with the primitive cosine kernel and cut
+    *     to k per query by a `row_number` window over (qid) — also
+    *     hash-partitioned, no global sort.
+    *
+    * With `nprobe == nlist` the result equals [[bruteForceTopK]] run per
+    * query (asserted in tests); smaller `nprobe` trades recall for the
+    * scan reduction. Returns `(qid, id, sim)`, k rows per query, ties
+    * broken (sim desc, id asc).
+    */
+  def ivfTopKBatch(corpus: DataFrame, queries: DataFrame,
+                   idCol: String, vecCol: String,
+                   qidCol: String, qvecCol: String,
+                   k: Int, nlist: Int = 16, nprobe: Int = 4, iters: Int = 3,
+                   sampleN: Int = 2048, seed: Long = 42L): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val typed = corpus
+      .select(col(idCol).cast("long"), transform(col(vecCol), x => x.cast("double")))
+      .as[(Long, Array[Double])]
+    val sample = typed.toDF("id", "vec")
+      .orderBy(xxhash64(col("id"), lit(seed)), col("id")).limit(sampleN)
+      .as[(Long, Array[Double])].collect()
+    require(sample.nonEmpty, "empty corpus")
+    val centroids = trainCentroids(sample.map(_._2), nlist, iters)
+    val bcC = spark.sparkContext.broadcast(centroids)
+    val assigned = typed.mapPartitions { rows =>
+      val cs = bcC.value
+      rows.map { case (id, v) => (id, v, nearestCell(v, cs)) }
+    }.toDF("id", "vec", "cell")
+    scoreProbedCells(assigned, queries, qidCol, qvecCol, bcC, k, nprobe)
+  }
+
+  /** The probe half shared by [[ivfTopKBatch]] and
+    * [[ivfProbeIndexBatch]]: queries → (qid, qv, cell) fan-out, cell
+    * equi-join, primitive-kernel scoring, per-query window top-k.
+    */
+  private def scoreProbedCells(assigned: DataFrame, queries: DataFrame,
+                               qidCol: String, qvecCol: String,
+                               bcC: org.apache.spark.broadcast.Broadcast[Array[Array[Double]]],
+                               k: Int, nprobe: Int): DataFrame = {
+    val spark = assigned.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val qTyped = queries
+      .select(col(qidCol).cast("long"), transform(col(qvecCol), x => x.cast("double")))
+      .as[(Long, Array[Double])]
+    val qAssigned = qTyped.mapPartitions { rows =>
+      val cs = bcC.value
+      rows.flatMap { case (qid, qv) =>
+        probeCells(qv, cs, nprobe).iterator.map(c => (qid, qv, c))
+      }
+    }.toDF("qid", "qv", "cell")
+    val scored = qAssigned.join(assigned, "cell")
+      .select(col("qid"), col("id"), col("qv"), col("vec"))
+      .as[(Long, Long, Array[Double], Array[Double])]
+      .mapPartitions(_.map { case (qid, id, qv, v) => (qid, id, cos6(qv, v)) })
+      .toDF("qid", "id", "sim")
+    val w = Window.partitionBy(col("qid")).orderBy(desc("sim"), asc("id"))
+    scored.withColumn("rn", row_number().over(w)).where(col("rn") <= k).drop("rn")
+  }
+
+  /** Batch probe of an [[ivfBuildIndex]] index at rest: the union of all
+    * probed cells becomes the partition filter on the corpus scan (the
+    * scan touches only directories some query probes — at most
+    * `nlist`, typically far fewer for a clustered query load), then the
+    * per-query cell equi-join restricts each query to ITS `nprobe`
+    * cells. Same scoring + window cut as [[ivfTopKBatch]].
+    */
+  def ivfProbeIndexBatch(spark: SparkSession, dir: String, queries: DataFrame,
+                         qidCol: String, qvecCol: String,
+                         k: Int, nprobe: Int): DataFrame = {
+    import spark.implicits._
+    val centroids = spark.read.parquet(s"$dir/centroids")
+      .orderBy(col("cell"))
+      .select(col("centroid")).as[Seq[Double]].collect().map(_.toArray)
+    val bcC = spark.sparkContext.broadcast(centroids)
+    // the probed-cell union (≤ nlist values) — driver-side so it can be a
+    // PARTITION filter literal on the corpus scan
+    val probedUnion = queries
+      .select(transform(col(qvecCol), x => x.cast("double")))
+      .as[Array[Double]]
+      .mapPartitions { rows =>
+        val cs = bcC.value
+        rows.flatMap(qv => probeCells(qv, cs, nprobe).iterator)
+      }.distinct().collect().sorted
+    val corpus = spark.read.parquet(s"$dir/corpus")
+      .where(col("cell").isin(probedUnion.map(Integer.valueOf): _*))
+    scoreProbedCells(corpus, queries, qidCol, qvecCol, bcC, k, nprobe)
+  }
+
   /** The missing last step of [[ivfTopK]] at 100 TB: materialize the
     * IVF-assigned corpus AT REST, Hive-partitioned by `cell`, plus its
     * centroid table — so a probe query's `cell IN (...)` predicate becomes

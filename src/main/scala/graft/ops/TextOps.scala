@@ -29,8 +29,7 @@ object TextOps {
     * (Spark) and RE2 (DuckDB) produce identical matches and the count is
     * oracle-checkable with the SAME pattern string.
     */
-  val BpePattern: String =
-    "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+  val BpePattern: String = graft.kernel.Bpe.PretokenPattern
 
   /** BPE-ish pretoken count — the second token-counting mode a training
     * pipeline budgets with (whitespace tokens underestimate subword

@@ -63,6 +63,20 @@ class FunctionsSpec extends AnyFunSuite with SparkSuite {
     assert(q.queryExecution.executedPlan.toString.contains("*(1) Project [lang_id("))
   }
 
+  test("SQL bpe_count == kernel Bpe.countTokens, null-safe, codegen'd") {
+    val texts = PageGen.pages(80).map(_.text)
+    val df = texts.zipWithIndex.map(_.swap).toDF("i", "text").repartition(2)
+    val got = df.selectExpr("i", "bpe_count(text)").as[(Int, Int)].collect()
+      .sortBy(_._1).map(_._2)
+    assert(got.toSeq === texts.map(graft.kernel.Bpe.countTokens))
+    val withNull = Seq(Option("the rain in spain"), None).toDF("text")
+    assert(withNull.selectExpr("bpe_count(text)").as[Option[Int]].collect().toSet
+      === Set(Some(graft.kernel.Bpe.countTokens("the rain in spain")), None))
+    val q = df.selectExpr("bpe_count(text) AS n")
+    q.collect()
+    assert(q.queryExecution.executedPlan.toString.contains("*(1) Project [bpe_count("))
+  }
+
   test("expression compiles into WholeStageCodegen (no fallback)") {
     // repartition prevents ConvertToLocalRelation from constant-folding
     // the whole query at optimization time

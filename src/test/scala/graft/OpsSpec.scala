@@ -313,6 +313,103 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
     assert(filesRead === 4L, s"probe must scan only the probed cells, read $filesRead")
   }
 
+  test("nearDupFilter: end-to-end survivors equal the exact-Jaccard union-find oracle") {
+    // 25 near-dup families (base text + light per-member edits, jac >> 0.8)
+    // + 40 unique docs; ids interleaved so min-id reps span both ranges
+    def base(f: Int): String =
+      (0 until 60).map(w => s"tok${(f * 31 + w * 7) % 97} word$w").mkString(" ")
+    val docs: Seq[(Long, String)] =
+      (0 until 25).flatMap { f =>
+        (0 until 4).map { m =>
+          val t = base(f) + (if (m > 0) s" extra$m" else "")
+          (f * 10L + m, t)
+        }
+      } ++ (0 until 40).map(u => (1000L + u,
+        (0 until 50).map(w => s"uniq${u}x$w only$u").mkString(" ")))
+    val df = docs.toDF("doc_id", "text")
+    val got = Dedup.nearDupFilter(df, "doc_id", "text",
+        shingleK = 3, numHashes = 32, numBands = 8, threshold = 0.8,
+        maxBucket = 64)
+      .select($"doc_id").as[Long].collect().toSet
+    // oracle: exact shingle-set Jaccard all-pairs + union-find, plain Scala
+    val sets = docs.map { case (id, t) => id -> Dedup.shingleSet(t, 3).toSet }
+    val parent = scala.collection.mutable.Map(docs.map(d => d._1 -> d._1): _*)
+    def find(x: Long): Long = { var r = x; while (parent(r) != r) r = parent(r); r }
+    for (i <- sets.indices; j <- (i + 1) until sets.size) {
+      val (ia, sa) = sets(i); val (ib, sb) = sets(j)
+      val inter = sa.intersect(sb).size
+      val jac = inter.toDouble / (sa.size + sb.size - inter)
+      if (jac >= 0.8) {
+        val (ra, rb) = (find(ia), find(ib))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+    }
+    val want = docs.map(_._1).filter(id => find(id) == id).toSet
+    assert(got === want)
+    // exactly one survivor per family + every unique doc
+    assert(want.count(_ < 1000L) === 25 && want.count(_ >= 1000L) === 40)
+  }
+
+  test("ivf batch probe: all-cells equals per-query brute force; partial probe recall bounded") {
+    val queries = emb.where($"vec_id" < 12)
+      .select($"vec_id".as("qid"), $"embedding".as("qv"))
+    // nprobe == nlist probes everything → per-query result must EQUAL the
+    // single-query brute-force scan (same rounding, same tie-break)
+    val full = Similarity.ivfTopKBatch(emb, queries, "vec_id", "embedding",
+        "qid", "qv", k = 10, nlist = 16, nprobe = 16)
+      .as[(Long, Long, Double)].collect()
+      .groupBy(_._1).map { case (q, rs) => q -> rs.sortBy(r => (-r._3, r._2)).map(r => (r._2, r._3)).toSeq }
+    (0L until 12L).foreach { q =>
+      val bf = Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 10)
+        .as[(Long, Double)].collect().toSeq
+      assert(full(q) === bf, s"query $q")
+    }
+    // partial probe: every query keeps its self-hit (own cell is always
+    // probed) and mean recall@10 stays useful
+    val part = Similarity.ivfTopKBatch(emb, queries, "vec_id", "embedding",
+        "qid", "qv", k = 10, nlist = 16, nprobe = 4)
+      .as[(Long, Long, Double)].collect().groupBy(_._1)
+    val recalls = (0L until 12L).map { q =>
+      val got = part(q).map(_._2).toSet
+      assert(got.contains(q), s"query $q lost its self-hit")
+      got.intersect(full(q).map(_._1).toSet).size
+    }
+    info(s"batch IVF recall@10 at nprobe=4/16: mean ${recalls.sum / 12.0}/10")
+    assert(recalls.sum >= 12 * 4, "mean recall collapsed below 0.4")
+  }
+
+  test("ivf batch probe at rest: equals in-memory twin, scans only the probed-cell union") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-batch").toString
+    Similarity.ivfBuildIndex(emb, "vec_id", "embedding", dir, nlist = 16)
+    val queries = emb.where($"vec_id".isin(3L, 7L))
+      .select($"vec_id".as("qid"), $"embedding".as("qv"))
+    val stored = Similarity.ivfProbeIndexBatch(spark, dir, queries,
+        "qid", "qv", k = 10, nprobe = 2)
+      .as[(Long, Long, Double)].collect().toSet
+    val twin = Similarity.ivfTopKBatch(emb, queries, "vec_id", "embedding",
+        "qid", "qv", k = 10, nlist = 16, nprobe = 2)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(stored === twin)
+    // pruning proof: the corpus scan touches exactly the probed-cell
+    // union (2 queries × ≤2 cells → ≤4 of 16 one-file-per-cell dirs)
+    val centroids = spark.read.parquet(s"$dir/centroids").orderBy($"cell")
+      .select($"centroid").as[Seq[Double]].collect().map(_.toArray)
+    val union = Seq(3L, 7L).flatMap { q =>
+      val qv = emb.where($"vec_id" === q)
+        .select(expr("transform(embedding, x -> cast(x as double))"))
+        .as[Array[Double]].head()
+      Similarity.probeCells(qv, centroids, 2)
+    }.toSet
+    val pruned = spark.read.parquet(s"$dir/corpus")
+      .where($"cell".isin(union.toSeq.map(Integer.valueOf): _*))
+    pruned.collect()
+    val scan = pruned.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.head
+    assert(scan.metrics("numFiles").value === union.size.toLong)
+    assert(union.size <= 4)
+  }
+
   test("asof join: equals the per-key brute-force oracle, inclusive at equal ts") {
     import graft.ops.Relational
     val r = new scala.util.Random(61)
