@@ -783,6 +783,21 @@ object SparkEntry {
         .select(col("url"), col("source_type"),
           length(col("extracted_text")).as("text_len"), col("ok"))
     }),
+    // WET-style sidecar sink: extracted text written back out as WARC
+    // conversion-record archives (per-record gzip members) and parsed
+    // back — crawl-in/crawl-out symmetry; WarcSpec proves byte identity
+    // and strict grammar
+    "pipe32_wet_sink" -> ((s, _) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-pipe32").toString
+      val pages = fixturePages(s)
+      val docs = Extraction.extractAll(pages)
+        .join(pages.select(col("url"), col("warc_ts")), Seq("url"))
+        .select(col("url"), col("warc_ts"), col("extracted_text"))
+        .repartition(4)
+      graft.sources.Warc.writeConversions(docs, tmp)
+      graft.sources.Warc.readConversions(s, s"$tmp/*.warc.gz")
+        .select(col("url"), length(col("text")).as("text_len"))
+    }),
     // host/page authority over the link graph — damped PageRank power
     // iteration (the link-based quality weight; Common Crawl publishes
     // exactly this table for its own corpus), over pipe27's edge list

@@ -1254,6 +1254,95 @@ object MediaGen {
       le32(body.length) ++ body
   }
 
+  // ------------------------------------------------------------ MP4 writer
+  /** Minimal valid ISO-BMFF (ISO/IEC 14496-12) MP4: ftyp + moov with a
+    * video trak (VisualSampleEntry `codec`, real tkhd/mdhd/hdlr/stbl
+    * chain, per-frame stsz table) and an optional audio trak (`mp4a`
+    * AudioSampleEntry with the 16.16 sample rate), then an mdat of
+    * deterministic bytes. Codec-level frame payloads are fake (container
+    * metadata is the testable truth; frame decode is out of scope), but
+    * every box layout is spec-correct — `Media.probeMp4` round-trips all
+    * declared fields and real demuxers accept the structure.
+    */
+  def mp4(w: Int, h: Int, fps: Int, nFrames: Int, codec: String = "avc1",
+          audioRate: Int = 0, audioSamples: Int = 0,
+          data: Array[Byte] = null): Array[Byte] = {
+    require(w > 0 && h > 0 && fps > 0 && nFrames > 0 && codec.length == 4)
+    val ISO = java.nio.charset.StandardCharsets.ISO_8859_1
+    def be16(v: Int): Array[Byte] = Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def zeros(n: Int): Array[Byte] = new Array[Byte](n)
+    def box(typ: String, parts: Array[Byte]*): Array[Byte] = {
+      val body = parts.flatten.toArray
+      be32(8 + body.length) ++ typ.getBytes(ISO) ++ body
+    }
+    def full(typ: String, version: Int, flags: Int, parts: Array[Byte]*): Array[Byte] =
+      box(typ, Array[Byte](version.toByte, ((flags >> 16) & 0xff).toByte,
+        ((flags >> 8) & 0xff).toByte, (flags & 0xff).toByte) ++ parts.flatten)
+    val matrix = be32(0x10000) ++ be32(0) ++ be32(0) ++
+      be32(0) ++ be32(0x10000) ++ be32(0) ++
+      be32(0) ++ be32(0) ++ be32(0x40000000)
+    val durMs = nFrames * 1000 / fps
+
+    def tkhd(trackId: Int, tw: Int, th: Int): Array[Byte] =
+      full("tkhd", 0, 7, be32(0), be32(0), be32(trackId), be32(0), be32(durMs),
+        zeros(8), be16(0), be16(0), be16(0), be16(0), matrix,
+        be32(tw << 16), be32(th << 16))
+    def mdhd(timescale: Int, duration: Int): Array[Byte] =
+      full("mdhd", 0, 0, be32(0), be32(0), be32(timescale), be32(duration),
+        be16(0x55c4) /* 'und' */, be16(0))
+    def hdlr(handler: String): Array[Byte] =
+      full("hdlr", 0, 0, be32(0), handler.getBytes(ISO), zeros(12), Array[Byte](0))
+    val dinf = box("dinf", full("dref", 0, 0, be32(1), full("url ", 0, 1)))
+    def stblOf(entry: Array[Byte], count: Int, sizeEach: Int): Array[Byte] =
+      box("stbl",
+        full("stsd", 0, 0, be32(1), entry),
+        full("stts", 0, 0, be32(1), be32(count), be32(1)),
+        full("stsc", 0, 0, be32(1), be32(1), be32(count), be32(1)),
+        full("stsz", 0, 0, be32(0), be32(count),
+          (0 until count).map(_ => be32(sizeEach)).flatten.toArray),
+        full("stco", 0, 0, be32(1), be32(0)))
+
+    val visualEntry = {
+      val body = zeros(6) ++ be16(1) ++ // SampleEntry: reserved + dri
+        be16(0) ++ be16(0) ++ zeros(12) ++ // pre_defined/reserved
+        be16(w) ++ be16(h) ++
+        be32(0x00480000) ++ be32(0x00480000) ++ be32(0) ++ be16(1) ++
+        zeros(32) ++ be16(0x18) ++ be16(0xffff)
+      be32(8 + body.length) ++ codec.getBytes(ISO) ++ body
+    }
+    val videoTrak = box("trak", tkhd(1, w, h),
+      box("mdia", mdhd(fps, nFrames), hdlr("vide"),
+        box("minf", full("vmhd", 0, 1, be16(0), zeros(6)), dinf,
+          stblOf(visualEntry, nFrames, 64))))
+
+    val audioTrak =
+      if (audioRate <= 0) Array.emptyByteArray
+      else {
+        val entry = {
+          val body = zeros(6) ++ be16(1) ++
+            zeros(8) ++ be16(2) ++ be16(16) ++ be16(0) ++ be16(0) ++
+            be32(audioRate << 16)
+          be32(8 + body.length) ++ "mp4a".getBytes(ISO) ++ body
+        }
+        box("trak", tkhd(2, 0, 0),
+          box("mdia", mdhd(audioRate, audioSamples), hdlr("soun"),
+            box("minf", full("smhd", 0, 0, be16(0), be16(0)), dinf,
+              stblOf(entry, audioSamples, 128))))
+      }
+
+    val mvhd = full("mvhd", 0, 0, be32(0), be32(0), be32(1000), be32(durMs),
+      be32(0x00010000), be16(0x0100), be16(0), zeros(8), matrix,
+      zeros(24), be32(3))
+    val mdatBody =
+      if (data != null) data
+      else Array.tabulate(math.min(w * h * nFrames, 4096))(i =>
+        ((i * 131 + w * 7 + h * 13 + nFrames) & 0xff).toByte)
+    box("ftyp", "isom".getBytes(ISO), be32(0x200),
+      "isom".getBytes(ISO), "mp41".getBytes(ISO)) ++
+      box("moov", mvhd, videoTrak, audioTrak) ++
+      box("mdat", mdatBody)
+  }
+
   // ------------------------------------------------------------ GIF writer
   /** GIF89a writer: global colour table, optional 4-pass interlacing,
     * real LZW compression (variable-width codes with the decoder-lag
@@ -1705,14 +1794,24 @@ object MediaGen {
         case 2 =>
           val w = 8 + r.nextInt(24); val h = 8 + r.nextInt(16)
           val fps = 10 + r.nextInt(20); val frames = 1 + r.nextInt(30)
-          if (r.nextBoolean()) // real Motion-JPEG AVI
-            Media(i.toLong, s"https://host$host.example.com/vid/$i.avi", "video",
-              aviMjpeg(Seq.tabulate(frames)(_ =>
-                jpeg(Array.fill(w * h)(r.nextInt(256)), w, h)), w, h, fps))
-          else // stub container (stand-in for modern codecs)
-            Media(i.toLong, s"https://host$host.example.com/vid/$i", "video",
-              "VID1".getBytes ++ be32(w) ++ be32(h) ++ be32(fps) ++ be32(frames) ++
-                body(r, math.min(w * h * frames, 4096)))
+          r.nextInt(3) match {
+            case 0 => // real Motion-JPEG AVI
+              Media(i.toLong, s"https://host$host.example.com/vid/$i.avi", "video",
+                aviMjpeg(Seq.tabulate(frames)(_ =>
+                  jpeg(Array.fill(w * h)(r.nextInt(256)), w, h)), w, h, fps))
+            case 1 => // ISO-BMFF MP4 (real container walk; codec payload fake)
+              val codec = Seq("avc1", "hvc1", "vp09")(r.nextInt(3))
+              val withAudio = r.nextBoolean()
+              Media(i.toLong, s"https://host$host.example.com/vid/$i.mp4", "video",
+                mp4(w, h, fps, frames, codec,
+                  audioRate = if (withAudio) 8000 + 4000 * r.nextInt(3) else 0,
+                  audioSamples = if (withAudio) 64 + r.nextInt(512) else 0,
+                  data = body(r, math.min(w * h * frames, 4096))))
+            case _ => // stub container (stand-in for codec-library formats)
+              Media(i.toLong, s"https://host$host.example.com/vid/$i", "video",
+                "VID1".getBytes ++ be32(w) ++ be32(h) ++ be32(fps) ++ be32(frames) ++
+                  body(r, math.min(w * h * frames, 4096)))
+          }
         case 3 =>
           val w = 4 + r.nextInt(28); val h = 4 + r.nextInt(20)
           Media(i.toLong, s"https://host$host.example.com/img/$i.bmp", "image",

@@ -58,6 +58,132 @@ object Media {
   def isAvi(p: Array[Byte]): Boolean =
     p.length >= 12 && p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F' &&
       p(8) == 'A' && p(9) == 'V' && p(10) == 'I' && p(11) == ' '
+  def isMp4(p: Array[Byte]): Boolean =
+    p.length >= 12 && p(4) == 'f' && p(5) == 't' && p(6) == 'y' && p(7) == 'p'
+
+  // ------------------------------------------------- MP4 / ISO-BMFF probe
+
+  final case class Mp4Track(handler: String, codec: String,
+                            width: Int, height: Int, sampleRate: Int,
+                            sampleCount: Long, durationMs: Long)
+  final case class Mp4Info(brand: String, durationMs: Long,
+                           tracks: Vector[Mp4Track],
+                           mdatOffset: Int, mdatLength: Long)
+
+  private def be64(b: Array[Byte], o: Int): Long =
+    (be32(b, o).toLong << 32) | (be32(b, o + 4).toLong & 0xffffffffL)
+
+  /** MP4 (ISO/IEC 14496-12 ISO base media file format) box walk —
+    * container-level truth for the crawl's video column without a codec
+    * library: brand, movie duration, per-track handler ('vide'/'soun'),
+    * sample-entry codec fourcc (avc1, hvc1, vp09, mp4a, …), visual
+    * dimensions, audio sample rate, sample (frame) count and track
+    * duration, plus the `mdat` extent for payload statistics. Frame
+    * DECODE stays out of scope (H.264-era entropy coding needs a codec
+    * library — the documented stub boundary); everything the container
+    * itself declares is parsed for real.
+    *
+    * Structure per the spec: a file is a sequence of boxes
+    * `be32 size | fourcc type | payload` (size 1 → 64-bit largesize
+    * follows; size 0 → to end of enclosing scope); `moov`→`trak`→`mdia`→
+    * `minf`→`stbl` are pure containers; full boxes (`mvhd`/`mdhd`/…)
+    * prefix a version byte that switches 32/64-bit time fields. All
+    * reads are bounds-checked — malformed input throws (C5: caller
+    * isolates per row).
+    */
+  def probeMp4(p: Array[Byte]): Mp4Info = {
+    require(isMp4(p), "not ISO-BMFF")
+
+    // (type, bodyStart, boxEnd) triples of the direct children in
+    // [start, end); strict — a box overrunning its parent throws
+    def boxes(start: Int, end: Int): Vector[(String, Int, Int)] = {
+      val out = Vector.newBuilder[(String, Int, Int)]
+      var off = start
+      while (off < end) {
+        require(off + 8 <= end, "truncated box header")
+        var size = be32(p, off).toLong & 0xffffffffL
+        val typ = new String(p, off + 4, 4, java.nio.charset.StandardCharsets.ISO_8859_1)
+        var hdr = 8
+        if (size == 1) {
+          require(off + 16 <= end, "truncated largesize")
+          size = be64(p, off + 8); hdr = 16
+        } else if (size == 0) size = (end - off).toLong
+        require(size >= hdr && off + size <= end,
+          s"bad box size $size for '$typ'")
+        out += ((typ, off + hdr, (off + size).toInt))
+        off = (off + size).toInt
+      }
+      out.result()
+    }
+    def find(bs: Vector[(String, Int, Int)], typ: String): Option[(Int, Int)] =
+      bs.collectFirst { case (t, b, e) if t == typ => (b, e) }
+
+    val top = boxes(0, p.length)
+    val brand = find(top, "ftyp").map { case (b, e) =>
+      require(b + 4 <= e, "truncated ftyp")
+      new String(p, b, 4, java.nio.charset.StandardCharsets.ISO_8859_1)
+    }.getOrElse("")
+    val mdat = find(top, "mdat")
+    val (moovB, moovE) = find(top, "moov")
+      .getOrElse(throw new IllegalArgumentException("no moov box"))
+    val moov = boxes(moovB, moovE)
+
+    // full-box (timescale, duration) with the v0/v1 32/64-bit switch;
+    // `at` = offset of the timescale field for version 0
+    def timeFields(b: Int, at0: Int): (Long, Long) = {
+      val v = p(b) & 0xff
+      // v1 widens creation/modification to 64-bit, shifting timescale by
+      // +8 and making duration itself 64-bit
+      if (v == 1) (be32(p, b + at0 + 8).toLong & 0xffffffffL, be64(p, b + at0 + 12))
+      else (be32(p, b + at0).toLong & 0xffffffffL, be32(p, b + at0 + 4).toLong & 0xffffffffL)
+    }
+    def durMs(b: Int, at0: Int): Long = {
+      val (scale, dur) = timeFields(b, at0)
+      if (scale == 0) 0L else dur * 1000L / scale
+    }
+    // mvhd v0: vf(4) cre(4) mod(4) → timescale at body+12
+    val movieDurMs = find(moov, "mvhd").map { case (b, _) => durMs(b, 12) }.getOrElse(0L)
+
+    val tracks = moov.collect { case ("trak", tb, te) =>
+      val trak = boxes(tb, te)
+      val (mdiaB, mdiaE) = find(trak, "mdia")
+        .getOrElse(throw new IllegalArgumentException("trak without mdia"))
+      val mdia = boxes(mdiaB, mdiaE)
+      // mdhd v0: vf(4) cre(4) mod(4) → timescale at body+12
+      val trackDurMs = find(mdia, "mdhd").map { case (b, _) => durMs(b, 12) }.getOrElse(0L)
+      // hdlr: vf(4) pre_defined(4) handler_type(4)
+      val handler = find(mdia, "hdlr").map { case (b, e) =>
+        require(b + 12 <= e, "truncated hdlr")
+        new String(p, b + 8, 4, java.nio.charset.StandardCharsets.ISO_8859_1)
+      }.getOrElse("")
+      val stbl = find(mdia, "minf").map { case (b, e) => boxes(b, e) }
+        .flatMap(minf => find(minf, "stbl")).map { case (b, e) => boxes(b, e) }
+        .getOrElse(Vector.empty)
+      // stsd: vf(4) entry_count(4), first entry: size(4) format(4) …;
+      // VisualSampleEntry carries width/height at entry+32, Audio the
+      // 16.16 sample rate at entry+32 (both per ISO 14496-12 layouts)
+      val (codec, w, h, rate) = find(stbl, "stsd").map { case (b, e) =>
+        require(b + 16 <= e, "truncated stsd")
+        val entry = b + 8
+        val fmt = new String(p, entry + 4, 4, java.nio.charset.StandardCharsets.ISO_8859_1)
+        val isVideo = handler == "vide"
+        val isAudio = handler == "soun"
+        val wv = if (isVideo && entry + 36 <= e) be32(p, entry + 32) >>> 16 else 0
+        val hv = if (isVideo && entry + 36 <= e) be32(p, entry + 32) & 0xffff else 0
+        val rv = if (isAudio && entry + 36 <= e) be32(p, entry + 32) >>> 16 else 0
+        (fmt, wv, hv, rv)
+      }.getOrElse(("", 0, 0, 0))
+      // stsz: vf(4) sample_size(4) sample_count(4)
+      val nSamples = find(stbl, "stsz").map { case (b, e) =>
+        require(b + 12 <= e, "truncated stsz")
+        be32(p, b + 8).toLong & 0xffffffffL
+      }.getOrElse(0L)
+      Mp4Track(handler, codec, w, h, rate, nSamples, trackDurMs)
+    }
+    Mp4Info(brand, movieDurMs, tracks,
+      mdat.map(_._1).getOrElse(-1),
+      mdat.map { case (b, e) => (e - b).toLong }.getOrElse(0L))
+  }
 
   /** BMP → per-pixel 0–255 luminance (BT.601 integer weights for 24/32
     * bpp; the raw index byte for 8 bpp — palettes carry presentation, not

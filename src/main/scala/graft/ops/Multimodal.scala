@@ -138,7 +138,28 @@ object Multimodal {
       fromDecoded(m, graft.kernel.WebP.decode(m.payload))
     else if (graft.kernel.Flac.isFlac(m.payload))
       fromDecoded(m, graft.kernel.Flac.decode(m.payload))
-    else {
+    else if (graft.kernel.Media.isMp4(m.payload)) {
+      // ISO-BMFF: container metadata is REAL (box walk — codec fourcc,
+      // dimensions, duration, per-track sample counts); frame decode
+      // stays out of scope, so levels/thumb are raw mdat statistics
+      // like the stub path
+      val info = graft.kernel.Media.probeMp4(m.payload)
+      val vide = info.tracks.find(_.handler == "vide")
+      val soun = info.tracks.find(_.handler == "soun")
+      val dataOff = if (info.mdatOffset >= 0) info.mdatOffset else m.payload.length
+      val (mean, hist) = stats(m.payload, dataOff)
+      val body = m.payload.length - dataOff
+      val tn = math.min(64, body)
+      val thumb = Array.tabulate(tn)(i => m.payload(dataOff + (i.toLong * body / tn).toInt))
+      val frames = vide.map(_.sampleCount.toInt).getOrElse(0)
+      val sampled = if (frames <= 1) frames else (frames + 4) / 5
+      MediaFeatures(m.media_id, m.kind,
+        vide.orElse(soun).map(_.codec).getOrElse(info.brand),
+        vide.map(_.width).getOrElse(0), vide.map(_.height).getOrElse(0),
+        soun.map(_.sampleRate).getOrElse(0), frames,
+        m.payload.length.toLong, mean, hist.toSeq, thumb.toSeq, tn, sampled,
+        ok = true, error = "")
+    } else {
       val magic = new String(m.payload.take(4), java.nio.charset.StandardCharsets.ISO_8859_1)
       val (w, h, rate, frames, dataOff) = magic match {
         case "IMG1" => (be32(m.payload, 4), be32(m.payload, 8), 0, 1, 12)

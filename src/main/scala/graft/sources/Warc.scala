@@ -38,7 +38,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Warc {
 
   final case class WarcRecord(url: String, warcTsMs: Long,
-                              httpContentType: String, body: Array[Byte])
+                              httpContentType: String, body: Array[Byte],
+                              warcType: String = "response")
 
   final class WarcError(msg: String) extends RuntimeException(msg)
 
@@ -122,6 +123,7 @@ object Warc {
               var warcType = ""
               var uri = ""
               var date = ""
+              var recContentType = ""
               var contentLength = -1L
               var hdr = readLine().getOrElse(throw new WarcError("EOF in record headers"))
               while (hdr.nonEmpty) {
@@ -133,6 +135,7 @@ object Warc {
                     case "warc-type" => warcType = v
                     case "warc-target-uri" => uri = v
                     case "warc-date" => date = v
+                    case "content-type" => recContentType = v
                     case "content-length" => contentLength = v.toLong
                     case _ =>
                   }
@@ -142,7 +145,15 @@ object Warc {
               if (contentLength < 0 || contentLength > MaxRecordBytes)
                 throw new WarcError(s"bad Content-Length $contentLength")
               val block = readFully(contentLength.toInt)
-              if (warcType == "response" && uri.nonEmpty) {
+              if (warcType == "conversion" && uri.nonEmpty) {
+                // WET-style conversion record: the block IS the payload
+                // (no HTTP message to strip); content type comes from the
+                // record's own Content-Type field
+                val tsMs =
+                  try java.time.Instant.parse(date).toEpochMilli
+                  catch { case _: Exception => 0L }
+                nextRec = WarcRecord(uri, tsMs, recContentType, block, "conversion")
+              } else if (warcType == "response" && uri.nonEmpty) {
                 var hdrEnd = 0
                 var found = false
                 while (!found && hdrEnd + 3 < block.length) {
@@ -218,8 +229,91 @@ object Warc {
       .flatMap { case (_, bytes) =>
         val in = open(bytes)
         goodPrefix(parseStream(in), in)
+          .filter(_.warcType == "response")
           .map(r => (r.url, new java.sql.Timestamp(r.warcTsMs), r.body))
       }
       .toDF("url", "warc_ts", "html")
+  }
+
+  // ------------------------------------------ WET-style conversion sink
+
+  /** One `conversion` record (the WET sidecar grammar: ISO 28500 §6.8 —
+    * the re-encoded content of a prior response record): version line,
+    * WARC named fields, blank line, UTF-8 text block, record terminator.
+    */
+  def conversionRecord(url: String, tsMs: Long, text: String): Array[Byte] = {
+    val body = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val date = java.time.Instant.ofEpochMilli(tsMs).toString
+    val hdr = Seq(
+      "WARC/1.1",
+      "WARC-Type: conversion",
+      s"WARC-Target-URI: $url",
+      s"WARC-Date: $date",
+      s"Content-Length: ${body.length}",
+      "Content-Type: text/plain; charset=UTF-8",
+      "").mkString("", "\r\n", "\r\n")
+      .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    hdr ++ body ++ "\r\n\r\n".getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+  }
+
+  /** Write extracted documents back out as WET-style `.warc.gz` archives
+    * — crawl-in/crawl-out symmetry: the corpus leaves the engine in the
+    * same container it arrived in, one gzip member per record (the crawl
+    * convention [[read]] relies on), one archive per partition, written
+    * through the Hadoop FileSystem API straight from the executors (no
+    * driver collect; repartition upstream to size archives ~1 GB at
+    * corpus scale). Timestamps come from the rows' `warc_ts` — no wall
+    * clock, so output bytes are deterministic. Task retries overwrite
+    * their own file (idempotent per partition). Returns records written.
+    *
+    * `docs` must carry `url`, `warc_ts`, `extracted_text`.
+    */
+  def writeConversions(docs: DataFrame, dir: String): Long = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration).mkdirs(
+        new org.apache.hadoop.fs.Path(dir))
+    val counts = docs
+      .select($"url", $"warc_ts", $"extracted_text")
+      .as[(String, java.sql.Timestamp, String)]
+      .mapPartitions { it =>
+        if (it.isEmpty) Iterator.empty
+        else {
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          val path = new org.apache.hadoop.fs.Path(dir, f"wet-$pid%05d.warc.gz")
+          val fs = path.getFileSystem(new org.apache.hadoop.conf.Configuration())
+          val out = fs.create(path, true)
+          var n = 0L
+          try {
+            it.foreach { case (url, ts, text) =>
+              val gz = new java.util.zip.GZIPOutputStream(out, 64 * 1024)
+              gz.write(conversionRecord(url, ts.getTime, text))
+              gz.finish() // end the member, keep the file stream open
+              n += 1
+            }
+          } finally out.close()
+          Iterator.single(n)
+        }
+      }
+    counts.collect().sum
+  }
+
+  /** Read WET-style archives back as `(url, warc_ts, text)` — the
+    * parse-back half of the byte-identity check on [[writeConversions]]
+    * (WarcSpec asserts read-back text == the column that was written).
+    */
+  def readConversions(spark: SparkSession, pathGlob: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(pathGlob)
+      .select($"path", $"content").as[(String, Array[Byte])]
+      .flatMap { case (_, bytes) =>
+        val in = open(bytes)
+        goodPrefix(parseStream(in), in)
+          .filter(_.warcType == "conversion")
+          .map(r => (r.url, new java.sql.Timestamp(r.warcTsMs),
+            new String(r.body, java.nio.charset.StandardCharsets.UTF_8)))
+      }
+      .toDF("url", "warc_ts", "text")
   }
 }

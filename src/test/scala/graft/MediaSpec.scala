@@ -599,6 +599,45 @@ class MediaSpec extends AnyFunSuite {
     intercept[Exception](Media.decodeAvi(lying))
   }
 
+  test("mp4: box walk round-trips codec/dims/duration/counts; malformed boxes rejected") {
+    import graft.ops.Multimodal
+    // video-only
+    val v = MediaGen.mp4(w = 320, h = 180, fps = 25, nFrames = 50, codec = "avc1")
+    assert(Media.isMp4(v))
+    val vi = Media.probeMp4(v)
+    assert(vi.brand === "isom" && vi.durationMs === 2000L)
+    assert(vi.tracks.map(_.handler) === Vector("vide"))
+    val vt = vi.tracks.head
+    assert(vt.codec === "avc1" && vt.width === 320 && vt.height === 180)
+    assert(vt.sampleCount === 50L && vt.durationMs === 2000L)
+    assert(vi.mdatOffset > 0 && vi.mdatLength > 0)
+    // video + audio, a different codec fourcc
+    val av = MediaGen.mp4(w = 64, h = 48, fps = 30, nFrames = 90, codec = "hvc1",
+      audioRate = 16000, audioSamples = 48000)
+    val ai = Media.probeMp4(av)
+    assert(ai.tracks.map(_.handler) === Vector("vide", "soun"))
+    assert(ai.tracks(0).codec === "hvc1" && ai.tracks(0).sampleCount === 90L)
+    assert(ai.tracks(1).codec === "mp4a" && ai.tracks(1).sampleRate === 16000)
+    assert(ai.tracks(1).durationMs === 3000L) // 48000 samples @ 16 kHz
+    // dispatch through the feature stage: real container metadata, ok row
+    val f = Multimodal.decodeOne(Multimodal.Media(1L, "u", "video", av))
+    assert(f.ok && f.codec === "hvc1" && f.width === 64 && f.height === 48)
+    assert(f.n_frames === 90 && f.sample_rate === 16000 && f.sampled_frames === 18)
+    // malformed: box overrunning the file, truncation, missing moov
+    val lying = v.clone()
+    lying(0) = 0x7f.toByte // ftyp size becomes enormous
+    intercept[Exception](Media.probeMp4(lying))
+    intercept[Exception](Media.probeMp4(v.take(40)))
+    intercept[Exception](Media.probeMp4(
+      Array[Byte](0, 0, 0, 16) ++ "ftypisom".getBytes ++ be32int(0x200)))
+    // feature stage isolates the failure as a row, never a throw
+    assert(!Multimodal.decodeOne(Multimodal.Media(2L, "u", "video", v.take(40))).ok)
+  }
+
+  private def be32int(v: Int): Array[Byte] =
+    Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+
   test("jpeg: grayscale round-trip within coefficient-rounding tolerance") {
     val r = new scala.util.Random(31)
     val (w, h) = (37, 22) // partial edge blocks on both axes
@@ -773,7 +812,8 @@ class MediaSpec extends AnyFunSuite {
       Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte),
       Array(0xff, 0xd8, 0xff).map(_.toByte),
       "GIF89a".getBytes,
-      "IMG1".getBytes, "AUD1".getBytes, "VID1".getBytes)
+      "IMG1".getBytes, "AUD1".getBytes, "VID1".getBytes,
+      Array[Byte](0, 0, 0, 24) ++ "ftypisom".getBytes)
     (1 to 400).foreach { k =>
       val body = new Array[Byte](r.nextInt(300))
       r.nextBytes(body)

@@ -698,10 +698,17 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
     assert(feats.count() === 200)
     assert(feats.where(!$"ok").count() === 0)
     assert(feats.select($"kind").distinct().count() === 3)
-    // all twelve codecs present: nine real decoders + three stub containers
-    assert(feats.select($"codec").distinct().as[String].collect().toSet
-      === Set("jpeg", "gif", "bmp", "wav", "flac", "png", "mjpeg", "tiff", "webp",
-        "img1", "aud1", "vid1"))
+    // nine real decoders + three stub containers always present; the MP4
+    // mix contributes whichever sample-entry fourccs the seed drew
+    val codecs = feats.select($"codec").distinct().as[String].collect().toSet
+    val required = Set("jpeg", "gif", "bmp", "wav", "flac", "png", "mjpeg",
+      "tiff", "webp", "img1", "aud1", "vid1")
+    assert(required.subsetOf(codecs), s"missing ${required -- codecs}")
+    assert((codecs -- required).subsetOf(Set("avc1", "hvc1", "vp09")),
+      s"unexpected ${codecs -- required -- Set("avc1", "hvc1", "vp09")}")
+    // ISO-BMFF rows carry real container metadata
+    assert(feats.where($"codec".isin("avc1", "hvc1", "vp09") &&
+      ($"width" <= 0 || $"height" <= 0 || $"n_frames" <= 0)).count() === 0)
     assert(feats.where($"codec" === "flac" && $"sample_rate" <= 0).count() === 0)
     assert(feats.where($"codec" === "mjpeg" &&
       ($"width" <= 0 || $"n_frames" <= 0 || $"sample_rate" <= 0)).count() === 0)

@@ -47,6 +47,38 @@ class WarcSpec extends AnyFunSuite with SparkSuite {
     intercept[Exception](Warc.parse(bomb))
   }
 
+  test("wet sink: conversion archives round-trip text byte-exactly, valid grammar, per-record members") {
+    val pages = PageGen.pages(50, seed = 79L)
+    val dir = java.nio.file.Files.createTempDirectory("graft-wet").toString
+    val pagesDf = spark.createDataset(pages).toDF()
+    val docs = graft.pipeline.Extraction.extractAll(pagesDf)
+      .join(pagesDf.select($"url", $"warc_ts"), Seq("url"))
+      .select($"url", $"warc_ts", $"extracted_text").repartition(3)
+    val written = Warc.writeConversions(docs, dir)
+    assert(written === pages.length)
+    val files = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".warc.gz"))
+    assert(files.length === 3)
+    // per-record gzip members (crawl-convention random access)
+    val oneFile = java.nio.file.Files.readAllBytes(files.head.toPath)
+    val magics = oneFile.sliding(2).count(w => (w(0) & 0xff) == 0x1f && (w(1) & 0xff) == 0x8b)
+    val strictRecs = Warc.parse(oneFile) // STRICT parse: grammar must hold
+    assert(magics === strictRecs.length && strictRecs.nonEmpty)
+    assert(strictRecs.forall(r => r.warcType == "conversion" &&
+      r.httpContentType.startsWith("text/plain")))
+    // the byte-identity contract: parse-back == the column that was written
+    val back = Warc.readConversions(spark, s"$dir/*.warc.gz")
+      .select($"url", $"text").as[(String, String)].collect().toMap
+    val want = docs.select($"url", $"extracted_text")
+      .as[(String, String)].collect().toMap
+    assert(back === want)
+    // timestamps survive (no wall clock in the record grammar)
+    val ts = Warc.readConversions(spark, s"$dir/*.warc.gz")
+      .select($"url", $"warc_ts").as[(String, java.sql.Timestamp)].collect().toMap
+    pages.foreach(p => assert(ts(p.url) === p.warc_ts))
+    // read() must NOT surface conversion records as crawl pages
+    assert(Warc.read(spark, s"$dir/*.warc.gz").count() === 0L)
+  }
+
   test("warc: Spark read path feeds extraction to byte-identical truth") {
     val pages = PageGen.pages(60, seed = 78L)
     val dir = java.nio.file.Files.createTempDirectory("graft-warc").toString
