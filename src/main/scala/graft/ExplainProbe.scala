@@ -87,6 +87,25 @@ object ExplainProbe {
         .explain("formatted")
     }
 
+    println("==== pipe29 BATCH IVF probe (want: cell equi-join + WindowGroupLimit " +
+      "partial top-k BEFORE the qid exchange, no cartesian) ====")
+    locally {
+      val q = emb.where(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      graft.ops.Similarity.ivfTopKBatch(emb, q, "vec_id", "embedding",
+        "qid", "qv", k = 5, nlist = 16, nprobe = 4).explain("formatted")
+    }
+
+    println("==== q57 Bloom anti-join, string keys (want: union of definitely-new " +
+      "filter scan + anti join on the maybe-seen sliver + null-key branch) ====")
+    locally {
+      val docs = s.read.parquet(s"$sfDir/documents.parquet")
+      val h = docs.select(col("doc_id"), col("lang"), sha2(col("text"), 256).as("content_hash"))
+      val seen = h.where(col("doc_id") % 7 === 0).select(col("content_hash"))
+      graft.ops.Relational.antiJoinBloom(h, seen, "content_hash",
+        expectedItems = 100000L, fpp = 0.01).explain("formatted")
+    }
+
     println("==== q30 to_json projection (want: 2-column ReadSchema + limit pushdown) ====")
     s.read.parquet(s"$sfDir/documents.parquet").orderBy(asc("doc_id")).limit(100)
       .select(col("doc_id"),

@@ -133,6 +133,19 @@ class HtmlKernelSpec extends AnyFunSuite {
     // unknown labels are skipped, not fatal; later valid labels win
     val unk = enc("<meta charset=\"x-banana\"><meta charset=\"koi8-r\">", "US-ASCII")
     assert(CharsetSniff.sniff(unk) === "KOI8-R")
+    // a '>' INSIDE a quoted attribute value must not truncate the tag
+    // before the charset label (WHATWG get-an-attribute: quoted values
+    // are skipped when finding the tag end)
+    val gtInAttr = enc("<meta content=\"a>b; charset=windows-1251\" " +
+      "http-equiv=\"Content-Type\"><p>x</p>", "US-ASCII")
+    assert(CharsetSniff.sniff(gtInAttr) === "windows-1251")
+    val gtSingle = enc("<meta content='x>y' charset='koi8-r'>", "US-ASCII")
+    assert(CharsetSniff.sniff(gtSingle) === "KOI8-R")
+    // ...but a REAL tag end before the label still bounds the tag: the
+    // charset label in a FOLLOWING tag's attribute is that tag's
+    val closed = "<meta content=\"a\"><p>charset=latin1 talk</p>".getBytes("UTF-8") ++
+      Array(0xf0.toByte) // invalid UTF-8 tail → must fall back to 1252
+    assert(CharsetSniff.sniff(closed) === "windows-1252")
     // charset= OUTSIDE a <meta> tag must NOT override detection (review
     // fix: an href query string or inline JS is not a declaration)
     val href = "<a href=\"/convert?charset=latin1\">x</a><p>sch\u00f6n \u00fcberall</p>".getBytes("UTF-8")
