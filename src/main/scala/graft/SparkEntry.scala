@@ -510,6 +510,41 @@ object SparkEntry {
         .groupBy(col("split"), col("lang"))
         .agg(count(lit(1)).as("docs"), sum(col("n_chars")).as("chars"))
     }),
+    // per-document n-gram REPETITION signals (the FineWeb/Gopher-family
+    // "fraction of duplicated n-grams" quality metric): top-bigram share
+    // and duplicate-bigram fraction. Deliberately the SHUFFLE shape
+    // (explode → per-(doc,bigram) count → per-doc rollup), not a per-row
+    // O(n²) array expression — a 100 KB document must not cost 10^10
+    // comparisons inside a single task at corpus scale
+    "q58_repetition" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
+      val bigrams = toks.where(size(col("toks")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(toks) - 1), i -> concat(toks[i - 1], ' ', toks[i]))"))
+          .as("bigram"))
+      bigrams.groupBy(col("doc_id"), col("bigram")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("total"),
+          max(col("c")).as("max_c"),
+          count(lit(1)).as("distinct_bigrams"))
+        .select(col("doc_id"),
+          round(col("max_c") / col("total"), 4).as("top_bigram_frac"),
+          round(lit(1.0) - col("distinct_bigrams") / col("total"), 4).as("dup_bigram_frac"))
+    }),
+    // SURT-style host key reversal (org.example.www) — the canonical
+    // crawl SORT KEY (Common Crawl index files are SURT-ordered so one
+    // domain's pages cluster in adjacent rows/partitions); census per
+    // reversed key proves the expression against a DuckDB string mirror
+    "q59_surt_keys" -> ((s, dir) => {
+      val url = concat(lit("https://sub"), (col("event_id") % 3).cast("string"),
+        lit(".host"), (col("user_id") % 50).cast("string"),
+        lit(".example.com/p/"), col("event_type"))
+      t(s, dir, "events")
+        .select(array_join(reverse(split(parse_url(url, lit("HOST")), "\\.")), ".")
+          .as("surt_host"))
+        .groupBy(col("surt_host")).agg(count(lit(1)).as("pages"))
+    }),
     // corpus bigram counts (contamination/dedup diagnostics): top-20 by
     // count with a lexicographic tie-break so the cut is total
     "q47_bigram_counts" -> ((s, dir) => {
@@ -1077,6 +1112,13 @@ object SparkEntry {
     // identical answer to q05 — the point of q49 is the PLAN (bucketed
     // co-located join, no exchange), asserted in OpsSpec
     "q49_bucketed_join" -> "SELECT c.c_mktsegment, count(*) AS orders_cnt, CAST(sum(CAST(round(o.o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS total_cents FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey GROUP BY c.c_mktsegment",
+    "q58_repetition" -> ("WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents), " +
+      "b AS (SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS bigram FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM tok WHERE len(toks) >= 2)), " +
+      "pc AS (SELECT doc_id, bigram, count(*) AS c FROM b GROUP BY doc_id, bigram), " +
+      "agg AS (SELECT doc_id, sum(c) AS total, max(c) AS max_c, count(*) AS distinct_bigrams FROM pc GROUP BY doc_id) " +
+      "SELECT doc_id, round(max_c / total, 4) AS top_bigram_frac, round(1.0 - distinct_bigrams / total, 4) AS dup_bigram_frac FROM agg"),
+    "q59_surt_keys" -> ("WITH u AS (SELECT 'sub' || CAST(event_id % 3 AS VARCHAR) || '.host' || CAST(user_id % 50 AS VARCHAR) || '.example.com' AS host FROM events) " +
+      "SELECT array_to_string(list_reverse(string_split(host, '.')), '.') AS surt_host, count(*) AS pages FROM u GROUP BY 1"),
     "q47_bigram_counts" -> ("WITH tok AS (SELECT regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents), " +
       "b AS (SELECT toks[i] || ' ' || toks[i + 1] AS bigram FROM (SELECT toks, unnest(range(1, len(toks))) AS i FROM tok)), " +
       "c AS (SELECT bigram, count(*) AS cnt FROM b GROUP BY bigram) " +
