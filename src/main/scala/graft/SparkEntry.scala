@@ -532,6 +532,28 @@ object SparkEntry {
           round(col("max_c") / col("total"), 4).as("top_bigram_frac"),
           round(lit(1.0) - col("distinct_bigrams") / col("total"), 4).as("dup_bigram_frac"))
     }),
+    // corpus-duplicated n-gram fraction (Lee et al. 2022 "Deduplicating
+    // Training Data" substring-dedup signal): per document, the share of
+    // its 8-token-grams that occur more than once ANYWHERE in the corpus
+    // — the metric that decides whether span-level dedup is worth
+    // running. Same shuffle shape as q58 (explode → global gram counts →
+    // rejoin → per-doc rollup); grams are exact token strings so the
+    // DuckDB oracle is byte-equivalent
+    "q60_dup_ngram_frac" -> ((s, dir) => {
+      val n = 8
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
+      val grams = toks.where(size(col("toks")) >= n)
+        .select(col("doc_id"), explode(expr(
+          s"transform(sequence(1, size(toks) - ${n - 1}), i -> array_join(slice(toks, i, $n), ' '))"))
+          .as("gram"))
+      val counts = grams.groupBy(col("gram")).agg(count(lit(1)).as("c"))
+      grams.join(counts, Seq("gram"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("total"),
+          sum(when(col("c") > 1, 1L).otherwise(0L)).as("dup"))
+        .select(col("doc_id"), round(col("dup") / col("total"), 4).as("dup_gram_frac"))
+    }),
     // SURT-style host key reversal (org.example.www) — the canonical
     // crawl SORT KEY (Common Crawl index files are SURT-ordered so one
     // domain's pages cluster in adjacent rows/partitions); census per
@@ -1119,6 +1141,11 @@ object SparkEntry {
       "SELECT doc_id, round(max_c / total, 4) AS top_bigram_frac, round(1.0 - distinct_bigrams / total, 4) AS dup_bigram_frac FROM agg"),
     "q59_surt_keys" -> ("WITH u AS (SELECT 'sub' || CAST(event_id % 3 AS VARCHAR) || '.host' || CAST(user_id % 50 AS VARCHAR) || '.example.com' AS host FROM events) " +
       "SELECT array_to_string(list_reverse(string_split(host, '.')), '.') AS surt_host, count(*) AS pages FROM u GROUP BY 1"),
+    "q60_dup_ngram_frac" -> ("WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents), " +
+      "g AS (SELECT doc_id, array_to_string(toks[i : i + 7], ' ') AS gram FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 6)) AS i FROM tok WHERE len(toks) >= 8)), " +
+      "c AS (SELECT gram, count(*) AS c FROM g GROUP BY gram) " +
+      "SELECT doc_id, round(sum(CASE WHEN c.c > 1 THEN 1 ELSE 0 END) / count(*), 4) AS dup_gram_frac " +
+      "FROM g JOIN c USING (gram) GROUP BY doc_id"),
     "q47_bigram_counts" -> ("WITH tok AS (SELECT regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents), " +
       "b AS (SELECT toks[i] || ' ' || toks[i + 1] AS bigram FROM (SELECT toks, unnest(range(1, len(toks))) AS i FROM tok)), " +
       "c AS (SELECT bigram, count(*) AS cnt FROM b GROUP BY bigram) " +

@@ -246,29 +246,37 @@ object Similarity extends Serializable {
       val cs = bcC.value
       rows.map { case (id, v) => (id, v, nearestCell(v, cs)) }
     }.toDF("id", "vec", "cell")
-    scoreProbedCells(assigned, queries, qidCol, qvecCol, bcC, k, nprobe)
+    scoreProbedCells(assigned, assignQueries(queries, qidCol, qvecCol, bcC, nprobe), k)
   }
 
   /** The probe half shared by [[ivfTopKBatch]] and
     * [[ivfProbeIndexBatch]]: queries → (qid, qv, cell) fan-out, cell
     * equi-join, primitive-kernel scoring, per-query window top-k.
     */
-  private def scoreProbedCells(assigned: DataFrame, queries: DataFrame,
-                               qidCol: String, qvecCol: String,
-                               bcC: org.apache.spark.broadcast.Broadcast[Array[Array[Double]]],
-                               k: Int, nprobe: Int): DataFrame = {
+  /** Queries fanned out to their `nprobe` probed cells:
+    * `(qid, qv, cell)`, nprobe rows per query.
+    */
+  private def assignQueries(queries: DataFrame, qidCol: String, qvecCol: String,
+                            bcC: org.apache.spark.broadcast.Broadcast[Array[Array[Double]]],
+                            nprobe: Int): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    queries
+      .select(col(qidCol).cast("long"), transform(col(qvecCol), x => x.cast("double")))
+      .as[(Long, Array[Double])]
+      .mapPartitions { rows =>
+        val cs = bcC.value
+        rows.flatMap { case (qid, qv) =>
+          probeCells(qv, cs, nprobe).iterator.map(c => (qid, qv, c))
+        }
+      }.toDF("qid", "qv", "cell")
+  }
+
+  private def scoreProbedCells(assigned: DataFrame, qAssigned: DataFrame,
+                               k: Int): DataFrame = {
     val spark = assigned.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
-    val qTyped = queries
-      .select(col(qidCol).cast("long"), transform(col(qvecCol), x => x.cast("double")))
-      .as[(Long, Array[Double])]
-    val qAssigned = qTyped.mapPartitions { rows =>
-      val cs = bcC.value
-      rows.flatMap { case (qid, qv) =>
-        probeCells(qv, cs, nprobe).iterator.map(c => (qid, qv, c))
-      }
-    }.toDF("qid", "qv", "cell")
     val scored = qAssigned.join(assigned, "cell")
       .select(col("qid"), col("id"), col("qv"), col("vec"))
       .as[(Long, Long, Array[Double], Array[Double])]
@@ -293,18 +301,20 @@ object Similarity extends Serializable {
       .orderBy(col("cell"))
       .select(col("centroid")).as[Seq[Double]].collect().map(_.toArray)
     val bcC = spark.sparkContext.broadcast(centroids)
-    // the probed-cell union (≤ nlist values) — driver-side so it can be a
-    // PARTITION filter literal on the corpus scan
-    val probedUnion = queries
-      .select(transform(col(qvecCol), x => x.cast("double")))
-      .as[Array[Double]]
-      .mapPartitions { rows =>
-        val cs = bcC.value
-        rows.flatMap(qv => probeCells(qv, cs, nprobe).iterator)
-      }.distinct().collect().sorted
+    // ONE query fan-out pass, persisted: the probed-cell union (≤ nlist
+    // values, collected driver-side so it can be a PARTITION filter
+    // literal on the corpus scan) and the scoring join both read it
+    val qAssigned = assignQueries(queries, qidCol, qvecCol, bcC, nprobe).persist()
+    val probedUnion = qAssigned.select(col("cell")).distinct()
+      .as[Int].collect().sorted
     val corpus = spark.read.parquet(s"$dir/corpus")
       .where(col("cell").isin(probedUnion.map(Integer.valueOf): _*))
-    scoreProbedCells(corpus, queries, qidCol, qvecCol, bcC, k, nprobe)
+    // qAssigned stays persisted for the returned plan's lifetime (a few
+    // MB of (qid, qv, cell) rows; the union collect above materialized
+    // it) — Spark's ContextCleaner releases the blocks when the frame is
+    // garbage-collected, and an explicit unpersist here would force the
+    // scoring join to recompute the whole fan-out
+    scoreProbedCells(corpus, qAssigned, k)
   }
 
   /** The missing last step of [[ivfTopK]] at 100 TB: materialize the

@@ -274,6 +274,12 @@ object Warc {
     new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration).mkdirs(
         new org.apache.hadoop.fs.Path(dir))
+    // the SESSION's Hadoop conf must reach the executors (it carries
+    // filesystem credentials/endpoints a default Configuration loses);
+    // SerializableConfiguration is Spark's own wrapper for exactly this
+    val confBc = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration))
     val counts = docs
       .select($"url", $"warc_ts", $"extracted_text")
       .as[(String, java.sql.Timestamp, String)]
@@ -282,7 +288,7 @@ object Warc {
         else {
           val pid = org.apache.spark.TaskContext.getPartitionId()
           val path = new org.apache.hadoop.fs.Path(dir, f"wet-$pid%05d.warc.gz")
-          val fs = path.getFileSystem(new org.apache.hadoop.conf.Configuration())
+          val fs = path.getFileSystem(confBc.value.value)
           val out = fs.create(path, true)
           var n = 0L
           try {

@@ -348,6 +348,12 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
     assert(got === want)
     // exactly one survivor per family + every unique doc
     assert(want.count(_ < 1000L) === 25 && want.count(_ >= 1000L) === 40)
+    // degenerate corpus with NO near-dups: empty pair list, everything
+    // survives (CC on zero edges must converge, not throw)
+    val uniques = docs.filter(_._1 >= 1000L).toDF("doc_id", "text")
+    val all = Dedup.nearDupFilter(uniques, "doc_id", "text")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(all === docs.map(_._1).filter(_ >= 1000L).toSet)
   }
 
   test("ivf batch probe: all-cells equals per-query brute force; partial probe recall bounded") {
