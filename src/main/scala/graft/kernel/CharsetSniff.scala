@@ -111,11 +111,17 @@ object CharsetSniff {
     def tagEndFrom(start: Int): Int = {
       var j = start
       var quote = 0.toChar
+      // WHATWG get-an-attribute: a quote only DELIMITS a value when it is
+      // the first char after '=' (plus whitespace) — an apostrophe inside
+      // an unquoted value (content=O'Brien) must not swallow the real '>'
+      var afterEq = false
       while (j < head.length) {
         val c = head.charAt(j)
         if (quote != 0) { if (c == quote) quote = 0 }
-        else if (c == '"' || c == '\'') quote = c
+        else if ((c == '"' || c == '\'') && afterEq) { quote = c; afterEq = false }
         else if (c == '>') return j
+        else if (c == '=') afterEq = true
+        else if (c != ' ' && c != '\t' && c != '\n' && c != '\r') afterEq = false
         j += 1
       }
       head.length

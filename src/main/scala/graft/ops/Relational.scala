@@ -178,6 +178,14 @@ object Relational {
     // with the SAME function preserves the no-false-negative guarantee;
     // xxhash64 collisions only add false positives, which the exact
     // anti-join re-checks like the filter's own.
+    // xxhash64 hashes by PHYSICAL type: INT 7 and BIGINT 7 hash to
+    // different longs, so mismatched key types would make every seen row
+    // miss the filter and silently survive the anti-join (the plain join
+    // below would coerce and still match). Fail loudly instead.
+    require(left.schema(keyCol).dataType == right.schema(keyCol).dataType,
+      s"antiJoinBloom key '$keyCol' types differ: left " +
+        s"${left.schema(keyCol).dataType.catalogString} vs right " +
+        s"${right.schema(keyCol).dataType.catalogString} - cast one side first")
     val keyed = col(keyCol)
     val bf = right.where(keyed.isNotNull)
       .select(xxhash64(keyed).as("_h"))

@@ -151,36 +151,54 @@ object Similarity extends Serializable {
       .take(math.min(nprobe, centroids.length))
   }
 
+  /** The shared IVF front half — seeded deterministic sample →
+    * driver-trained centroids → broadcast, plus the typed (id, vec)
+    * view. ONE implementation so [[ivfTopK]], [[ivfBuildIndex]] and
+    * [[ivfTopKBatch]] can never drift apart on sampling or training
+    * (their equality contracts are test-pinned).
+    */
+  private def trainBroadcast(df: DataFrame, idCol: String, vecCol: String,
+                             nlist: Int, iters: Int, sampleN: Int, seed: Long)
+      : (org.apache.spark.sql.Dataset[(Long, Array[Double])],
+         org.apache.spark.broadcast.Broadcast[Array[Array[Double]]]) = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val typed = df
+      .select(col(idCol).cast("long"), transform(col(vecCol), x => x.cast("double")))
+      .as[(Long, Array[Double])]
+    val sample = typed.toDF("id", "vec")
+      .orderBy(xxhash64(col("id"), lit(seed)), col("id")).limit(sampleN)
+      .as[(Long, Array[Double])].collect()
+    require(sample.nonEmpty, "empty input")
+    val centroids = trainCentroids(sample.map(_._2), nlist, iters)
+    (typed, spark.sparkContext.broadcast(centroids))
+  }
+
+  /** The one full-corpus pass: stateless nearest-centroid assignment. */
+  private def assignCells(typed: org.apache.spark.sql.Dataset[(Long, Array[Double])],
+                          bcC: org.apache.spark.broadcast.Broadcast[Array[Array[Double]]])
+      : DataFrame = {
+    val spark = typed.sparkSession
+    import spark.implicits._
+    typed.mapPartitions { rows =>
+      val cs = bcC.value
+      rows.map { case (id, v) => (id, v, nearestCell(v, cs)) }
+    }.toDF("id", "vec", "cell")
+  }
+
   def ivfTopK(df: DataFrame, idCol: String, vecCol: String,
               queryId: Long, k: Int,
               nlist: Int = 16, nprobe: Int = 4, iters: Int = 3,
               sampleN: Int = 2048, seed: Long = 42L): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val typed = df
-      .select(col(idCol).cast("long"), transform(col(vecCol), x => x.cast("double")))
-      .as[(Long, Array[Double])]
-
-    // ---- train (driver, deterministic) ----
-    val sample = typed.toDF("id", "vec")
-      .orderBy(xxhash64(col("id"), lit(seed)), col("id")).limit(sampleN)
-      .as[(Long, Array[Double])].collect()
-    require(sample.nonEmpty, "empty input")
-    val centroids = trainCentroids(sample.map(_._2), nlist, iters)
-    def nearest(v: Array[Double], cs: Array[Array[Double]]): Int = nearestCell(v, cs)
-    val bcC = spark.sparkContext.broadcast(centroids)
-
-    // ---- probe list (driver) ----
+    val (typed, bcC) = trainBroadcast(df, idCol, vecCol, nlist, iters, sampleN, seed)
+    // ---- probe list (driver — the single-query operator's one lookup) ----
     val qv = typed.toDF("id", "vec").where(col("id") === queryId)
       .as[(Long, Array[Double])].head()._2
-    val probed: Set[Int] = probeCells(qv, centroids, nprobe).toSet
-
+    val probed: Set[Int] = probeCells(qv, bcC.value, nprobe).toSet
     // ---- assign + scan probed cells (distributed, one typed pass) ----
-    val assigned = typed.mapPartitions { rows =>
-      val cs = bcC.value
-      rows.map { case (id, v) => (id, v, nearest(v, cs)) }
-    }.toDF("id", "vec", "cell")
-    val probedDf = assigned.where(col("cell").isInCollection(probed))
+    val probedDf = assignCells(typed, bcC).where(col("cell").isInCollection(probed))
     probedDf.crossJoin(broadcast(
         typed.toDF("id", "vec").where(col("id") === queryId).select(col("vec").as("qv"))))
       .select(col("id"), round(cosine(col("vec"), col("qv")), 6).as("sim"))
@@ -201,7 +219,12 @@ object Similarity extends Serializable {
     while (j < a.length) { na += a(j) * a(j); j += 1 }
     j = 0
     while (j < b.length) { nb += b(j) * b(j); j += 1 }
-    java.math.BigDecimal.valueOf(dot / (math.sqrt(na) * math.sqrt(nb)))
+    val c = dot / (math.sqrt(na) * math.sqrt(nb))
+    // Spark's round() passes NaN/Infinity through untouched — a zero-norm
+    // vector must yield a NaN row here too, not a BigDecimal.valueOf
+    // NumberFormatException that kills the whole batch job
+    if (java.lang.Double.isNaN(c) || java.lang.Double.isInfinite(c)) c
+    else java.math.BigDecimal.valueOf(c)
       .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
   }
 
@@ -231,28 +254,11 @@ object Similarity extends Serializable {
                    qidCol: String, qvecCol: String,
                    k: Int, nlist: Int = 16, nprobe: Int = 4, iters: Int = 3,
                    sampleN: Int = 2048, seed: Long = 42L): DataFrame = {
-    val spark = corpus.sparkSession
-    import spark.implicits._
-    val typed = corpus
-      .select(col(idCol).cast("long"), transform(col(vecCol), x => x.cast("double")))
-      .as[(Long, Array[Double])]
-    val sample = typed.toDF("id", "vec")
-      .orderBy(xxhash64(col("id"), lit(seed)), col("id")).limit(sampleN)
-      .as[(Long, Array[Double])].collect()
-    require(sample.nonEmpty, "empty corpus")
-    val centroids = trainCentroids(sample.map(_._2), nlist, iters)
-    val bcC = spark.sparkContext.broadcast(centroids)
-    val assigned = typed.mapPartitions { rows =>
-      val cs = bcC.value
-      rows.map { case (id, v) => (id, v, nearestCell(v, cs)) }
-    }.toDF("id", "vec", "cell")
-    scoreProbedCells(assigned, assignQueries(queries, qidCol, qvecCol, bcC, nprobe), k)
+    val (typed, bcC) = trainBroadcast(corpus, idCol, vecCol, nlist, iters, sampleN, seed)
+    scoreProbedCells(assignCells(typed, bcC),
+      assignQueries(queries, qidCol, qvecCol, bcC, nprobe), k)
   }
 
-  /** The probe half shared by [[ivfTopKBatch]] and
-    * [[ivfProbeIndexBatch]]: queries → (qid, qv, cell) fan-out, cell
-    * equi-join, primitive-kernel scoring, per-query window top-k.
-    */
   /** Queries fanned out to their `nprobe` probed cells:
     * `(qid, qv, cell)`, nprobe rows per query.
     */
@@ -333,20 +339,9 @@ object Similarity extends Serializable {
                     sampleN: Int = 2048, seed: Long = 42L): Unit = {
     val spark = df.sparkSession
     import spark.implicits._
-    val typed = df
-      .select(col(idCol).cast("long"), transform(col(vecCol), x => x.cast("double")))
-      .as[(Long, Array[Double])]
-    val sample = typed.toDF("id", "vec")
-      .orderBy(xxhash64(col("id"), lit(seed)), col("id")).limit(sampleN)
-      .as[(Long, Array[Double])].collect()
-    require(sample.nonEmpty, "empty input")
-    val centroids = trainCentroids(sample.map(_._2), nlist, iters)
-    val bcC = spark.sparkContext.broadcast(centroids)
-    typed.mapPartitions { rows =>
-        val cs = bcC.value
-        rows.map { case (id, v) => (id, v, nearestCell(v, cs)) }
-      }
-      .toDF("id", "vec", "cell")
+    val (typed, bcC) = trainBroadcast(df, idCol, vecCol, nlist, iters, sampleN, seed)
+    val centroids = bcC.value
+    assignCells(typed, bcC)
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/corpus")
     centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq

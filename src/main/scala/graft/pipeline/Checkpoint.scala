@@ -264,7 +264,11 @@ object Checkpoint {
                  hashes: Seq[String]): Long = {
     require(hashes.nonEmpty, "no hashes to invalidate")
     val cache = spark.read.parquet(cacheDir)
-    val keepRows = cache.where(!col("content_hash").isin(hashes: _*))
+    // NULL-hash rows (however they got there) are NOT targeted by any
+    // invalidation: a bare !isin() evaluates to NULL for them and would
+    // silently delete them with every call (three-valued logic)
+    val keepRows = cache.where(
+      col("content_hash").isNull || !col("content_hash").isin(hashes: _*))
     val total = cache.count()
     val keep = keepRows.count()
     if (keep < total) {

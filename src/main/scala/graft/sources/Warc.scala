@@ -216,6 +216,18 @@ object Warc {
   private def closeQuietly(in: java.io.InputStream): Unit =
     try in.close() catch { case _: Exception => }
 
+  /** Passes close() through as flush() only — lets a per-member
+    * GZIPOutputStream be close()d (releasing its native Deflater)
+    * without closing the underlying archive stream.
+    */
+  private final class CloseShieldOutputStream(out: java.io.OutputStream)
+      extends java.io.FilterOutputStream(out) {
+    // FilterOutputStream.write(b,off,len) loops single bytes — forward
+    override def write(b: Array[Byte], off: Int, len: Int): Unit =
+      out.write(b, off, len)
+    override def close(): Unit = out.flush()
+  }
+
   /** Read WARC archives as the engine's page shape
     * `(url STRING, warc_ts TIMESTAMP, html BINARY)`. Corrupt data
     * contributes its good prefix of records (possibly zero) instead of
@@ -263,8 +275,10 @@ object Warc {
     * through the Hadoop FileSystem API straight from the executors (no
     * driver collect; repartition upstream to size archives ~1 GB at
     * corpus scale). Timestamps come from the rows' `warc_ts` — no wall
-    * clock, so output bytes are deterministic. Task retries overwrite
-    * their own file (idempotent per partition). Returns records written.
+    * clock, so output bytes are deterministic. Each attempt writes an
+    * attempt-scoped temp file and renames on success, so retries and
+    * speculative duplicates never interleave bytes in the committed
+    * name. Returns records written.
     *
     * `docs` must carry `url`, `warc_ts`, `extracted_text`.
     */
@@ -286,19 +300,32 @@ object Warc {
       .mapPartitions { it =>
         if (it.isEmpty) Iterator.empty
         else {
-          val pid = org.apache.spark.TaskContext.getPartitionId()
-          val path = new org.apache.hadoop.fs.Path(dir, f"wet-$pid%05d.warc.gz")
-          val fs = path.getFileSystem(confBc.value.value)
-          val out = fs.create(path, true)
+          val tc = org.apache.spark.TaskContext.get()
+          val pid = tc.partitionId()
+          val fin = new org.apache.hadoop.fs.Path(dir, f"wet-$pid%05d.warc.gz")
+          // attempt-scoped temp + rename-on-success: a speculative or
+          // zombie duplicate attempt writes its OWN temp file, so two
+          // attempts never interleave bytes in the final name; the
+          // committed file is always one attempt's complete output
+          val tmp = new org.apache.hadoop.fs.Path(dir,
+            f".wet-$pid%05d.attempt-${tc.taskAttemptId()}.tmp")
+          val fs = fin.getFileSystem(confBc.value.value)
+          val out = fs.create(tmp, true)
           var n = 0L
           try {
             it.foreach { case (url, ts, text) =>
-              val gz = new java.util.zip.GZIPOutputStream(out, 64 * 1024)
+              // close() per member releases the native Deflater (finish()
+              // alone leaves it for finalization — one leaked zlib buffer
+              // per record); the shield keeps the file stream open
+              val gz = new java.util.zip.GZIPOutputStream(
+                new CloseShieldOutputStream(out), 64 * 1024)
               gz.write(conversionRecord(url, ts.getTime, text))
-              gz.finish() // end the member, keep the file stream open
+              gz.close()
               n += 1
             }
           } finally out.close()
+          if (fs.exists(fin)) fs.delete(fin, false)
+          require(fs.rename(tmp, fin), s"commit rename failed for $fin")
           Iterator.single(n)
         }
       }

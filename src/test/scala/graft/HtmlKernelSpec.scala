@@ -141,6 +141,12 @@ class HtmlKernelSpec extends AnyFunSuite {
     assert(CharsetSniff.sniff(gtInAttr) === "windows-1251")
     val gtSingle = enc("<meta content='x>y' charset='koi8-r'>", "US-ASCII")
     assert(CharsetSniff.sniff(gtSingle) === "KOI8-R")
+    // an apostrophe INSIDE an unquoted value (content=O'Brien — valid
+    // HTML) must not swallow the real '>': a later href charset= is NOT
+    // a declaration (quotes only delimit when they FOLLOW '=')
+    val unquotedApos = "<meta name=author content=O'Brien>" +
+      "<a href=\"/convert?charset=latin1\">schön</a>"
+    assert(CharsetSniff.sniff(unquotedApos.getBytes("UTF-8")) === "UTF-8")
     // ...but a REAL tag end before the label still bounds the tag: the
     // charset label in a FOLLOWING tag's attribute is that tag's
     val closed = "<meta content=\"a\"><p>charset=latin1 talk</p>".getBytes("UTF-8") ++

@@ -384,6 +384,32 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
     assert(recalls.sum >= 12 * 4, "mean recall collapsed below 0.4")
   }
 
+  test("ivf batch probe: zero-norm vectors yield NaN rows, not a job-killing exception") {
+    // cos6 must mirror Spark round(): NaN/Infinity pass through
+    assert(Similarity.cos6(Array(0.0, 0.0), Array(1.0, 2.0)).isNaN)
+    assert(Similarity.cos6(Array(1.0, 2.0), Array(1.0, 2.0)) === 1.0)
+    val rows = Seq((0L, Array(0f, 0f, 0f)), (1L, Array(1f, 0f, 0f)),
+      (2L, Array(0f, 1f, 0f)), (3L, Array(1f, 1f, 0f)))
+    val df = rows.toDF("vec_id", "embedding")
+    val q = df.select($"vec_id".as("qid"), $"embedding".as("qv"))
+    // nlist > n collapses to per-vector cells; must complete, zero-norm
+    // pairs carry NaN sims instead of aborting the task
+    val out = Similarity.ivfTopKBatch(df, q, "vec_id", "embedding",
+        "qid", "qv", k = 4, nlist = 4, nprobe = 4, sampleN = 4)
+      .as[(Long, Long, Double)].collect()
+    assert(out.nonEmpty)
+    assert(out.filter(r => r._1 == 0L || r._2 == 0L).forall(_._3.isNaN))
+  }
+
+  test("antiJoinBloom: mismatched key types fail loudly instead of silently missing") {
+    import graft.ops.Relational
+    val left = Seq((1, "a"), (2, "b")).toDF("k", "v") // k: INT
+    val right = Seq(1L, 3L).toDF("k") // k: BIGINT
+    val e = intercept[IllegalArgumentException](
+      Relational.antiJoinBloom(left, right, "k"))
+    assert(e.getMessage.contains("types differ"))
+  }
+
   test("ivf batch probe at rest: equals in-memory twin, scans only the probed-cell union") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ivf-batch").toString
     Similarity.ivfBuildIndex(emb, "vec_id", "embedding", dir, nlist = 16)

@@ -237,11 +237,22 @@ class PipelineSpec extends AnyFunSuite with SparkSuite {
     spark.createDataset(hashes.map(h =>
         CacheEntry(h, ts, CacheResult("CACHED", Seq.empty, Seq.empty, "en"))))
       .toDF().write.parquet(dir)
+    // a NULL-hash row (however it got there) must survive every
+    // invalidation — !isin() alone is NULL for it (three-valued logic)
+    spark.createDataset(Seq((Option.empty[String], ts, "NULLROW")))
+      .toDF("content_hash", "committed_ts", "junk")
+      .select($"content_hash", $"committed_ts",
+        struct(lit("NULLROW").as("text"),
+          array().cast("array<struct<page_number:int,width:double,height:double,confidence:double>>").as("pages"),
+          array().cast("array<struct<description:string,score:double,topicality:double>>").as("labels"),
+          lit("en").as("language")).as("result"))
+      .write.mode("append").parquet(dir)
     val victim = hashes.head
     assert(Checkpoint.invalidate(spark, dir, Seq(victim)) === 1L)
     // idempotent / absent keys: no-op
     assert(Checkpoint.invalidate(spark, dir, Seq(victim)) === 0L)
     assert(Checkpoint.invalidate(spark, dir, Seq("nope")) === 0L)
+    assert(spark.read.parquet(dir).where($"content_hash".isNull).count() === 1L)
     val out = Extraction.extractChunks(chunks,
         cache = Some(spark.read.parquet(dir)), asOf = Some(ts))
       .select($"content_hash", $"text", $"ok")
