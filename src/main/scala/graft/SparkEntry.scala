@@ -840,6 +840,14 @@ object SparkEntry {
         .select(col("url"), col("source_type"),
           length(col("extracted_text")).as("text_len"), col("ok"))
     }),
+    // the COMPLETE corpus funnel as one call (pipeline/CorpusJob):
+    // extract → Gopher quality → near-dedup → WET archives, returning
+    // the per-stage survivor counts a pipeline operator watches
+    "pipe33_corpus_job" -> ((s, _) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-pipe33").toString
+      graft.pipeline.CorpusJob.run(s, fixturePages(s), s"$tmp/wet",
+        maxBucket = 64)
+    }),
     // WET-style sidecar sink: extracted text written back out as WARC
     // conversion-record archives (per-record gzip members) and parsed
     // back — crawl-in/crawl-out symmetry; WarcSpec proves byte identity

@@ -285,6 +285,26 @@ class PipelineSpec extends AnyFunSuite with SparkSuite {
     env.unpersist()
   }
 
+  test("corpus job funnel: monotone stages, WET output matches dedup survivors byte-exactly") {
+    val tmp = Files.createTempDirectory("graft-corpusjob").toString
+    val funnel = CorpusJob.run(spark, pagesDs.toDF(), s"$tmp/wet", maxBucket = 64)
+      .orderBy($"ord").as[(Int, String, Long)].collect()
+    assert(funnel.map(_._2).toSeq ===
+      Seq("extracted", "quality_kept", "dedup_survivors", "wet_records_written"))
+    val Seq(nIn, nQ, nD, nW) = funnel.map(_._3).toSeq
+    assert(nIn === fixture.size.toLong)
+    assert(nQ <= nIn && nD <= nQ && nW === nD)
+    assert(nD > 0, "funnel must not collapse to zero on the fixture corpus")
+    info(s"funnel: $nIn -> $nQ -> $nD")
+    // WET archives parse back to exactly the surviving documents
+    val back = graft.sources.Warc.readConversions(spark, s"$tmp/wet/*.warc.gz")
+      .select($"url", $"text").as[(String, String)].collect().toMap
+    assert(back.size.toLong === nD)
+    val truth = docs.select($"url", $"extracted_text")
+      .as[(String, String)].collect().toMap
+    back.foreach { case (url, text) => assert(text === truth(url), url) }
+  }
+
   test("manifest listing is newest-first") {
     val mani = Seq(
       (java.sql.Date.valueOf("2024-01-01"), 0, 5L, "r1", new Timestamp(1000), "p1"),
