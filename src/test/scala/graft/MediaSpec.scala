@@ -638,6 +638,46 @@ class MediaSpec extends AnyFunSuite {
     Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
       ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
 
+  test("mp4: 64-bit largesize boxes and v1 time fields parse correctly") {
+    def be64(v: Long): Array[Byte] = be32int((v >> 32).toInt) ++ be32int(v.toInt)
+    def box(typ: String, body: Array[Byte]): Array[Byte] =
+      be32int(8 + body.length) ++ typ.getBytes("ISO-8859-1") ++ body
+    def large(typ: String, body: Array[Byte]): Array[Byte] =
+      be32int(1) ++ typ.getBytes("ISO-8859-1") ++ be64(16L + body.length) ++ body
+    def full(typ: String, version: Int, body: Array[Byte]): Array[Byte] =
+      box(typ, Array[Byte](version.toByte, 0, 0, 0) ++ body)
+    // mvhd v1: cre(8) mod(8) timescale(4) duration(8): 90_000 ticks at
+    // 30 Hz = 3_000_000 ms — a duration only 64 bits can carry honestly
+    val mvhd1 = full("mvhd", 1, be64(0) ++ be64(0) ++ be32int(30) ++ be64(90000L) ++
+      new Array[Byte](80))
+    // trak with mdhd v1 + hdlr + stsd/stsz via the normal layouts
+    val mdhd1 = full("mdhd", 1, be64(0) ++ be64(0) ++ be32int(1000) ++ be64(4500L) ++
+      be32int(0))
+    val hdlr = full("hdlr", 0, be32int(0) ++ "vide".getBytes ++ new Array[Byte](13))
+    val entry = {
+      val b = new Array[Byte](6) ++ be32int(1).drop(2) ++
+        new Array[Byte](16) ++
+        Array[Byte](0, 99, 0, 88) ++ // width 99, height 88
+        new Array[Byte](46)
+      be32int(8 + b.length) ++ "vp09".getBytes ++ b
+    }
+    val stbl = box("stbl",
+      full("stsd", 0, be32int(1) ++ entry) ++
+        full("stsz", 0, be32int(0) ++ be32int(7)))
+    val trak = box("trak",
+      box("mdia", mdhd1 ++ hdlr ++ box("minf", stbl)))
+    val file = box("ftyp", "isom".getBytes ++ be32int(0x200)) ++
+      box("moov", mvhd1 ++ trak) ++
+      large("mdat", Array.tabulate(32)(_.toByte)) // largesize mdat
+    val info = Media.probeMp4(file)
+    assert(info.durationMs === 3000000L) // v1 mvhd: 90000 / 30 Hz
+    assert(info.mdatLength === 32L) // largesize header = 16 bytes
+    val t = info.tracks.head
+    assert(t.handler === "vide" && t.codec === "vp09")
+    assert(t.durationMs === 4500L) // v1 mdhd: 4500 / 1000 Hz
+    assert(t.width === 99 && t.height === 88 && t.sampleCount === 7L)
+  }
+
   test("jpeg: grayscale round-trip within coefficient-rounding tolerance") {
     val r = new scala.util.Random(31)
     val (w, h) = (37, 22) // partial edge blocks on both axes
