@@ -1264,9 +1264,14 @@ object MediaGen {
     * every box layout is spec-correct — `Media.probeMp4` round-trips all
     * declared fields and real demuxers accept the structure.
     */
-  def mp4(w: Int, h: Int, fps: Int, nFrames: Int, codec: String = "avc1",
+  def mp4(w: Int, h: Int, fps: Int, nFrames0: Int, codec: String = "avc1",
           audioRate: Int = 0, audioSamples: Int = 0,
-          data: Array[Byte] = null): Array[Byte] = {
+          data: Array[Byte] = null,
+          samples: Seq[Array[Byte]] = null): Array[Byte] = {
+    // `samples` = real per-frame codec payloads (e.g. JPEG frames for an
+    // MJPEG track): stsz carries their true sizes and stco points at the
+    // first one inside mdat, so a demuxer can actually extract frames
+    val nFrames = if (samples != null) samples.length else nFrames0
     require(w > 0 && h > 0 && fps > 0 && nFrames > 0 && codec.length == 4)
     val ISO = java.nio.charset.StandardCharsets.ISO_8859_1
     def be16(v: Int): Array[Byte] = Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
@@ -1293,14 +1298,14 @@ object MediaGen {
     def hdlr(handler: String): Array[Byte] =
       full("hdlr", 0, 0, be32(0), handler.getBytes(ISO), zeros(12), Array[Byte](0))
     val dinf = box("dinf", full("dref", 0, 0, be32(1), full("url ", 0, 1)))
-    def stblOf(entry: Array[Byte], count: Int, sizeEach: Int): Array[Byte] =
+    def stblOf(entry: Array[Byte], sizes: Seq[Int], stcoOff: Int): Array[Byte] =
       box("stbl",
         full("stsd", 0, 0, be32(1), entry),
-        full("stts", 0, 0, be32(1), be32(count), be32(1)),
-        full("stsc", 0, 0, be32(1), be32(1), be32(count), be32(1)),
-        full("stsz", 0, 0, be32(0), be32(count),
-          (0 until count).map(_ => be32(sizeEach)).flatten.toArray),
-        full("stco", 0, 0, be32(1), be32(0)))
+        full("stts", 0, 0, be32(1), be32(sizes.length), be32(1)),
+        full("stsc", 0, 0, be32(1), be32(1), be32(sizes.length), be32(1)),
+        full("stsz", 0, 0, be32(0), be32(sizes.length),
+          sizes.flatMap(sz => be32(sz).toSeq).toArray),
+        full("stco", 0, 0, be32(1), be32(stcoOff)))
 
     val visualEntry = {
       val body = zeros(6) ++ be16(1) ++ // SampleEntry: reserved + dri
@@ -1310,37 +1315,48 @@ object MediaGen {
         zeros(32) ++ be16(0x18) ++ be16(0xffff)
       be32(8 + body.length) ++ codec.getBytes(ISO) ++ body
     }
-    val videoTrak = box("trak", tkhd(1, w, h),
-      box("mdia", mdhd(fps, nFrames), hdlr("vide"),
-        box("minf", full("vmhd", 0, 1, be16(0), zeros(6)), dinf,
-          stblOf(visualEntry, nFrames, 64))))
+    val vidSizes: Seq[Int] =
+      if (samples != null) samples.map(_.length) else Seq.fill(nFrames)(64)
 
-    val audioTrak =
-      if (audioRate <= 0) Array.emptyByteArray
-      else {
-        val entry = {
-          val body = zeros(6) ++ be16(1) ++
-            zeros(8) ++ be16(2) ++ be16(16) ++ be16(0) ++ be16(0) ++
-            be32(audioRate << 16)
-          be32(8 + body.length) ++ "mp4a".getBytes(ISO) ++ body
+    def buildMoov(stcoOff: Int): Array[Byte] = {
+      val videoTrak = box("trak", tkhd(1, w, h),
+        box("mdia", mdhd(fps, nFrames), hdlr("vide"),
+          box("minf", full("vmhd", 0, 1, be16(0), zeros(6)), dinf,
+            stblOf(visualEntry, vidSizes, stcoOff))))
+      val audioTrak =
+        if (audioRate <= 0) Array.emptyByteArray
+        else {
+          val entry = {
+            val body = zeros(6) ++ be16(1) ++
+              zeros(8) ++ be16(2) ++ be16(16) ++ be16(0) ++ be16(0) ++
+              be32(audioRate << 16)
+            be32(8 + body.length) ++ "mp4a".getBytes(ISO) ++ body
+          }
+          box("trak", tkhd(2, 0, 0),
+            box("mdia", mdhd(audioRate, audioSamples), hdlr("soun"),
+              box("minf", full("smhd", 0, 0, be16(0), be16(0)), dinf,
+                stblOf(entry, Seq.fill(audioSamples)(128), stcoOff))))
         }
-        box("trak", tkhd(2, 0, 0),
-          box("mdia", mdhd(audioRate, audioSamples), hdlr("soun"),
-            box("minf", full("smhd", 0, 0, be16(0), be16(0)), dinf,
-              stblOf(entry, audioSamples, 128))))
-      }
+      val mvhd = full("mvhd", 0, 0, be32(0), be32(0), be32(1000), be32(durMs),
+        be32(0x00010000), be16(0x0100), be16(0), zeros(8), matrix,
+        zeros(24), be32(3))
+      box("moov", mvhd, videoTrak, audioTrak)
+    }
 
-    val mvhd = full("mvhd", 0, 0, be32(0), be32(0), be32(1000), be32(durMs),
-      be32(0x00010000), be16(0x0100), be16(0), zeros(8), matrix,
-      zeros(24), be32(3))
     val mdatBody =
-      if (data != null) data
+      if (samples != null) samples.toArray.flatten
+      else if (data != null) data
       else Array.tabulate(math.min(w * h * nFrames, 4096))(i =>
         ((i * 131 + w * 7 + h * 13 + nFrames) & 0xff).toByte)
-    box("ftyp", "isom".getBytes(ISO), be32(0x200),
-      "isom".getBytes(ISO), "mp41".getBytes(ISO)) ++
-      box("moov", mvhd, videoTrak, audioTrak) ++
-      box("mdat", mdatBody)
+    val ftypB = box("ftyp", "isom".getBytes(ISO), be32(0x200),
+      "isom".getBytes(ISO), "mp41".getBytes(ISO))
+    // stco carries an ABSOLUTE file offset: build moov once with a
+    // placeholder to learn its length (the value never changes box
+    // sizes), then rebuild pointing at the real mdat body start
+    val moov0 = buildMoov(0)
+    val moov = buildMoov(ftypB.length + moov0.length + 8)
+    require(moov.length == moov0.length, "stco two-pass length drift")
+    ftypB ++ moov ++ box("mdat", mdatBody)
   }
 
   // ------------------------------------------------------------ GIF writer
@@ -1799,14 +1815,20 @@ object MediaGen {
               Media(i.toLong, s"https://host$host.example.com/vid/$i.avi", "video",
                 aviMjpeg(Seq.tabulate(frames)(_ =>
                   jpeg(Array.fill(w * h)(r.nextInt(256)), w, h)), w, h, fps))
-            case 1 => // ISO-BMFF MP4 (real container walk; codec payload fake)
-              val codec = Seq("avc1", "hvc1", "vp09")(r.nextInt(3))
+            case 1 => // ISO-BMFF MP4 (real container walk; MJPEG variant
+              // carries REAL decodable JPEG samples, others fake payloads)
               val withAudio = r.nextBoolean()
-              Media(i.toLong, s"https://host$host.example.com/vid/$i.mp4", "video",
-                mp4(w, h, fps, frames, codec,
-                  audioRate = if (withAudio) 8000 + 4000 * r.nextInt(3) else 0,
-                  audioSamples = if (withAudio) 64 + r.nextInt(512) else 0,
-                  data = body(r, math.min(w * h * frames, 4096))))
+              val aRate = if (withAudio) 8000 + 4000 * r.nextInt(3) else 0
+              val aN = if (withAudio) 64 + r.nextInt(512) else 0
+              if (r.nextBoolean())
+                Media(i.toLong, s"https://host$host.example.com/vid/$i.mp4", "video",
+                  mp4(w, h, fps, frames, "jpeg", aRate, aN,
+                    samples = Seq.tabulate(frames)(_ =>
+                      jpeg(Array.fill(w * h)(r.nextInt(256)), w, h))))
+              else
+                Media(i.toLong, s"https://host$host.example.com/vid/$i.mp4", "video",
+                  mp4(w, h, fps, frames, Seq("avc1", "hvc1", "vp09")(r.nextInt(3)),
+                    aRate, aN, data = body(r, math.min(w * h * frames, 4096))))
             case _ => // stub container (stand-in for codec-library formats)
               Media(i.toLong, s"https://host$host.example.com/vid/$i", "video",
                 "VID1".getBytes ++ be32(w) ++ be32(h) ++ be32(fps) ++ be32(frames) ++

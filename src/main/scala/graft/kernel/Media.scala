@@ -65,7 +65,8 @@ object Media {
 
   final case class Mp4Track(handler: String, codec: String,
                             width: Int, height: Int, sampleRate: Int,
-                            sampleCount: Long, durationMs: Long)
+                            sampleCount: Long, durationMs: Long,
+                            firstSampleOffset: Long, firstSampleSize: Long)
   final case class Mp4Info(brand: String, durationMs: Long,
                            tracks: Vector[Mp4Track],
                            mdatOffset: Int, mdatLength: Long)
@@ -173,12 +174,25 @@ object Media {
         val rv = if (isAudio && entry + 36 <= e) be32(p, entry + 32) >>> 16 else 0
         (fmt, wv, hv, rv)
       }.getOrElse(("", 0, 0, 0))
-      // stsz: vf(4) sample_size(4) sample_count(4)
-      val nSamples = find(stbl, "stsz").map { case (b, e) =>
+      // stsz: vf(4) sample_size(4) sample_count(4) [sizes…]; the first
+      // size is either the fixed sample_size or the table's first entry
+      val (nSamples, firstSize) = find(stbl, "stsz").map { case (b, e) =>
         require(b + 12 <= e, "truncated stsz")
-        be32(p, b + 8).toLong & 0xffffffffL
-      }.getOrElse(0L)
-      Mp4Track(handler, codec, w, h, rate, nSamples, trackDurMs)
+        val fixed = be32(p, b + 4).toLong & 0xffffffffL
+        val n = be32(p, b + 8).toLong & 0xffffffffL
+        val first =
+          if (fixed != 0) fixed
+          else if (n >= 1 && b + 16 <= e) be32(p, b + 12).toLong & 0xffffffffL
+          else 0L
+        (n, first)
+      }.getOrElse((0L, 0L))
+      // first chunk offset: stco (32-bit) or co64 (64-bit) first entry
+      val firstOff = find(stbl, "stco").map { case (b, e) =>
+        if (be32(p, b + 4) >= 1 && b + 12 <= e) be32(p, b + 8).toLong & 0xffffffffL else 0L
+      }.orElse(find(stbl, "co64").map { case (b, e) =>
+        if (be32(p, b + 4) >= 1 && b + 16 <= e) be64(p, b + 8) else 0L
+      }).getOrElse(0L)
+      Mp4Track(handler, codec, w, h, rate, nSamples, trackDurMs, firstOff, firstSize)
     }
     Mp4Info(brand, movieDurMs, tracks,
       mdat.map(_._1).getOrElse(-1),

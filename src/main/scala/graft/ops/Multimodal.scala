@@ -140,25 +140,48 @@ object Multimodal {
       fromDecoded(m, graft.kernel.Flac.decode(m.payload))
     else if (graft.kernel.Media.isMp4(m.payload)) {
       // ISO-BMFF: container metadata is REAL (box walk — codec fourcc,
-      // dimensions, duration, per-track sample counts); frame decode
-      // stays out of scope, so levels/thumb are raw mdat statistics
-      // like the stub path
+      // dimensions, duration, per-track sample counts). When the video
+      // track's first sample is a payload this engine can decode from
+      // scratch (MJPEG — 'jpeg'/'mjpa' fourcc or a JFIF magic), the
+      // frame is EXTRACTED via stco/stsz and decoded, so mean/hist/thumb
+      // come from real pixels exactly like the AVI path; for
+      // codec-library formats (H.264-era) they fall back to raw mdat
+      // statistics — the documented stub boundary.
       val info = graft.kernel.Media.probeMp4(m.payload)
       val vide = info.tracks.find(_.handler == "vide")
       val soun = info.tracks.find(_.handler == "soun")
-      val dataOff = if (info.mdatOffset >= 0) info.mdatOffset else m.payload.length
-      val (mean, hist) = stats(m.payload, dataOff)
-      val body = m.payload.length - dataOff
-      val tn = math.min(64, body)
-      val thumb = Array.tabulate(tn)(i => m.payload(dataOff + (i.toLong * body / tn).toInt))
       val frames = vide.map(_.sampleCount.toInt).getOrElse(0)
-      val sampled = if (frames <= 1) frames else (frames + 4) / 5
-      MediaFeatures(m.media_id, m.kind,
-        vide.orElse(soun).map(_.codec).getOrElse(info.brand),
-        vide.map(_.width).getOrElse(0), vide.map(_.height).getOrElse(0),
-        soun.map(_.sampleRate).getOrElse(0), frames,
-        m.payload.length.toLong, mean, hist.toSeq, thumb.toSeq, tn, sampled,
-        ok = true, error = "")
+      val firstJpeg = vide.flatMap { v =>
+        val off = v.firstSampleOffset
+        val sz = v.firstSampleSize
+        if (off > 0 && sz > 2 && off + sz <= m.payload.length) {
+          val bytes = java.util.Arrays.copyOfRange(
+            m.payload, off.toInt, (off + sz).toInt)
+          if (graft.kernel.Jpeg.isJpeg(bytes))
+            Some(graft.kernel.Jpeg.decode(bytes))
+          else None
+        } else None
+      }
+      firstJpeg match {
+        case Some(d) =>
+          fromDecoded(m, graft.kernel.Media.Decoded(
+            vide.map(_.codec).getOrElse(d.codec), d.width, d.height,
+            soun.map(_.sampleRate).getOrElse(0), frames,
+            d.samples, d.sampleMax))
+        case None =>
+          val dataOff = if (info.mdatOffset >= 0) info.mdatOffset else m.payload.length
+          val (mean, hist) = stats(m.payload, dataOff)
+          val body = m.payload.length - dataOff
+          val tn = math.min(64, body)
+          val thumb = Array.tabulate(tn)(i => m.payload(dataOff + (i.toLong * body / tn).toInt))
+          val sampled = if (frames <= 1) frames else (frames + 4) / 5
+          MediaFeatures(m.media_id, m.kind,
+            vide.orElse(soun).map(_.codec).getOrElse(info.brand),
+            vide.map(_.width).getOrElse(0), vide.map(_.height).getOrElse(0),
+            soun.map(_.sampleRate).getOrElse(0), frames,
+            m.payload.length.toLong, mean, hist.toSeq, thumb.toSeq, tn, sampled,
+            ok = true, error = "")
+      }
     } else {
       val magic = new String(m.payload.take(4), java.nio.charset.StandardCharsets.ISO_8859_1)
       val (w, h, rate, frames, dataOff) = magic match {

@@ -602,7 +602,7 @@ class MediaSpec extends AnyFunSuite {
   test("mp4: box walk round-trips codec/dims/duration/counts; malformed boxes rejected") {
     import graft.ops.Multimodal
     // video-only
-    val v = MediaGen.mp4(w = 320, h = 180, fps = 25, nFrames = 50, codec = "avc1")
+    val v = MediaGen.mp4(w = 320, h = 180, fps = 25, nFrames0 = 50, codec = "avc1")
     assert(Media.isMp4(v))
     val vi = Media.probeMp4(v)
     assert(vi.brand === "isom" && vi.durationMs === 2000L)
@@ -612,7 +612,7 @@ class MediaSpec extends AnyFunSuite {
     assert(vt.sampleCount === 50L && vt.durationMs === 2000L)
     assert(vi.mdatOffset > 0 && vi.mdatLength > 0)
     // video + audio, a different codec fourcc
-    val av = MediaGen.mp4(w = 64, h = 48, fps = 30, nFrames = 90, codec = "hvc1",
+    val av = MediaGen.mp4(w = 64, h = 48, fps = 30, nFrames0 = 90, codec = "hvc1",
       audioRate = 16000, audioSamples = 48000)
     val ai = Media.probeMp4(av)
     assert(ai.tracks.map(_.handler) === Vector("vide", "soun"))
@@ -637,6 +637,35 @@ class MediaSpec extends AnyFunSuite {
   private def be32int(v: Int): Array[Byte] =
     Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
       ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+
+  test("mp4/mjpeg: first frame extracts via stco/stsz and decodes through the jpeg kernel") {
+    import graft.ops.Multimodal
+    val r = new scala.util.Random(47)
+    val (w, h, fps, n) = (24, 16, 25, 6)
+    val first = Array.fill(w * h)(r.nextInt(256))
+    val frames = first +: Seq.fill(n - 1)(Array.fill(w * h)(r.nextInt(256)))
+    val payload = MediaGen.mp4(w, h, fps, n, "jpeg",
+      samples = frames.map(f => MediaGen.jpeg(f, w, h)))
+    val info = Media.probeMp4(payload)
+    val vt = info.tracks.head
+    assert(vt.codec === "jpeg" && vt.sampleCount === n.toLong)
+    // stco points INSIDE mdat, stsz matches the first jpeg's true size
+    assert(vt.firstSampleOffset === info.mdatOffset.toLong)
+    assert(vt.firstSampleSize === MediaGen.jpeg(first, w, h).length.toLong)
+    // the feature stage decodes the real first frame: luma within jpeg
+    // rounding tolerance, real thumbnail, full frame count from stsz
+    val f = Multimodal.decodeOne(Multimodal.Media(1L, "u", "video", payload))
+    assert(f.ok && f.codec === "jpeg" && f.width === w && f.height === h)
+    assert(f.n_frames === n && f.sampled_frames === 2)
+    val d = Media.Decoded("jpeg", w, h, 0, n,
+      graft.kernel.Jpeg.decode(MediaGen.jpeg(first, w, h)).samples, 255)
+    assert(d.samples.zip(first).map { case (a, b) => math.abs(a - b) }.max <= 4)
+    assert(f.thumb_bytes > 0 && f.thumb_bytes <= 64)
+    // a fake-payload mp4 still takes the metadata path, not a crash
+    val fake = Multimodal.decodeOne(Multimodal.Media(2L, "u", "video",
+      MediaGen.mp4(w, h, fps, n, "avc1")))
+    assert(fake.ok && fake.codec === "avc1" && fake.n_frames === n)
+  }
 
   test("mp4: 64-bit largesize boxes and v1 time fields parse correctly") {
     def be64(v: Long): Array[Byte] = be32int((v >> 32).toInt) ++ be32int(v.toInt)
