@@ -692,7 +692,8 @@ class MediaSpec extends AnyFunSuite {
     }
     val stbl = box("stbl",
       full("stsd", 0, be32int(1) ++ entry) ++
-        full("stsz", 0, be32int(0) ++ be32int(7)))
+        full("stsz", 0, be32int(0) ++ be32int(7)) ++
+        full("co64", 0, be32int(1) ++ be64(999L))) // 64-bit chunk offsets
     val trak = box("trak",
       box("mdia", mdhd1 ++ hdlr ++ box("minf", stbl)))
     val file = box("ftyp", "isom".getBytes ++ be32int(0x200)) ++
@@ -705,6 +706,7 @@ class MediaSpec extends AnyFunSuite {
     assert(t.handler === "vide" && t.codec === "vp09")
     assert(t.durationMs === 4500L) // v1 mdhd: 4500 / 1000 Hz
     assert(t.width === 99 && t.height === 88 && t.sampleCount === 7L)
+    assert(t.firstSampleOffset === 999L) // via the co64 64-bit table
   }
 
   test("jpeg: grayscale round-trip within coefficient-rounding tolerance") {
