@@ -567,6 +567,47 @@ object SparkEntry {
           .as("surt_host"))
         .groupBy(col("surt_host")).agg(count(lit(1)).as("pages"))
     }),
+    // deterministic STRATIFIED mixture sampling — the domain/language
+    // re-weighting step every pre-training corpus runs (e.g. upsample
+    // quality domains, downsample boilerplate-heavy ones). NOT rand():
+    // the keep decision is a pure function of (doc_id), so it survives
+    // re-runs, repartitioning and engine changes exactly like q46's
+    // split. u = first 8 sha256 hex chars as a uniform in [0, 1)
+    "q61_stratified_sample" -> ((s, dir) => {
+      // per-stratum keep fraction as a HEX-STRING cutoff on the first 8
+      // sha256 chars (0.9 → e6666666, 0.5 → 80000000, 0.25 → 40000000):
+      // lexicographic compare on lowercase hex is engine-stable and
+      // FP-free, the same device as q46's split
+      val h8 = substring(sha2(concat(lit("mix:"), col("doc_id").cast("string")), 256), 1, 8)
+      val keep = when(col("lang") === "en", h8 < "e6666666")
+        .when(col("lang") === "zh", h8 < "80000000")
+        .otherwise(h8 < "40000000")
+      t(s, dir, "documents")
+        .where(keep)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("sampled"), sum(col("n_chars")).as("chars"))
+    }),
+    // sequence PACKING: documents greedily packed in deterministic
+    // doc_id order into fixed token-budget bins (the step that turns a
+    // filtered corpus into fixed-length training sequences). bin =
+    // floor(exclusive-prefix-sum(tokens) / budget) — a single window
+    // cumsum, no driver loop; per-bin stats are the oracle surface.
+    // The global ORDER BY window is the correctness spec; at corpus
+    // scale the same expression runs per shard (partitionBy a
+    // hash-split column) since bins never straddle training shards
+    "q62_sequence_packing" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val budget = 2048L
+      val w = Window.orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      t(s, dir, "documents")
+        .select(col("doc_id"), size(split(trim(col("text")), "\\s+")).cast("long").as("toks"))
+        .withColumn("prev", coalesce(sum(col("toks")).over(w), lit(0L)))
+        .withColumn("bin", floor(col("prev") / budget))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("docs"), sum(col("toks")).as("bin_tokens"),
+          min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+    }),
     // corpus bigram counts (contamination/dedup diagnostics): top-20 by
     // count with a lexicographic tie-break so the cut is total
     "q47_bigram_counts" -> ((s, dir) => {
@@ -1149,6 +1190,14 @@ object SparkEntry {
       "SELECT doc_id, round(max_c / total, 4) AS top_bigram_frac, round(1.0 - distinct_bigrams / total, 4) AS dup_bigram_frac FROM agg"),
     "q59_surt_keys" -> ("WITH u AS (SELECT 'sub' || CAST(event_id % 3 AS VARCHAR) || '.host' || CAST(user_id % 50 AS VARCHAR) || '.example.com' AS host FROM events) " +
       "SELECT array_to_string(list_reverse(string_split(host, '.')), '.') AS surt_host, count(*) AS pages FROM u GROUP BY 1"),
+    "q61_stratified_sample" -> ("WITH h AS (SELECT *, substr(sha256('mix:' || CAST(doc_id AS VARCHAR)), 1, 8) AS h8 FROM documents) " +
+      "SELECT lang, count(*) AS sampled, CAST(sum(n_chars) AS BIGINT) AS chars FROM h " +
+      "WHERE CASE WHEN lang = 'en' THEN h8 < 'e6666666' WHEN lang = 'zh' THEN h8 < '80000000' ELSE h8 < '40000000' END " +
+      "GROUP BY lang"),
+    "q62_sequence_packing" -> ("WITH t AS (SELECT doc_id, len(regexp_split_to_array(trim(text), '\\s+')) AS toks FROM documents), " +
+      "p AS (SELECT doc_id, toks, coalesce(sum(toks) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev FROM t) " +
+      "SELECT CAST(floor(prev / 2048) AS BIGINT) AS bin, count(*) AS docs, CAST(sum(toks) AS BIGINT) AS bin_tokens, " +
+      "min(doc_id) AS first_doc, max(doc_id) AS last_doc FROM p GROUP BY 1"),
     "q60_dup_ngram_frac" -> ("WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents), " +
       "g AS (SELECT doc_id, array_to_string(toks[i : i + 7], ' ') AS gram FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 6)) AS i FROM tok WHERE len(toks) >= 8)), " +
       "c AS (SELECT gram, count(*) AS c FROM g GROUP BY gram) " +
