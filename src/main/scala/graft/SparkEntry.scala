@@ -139,6 +139,13 @@ object SparkEntry {
       t(s, dir, "documents").orderBy(asc("doc_id")).limit(50)
         .select(col("doc_id"), sha2(col("text"), 256).as("content_hash"))
     }),
+    // exact dedup as a corpus FILTER (one doc per content hash, full
+    // schema survives — the cheap first pass of the dedup funnel)
+    "q63_exact_dedup_filter" -> ((s, dir) => {
+      graft.ops.Dedup.exactFilter(t(s, dir, "documents"), "doc_id", "text")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("survivors"), sum(col("n_chars")).as("chars"))
+    }),
     // ------------------------------------------- C6: TTL predicate
     "q10_ttl_filter" -> ((s, dir) => {
       t(s, dir, "events")
@@ -1105,6 +1112,8 @@ object SparkEntry {
     "q08_ordered_merge" -> "SELECT user_id, string_agg(event_type, ',' ORDER BY ts, event_id) AS event_seq, count(*) AS cnt FROM events GROUP BY user_id",
     "q09_dedup_exact" -> "SELECT lang, count(*) AS n_docs, count(DISTINCT sha256(text)) AS n_unique FROM documents GROUP BY lang",
     "q10_ttl_filter" -> "SELECT event_type, count(*) AS live_cnt FROM events WHERE ts + INTERVAL 24 HOUR > TIMESTAMP '2024-01-30 00:00:00' GROUP BY event_type",
+    "q63_exact_dedup_filter" -> ("WITH r AS (SELECT *, row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn FROM documents) " +
+      "SELECT lang, count(*) AS survivors, CAST(sum(n_chars) AS BIGINT) AS chars FROM r WHERE rn = 1 GROUP BY lang"),
     "q11_content_hash" -> "SELECT doc_id, sha256(text) AS content_hash FROM documents ORDER BY doc_id LIMIT 50",
     "q12_label_classifier" -> "SELECT CASE WHEN regexp_matches(lower(text), 'window|stream') THEN 'matched' ELSE 'unknown' END AS document_type, count(*) AS cnt FROM documents GROUP BY 1",
     "q13_token_count" -> "SELECT lang, CAST(sum(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT) AS total_tokens, count(*) AS cnt FROM documents GROUP BY lang",

@@ -30,6 +30,19 @@ object Dedup {
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("dup_count"))
   }
 
+  /** [[exact]]'s corpus-filter form: the SURVIVING rows with `df`'s full
+    * schema — exactly one document (minimum `idCol`) per distinct
+    * `textCol` content. One hash-partitioned window, no rejoin; the
+    * standard FIRST dedup pass (cheap, catches the bulk) ahead of
+    * [[nearDupFilter]].
+    */
+  def exactFilter(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(sha2(col(textCol), 256)).orderBy(col(idCol))
+    df.withColumn("_rn", row_number().over(w))
+      .where(col("_rn") === 1).drop("_rn")
+  }
+
   // ----------------------------------------------- exact word-set Jaccard
   private def wordSet(text: Column): Column =
     array_distinct(split(lower(trim(text)), "\\s+"))

@@ -42,8 +42,14 @@ object CorpusJob {
       .persist()
     val nQuality = quality.count()
 
+    // standard order: the cheap exact pass first (one window, catches
+    // the bulk of duplication), then MinHash near-dedup on the residue
+    val exact = graft.ops.Dedup.exactFilter(quality, "url", "extracted_text")
+      .persist()
+    val nExact = exact.count()
+
     val deduped = graft.ops.Dedup.nearDupFilter(
-        quality, "url", "extracted_text",
+        exact, "url", "extracted_text",
         shingleK, numHashes, numBands, threshold, maxBucket)
       .persist()
     val nDeduped = deduped.count()
@@ -51,12 +57,13 @@ object CorpusJob {
     val written = graft.sources.Warc.writeConversions(
       deduped.select(col("url"), col("warc_ts"), col("extracted_text")), wetDir)
 
-    docs.unpersist(); quality.unpersist(); deduped.unpersist()
+    docs.unpersist(); quality.unpersist(); exact.unpersist(); deduped.unpersist()
     Seq(
       (0, "extracted", nIn),
       (1, "quality_kept", nQuality),
-      (2, "dedup_survivors", nDeduped),
-      (3, "wet_records_written", written))
+      (2, "exact_unique", nExact),
+      (3, "neardup_survivors", nDeduped),
+      (4, "wet_records_written", written))
       .toDF("ord", "stage", "docs")
   }
 }

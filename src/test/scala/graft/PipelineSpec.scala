@@ -290,12 +290,13 @@ class PipelineSpec extends AnyFunSuite with SparkSuite {
     val funnel = CorpusJob.run(spark, pagesDs.toDF(), s"$tmp/wet", maxBucket = 64)
       .orderBy($"ord").as[(Int, String, Long)].collect()
     assert(funnel.map(_._2).toSeq ===
-      Seq("extracted", "quality_kept", "dedup_survivors", "wet_records_written"))
-    val Seq(nIn, nQ, nD, nW) = funnel.map(_._3).toSeq
+      Seq("extracted", "quality_kept", "exact_unique", "neardup_survivors",
+        "wet_records_written"))
+    val Seq(nIn, nQ, nE, nD, nW) = funnel.map(_._3).toSeq
     assert(nIn === fixture.size.toLong)
-    assert(nQ <= nIn && nD <= nQ && nW === nD)
+    assert(nQ <= nIn && nE <= nQ && nD <= nE && nW === nD)
     assert(nD > 0, "funnel must not collapse to zero on the fixture corpus")
-    info(s"funnel: $nIn -> $nQ -> $nD")
+    info(s"funnel: $nIn -> $nQ -> $nE -> $nD")
     // WET archives parse back to exactly the surviving documents
     val back = graft.sources.Warc.readConversions(spark, s"$tmp/wet/*.warc.gz")
       .select($"url", $"text").as[(String, String)].collect().toMap
