@@ -730,6 +730,16 @@ object SparkEntry {
           maxBucket = 16)
         .select(col("doc_id"), col("lang"), col("n_chars"))
     }),
+    // SemDeDup (arXiv:2303.09540): distributed k-means bounds the pairwise
+    // cosine search to within-cluster; survivors = min-id per duplicate
+    // group. Exact quantized-integer accumulation makes the fitted
+    // centroids bit-identical at any parallelism (ClusterSpec pins 1 == 7
+    // partitions; k=1 == the exact all-pairs oracle)
+    "pipe34_semantic_dedup" -> ((s, dir) => {
+      graft.ops.Cluster.semanticDedup(t(s, dir, "embeddings"),
+          "vec_id", "embedding", threshold = 0.4, k = 16, maxCluster = 4096)
+        .select(col("vec_id"), col("label"))
+    }),
     "pipe11_media_features" -> ((s, _) => {
       import s.implicits._
       val media = s.createDataset(graft.fixtures.MediaGen.media(300))

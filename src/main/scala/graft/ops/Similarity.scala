@@ -228,6 +228,23 @@ object Similarity extends Serializable {
       .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
   }
 
+  /** [[cos6]] at 4 dp — the precision the [[Dedup]] cosine-dedup family
+    * standardizes on (`round(x, 4)` parity; NaN/Infinity pass through).
+    */
+  private[graft] def cos4(a: Array[Double], b: Array[Double]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var j = 0
+    val n = math.min(a.length, b.length)
+    while (j < n) { dot += a(j) * b(j); j += 1 }
+    j = 0
+    while (j < a.length) { na += a(j) * a(j); j += 1 }
+    j = 0
+    while (j < b.length) { nb += b(j) * b(j); j += 1 }
+    val c = dot / (math.sqrt(na) * math.sqrt(nb))
+    if (java.lang.Double.isNaN(c) || java.lang.Double.isInfinite(c)) c
+    else java.math.BigDecimal.valueOf(c)
+      .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+  }
+
   /** BATCH IVF top-k — the shape a 100 TB dedup actually runs: millions
     * of probe queries as a DataFrame, ZERO driver round-trips per query
     * (the single-query [[ivfTopK]] collects its one probe vector on the
