@@ -740,6 +740,18 @@ object SparkEntry {
           "vec_id", "embedding", threshold = 0.4, k = 16, maxCluster = 4096)
         .select(col("vec_id"), col("label"))
     }),
+    // CCNet-style perplexity quality scoring (LREC 2020): char-trigram LM
+    // trained on a 30% reference slice of the corpus (one pass + one
+    // count shuffle, exact integer counts = bit-identical model at any
+    // parallelism), then every document scored. LangModelSpec proves the
+    // model equals a naive string-keyed reference and that gibberish
+    // scores strictly above in-domain text
+    "pipe35_charlm_perplexity" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val model = graft.ops.LangModel.trainCharLm(
+        docs.where(col("doc_id") % 10 < 3), "text", n = 3)
+      graft.ops.LangModel.scorePerplexity(docs, "doc_id", "text", model)
+    }),
     "pipe11_media_features" -> ((s, _) => {
       import s.implicits._
       val media = s.createDataset(graft.fixtures.MediaGen.media(300))
