@@ -1264,6 +1264,135 @@ object MediaGen {
     * every box layout is spec-correct — `Media.probeMp4` round-trips all
     * declared fields and real demuxers accept the structure.
     */
+  // ---------------------------------------------- H.264 SPS/PPS writer
+
+  /** MSB-first bit writer with the exp-Golomb encodes of H.264 headers;
+    * `bytes` appends the §7.3.2.11 rbsp_trailing_bits (stop bit + pad).
+    * The write-side twin of [[graft.kernel.Avc.BitReader]] — MediaSpec
+    * round-trips them against each other.
+    */
+  private final class BitW {
+    private val buf = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    private var cur = 0
+    private var nBits = 0
+    def u(v: Long, n: Int): BitW = {
+      var i = n - 1
+      while (i >= 0) {
+        cur = (cur << 1) | ((v >> i) & 1L).toInt
+        nBits += 1
+        if (nBits == 8) { buf += cur.toByte; cur = 0; nBits = 0 }
+        i -= 1
+      }
+      this
+    }
+    def ue(v: Int): BitW = {
+      val k = v + 1
+      val len = 63 - java.lang.Long.numberOfLeadingZeros(k.toLong)
+      u(0L, len.toInt)
+      u(k.toLong, len.toInt + 1)
+    }
+    def se(v: Int): BitW = ue(if (v > 0) 2 * v - 1 else -2 * v)
+    def bytes: Array[Byte] = {
+      val b = new BitW
+      b.buf ++= buf; b.cur = cur; b.nBits = nBits
+      b.u(1L, 1)
+      if (b.nBits != 0) b.u(0L, 8 - b.nBits)
+      b.buf.toArray
+    }
+  }
+
+  /** §7.4.1 emulation prevention: a 0x00 0x00 run followed by a byte
+    * <= 3 gets a 0x03 inserted (the exact inverse of `Avc.rbsp`).
+    */
+  private def emulationPrevent(rb: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(rb.length + 8)
+    var zeros = 0
+    rb.foreach { b0 =>
+      val b = b0 & 0xff
+      if (zeros >= 2 && b <= 3) { out.write(3); zeros = 0 }
+      out.write(b)
+      zeros = if (b == 0) zeros + 1 else 0
+    }
+    out.toByteArray
+  }
+
+  /** A REAL H.264 SPS NAL for the fixture's avc1 tracks — every field
+    * written per §7.3.2.1.1 so [[graft.kernel.Avc.parseSps]] exercises
+    * genuine bitstream layout (exp-Golomb, cropping arithmetic, VUI
+    * timing, High-profile scaling lists), not hand-picked bytes.
+    * Non-multiple-of-16 dimensions are expressed through frame cropping
+    * exactly as an encoder would (4:2:0 crop units — even residues
+    * required, which all fixture dims satisfy).
+    */
+  def avcSps(w: Int, h: Int, fps: Int, profileIdc: Int = 66,
+             levelIdc: Int = 30): Array[Byte] = {
+    require(w > 0 && h > 0 && fps > 0)
+    val mbW = (w + 15) / 16
+    val mbH = (h + 15) / 16
+    val padW = mbW * 16 - w
+    val padH = mbH * 16 - h
+    require(padW % 2 == 0 && padH % 2 == 0,
+      s"odd crop residue ($padW,$padH) unrepresentable in 4:2:0 crop units")
+    val b = new BitW
+    b.u(profileIdc.toLong, 8).u(0L, 8).u(levelIdc.toLong, 8).ue(0)
+    if (profileIdc == 100) {
+      b.ue(1) // chroma_format_idc 4:2:0
+      b.ue(0).ue(0).u(0L, 1) // bit depths, transform bypass
+      b.u(1L, 1) // seq_scaling_matrix_present: exercise the list skipper
+      // list 0 present with genuine deltas; lists 1-7 absent
+      b.u(1L, 1)
+      b.se(8).se(-8)
+      (0 until 14).foreach(_ => b.se(0))
+      (1 until 8).foreach(_ => b.u(0L, 1))
+    }
+    b.ue(0) // log2_max_frame_num_minus4
+    b.ue(0) // pic_order_cnt_type 0
+    b.ue(0) // log2_max_pic_order_cnt_lsb_minus4
+    b.ue(1) // max_num_ref_frames
+    b.u(0L, 1) // gaps_in_frame_num_value_allowed
+    b.ue(mbW - 1).ue(mbH - 1)
+    b.u(1L, 1) // frame_mbs_only
+    b.u(1L, 1) // direct_8x8_inference
+    if (padW > 0 || padH > 0)
+      b.u(1L, 1).ue(0).ue(padW / 2).ue(0).ue(padH / 2)
+    else b.u(0L, 1)
+    b.u(1L, 1) // vui_parameters_present
+    b.u(0L, 1).u(0L, 1).u(0L, 1).u(0L, 1) // aspect/overscan/signal/chroma-loc
+    b.u(1L, 1) // timing_info_present
+    b.u(1L, 32) // num_units_in_tick
+    b.u(2L * fps, 32) // time_scale (a frame = two field ticks)
+    b.u(1L, 1) // fixed_frame_rate
+    b.u(0L, 1).u(0L, 1).u(0L, 1).u(0L, 1) // hrd x2, pic_struct, restriction
+    Array(0x67.toByte) ++ emulationPrevent(b.bytes)
+  }
+
+  /** Minimal-but-complete PPS NAL (§7.3.2.2) — unparsed by the probe
+    * but structurally true, so the avcC is a faithful record.
+    */
+  def avcPps(): Array[Byte] = {
+    val b = new BitW
+    b.ue(0).ue(0) // pps_id, sps_id
+    b.u(0L, 1).u(0L, 1) // entropy CAVLC, no bottom-field order
+    b.ue(0).ue(0).ue(0) // one slice group, ref counts 1
+    b.u(0L, 1).u(0L, 2) // no weighted pred
+    b.se(0).se(0).se(0) // init QP/QS/chroma offset
+    b.u(1L, 1).u(0L, 1).u(0L, 1) // deblocking control, flags
+    Array(0x68.toByte) ++ emulationPrevent(b.bytes)
+  }
+
+  /** `avcC` box (AVCDecoderConfigurationRecord, 14496-15 §5.2.4.1.1). */
+  private def avcCBox(w: Int, h: Int, fps: Int, profileIdc: Int,
+                      levelIdc: Int): Array[Byte] = {
+    def be16(v: Int): Array[Byte] = Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    val sps = avcSps(w, h, fps, profileIdc, levelIdc)
+    val pps = avcPps()
+    val body = Array(1.toByte, profileIdc.toByte, 0.toByte, levelIdc.toByte,
+      0xff.toByte, 0xe1.toByte) ++
+      be16(sps.length) ++ sps ++ Array(1.toByte) ++ be16(pps.length) ++ pps
+    be32(8 + body.length) ++ "avcC".getBytes(
+      java.nio.charset.StandardCharsets.ISO_8859_1) ++ body
+  }
+
   def mp4(w: Int, h: Int, fps: Int, nFrames0: Int, codec: String = "avc1",
           audioRate: Int = 0, audioSamples: Int = 0,
           data: Array[Byte] = null,
@@ -1308,11 +1437,24 @@ object MediaGen {
         full("stco", 0, 0, be32(1), be32(stcoOff)))
 
     val visualEntry = {
+      // avc1 entries carry a REAL avcC child (SPS/PPS written bit-by-bit
+      // — see avcSps); profile alternates deterministically so both the
+      // Baseline and the High-profile scaling-list paths appear in the
+      // fixture population
+      // odd dims are unrepresentable in 4:2:0 crop units (real encoders
+      // require even dims for 4:2:0) — such rows stay avcC-less, which
+      // is itself a real shape (avc3 streams carry SPS in-band instead)
+      val cfg =
+        if (codec == "avc1" && w % 2 == 0 && h % 2 == 0)
+          avcCBox(w, h, fps,
+            profileIdc = if ((w / 2 + h / 2 + fps) % 2 == 0) 66 else 100,
+            levelIdc = 30)
+        else Array.emptyByteArray
       val body = zeros(6) ++ be16(1) ++ // SampleEntry: reserved + dri
         be16(0) ++ be16(0) ++ zeros(12) ++ // pre_defined/reserved
         be16(w) ++ be16(h) ++
         be32(0x00480000) ++ be32(0x00480000) ++ be32(0) ++ be16(1) ++
-        zeros(32) ++ be16(0x18) ++ be16(0xffff)
+        zeros(32) ++ be16(0x18) ++ be16(0xffff) ++ cfg
       be32(8 + body.length) ++ codec.getBytes(ISO) ++ body
     }
     val vidSizes: Seq[Int] =
@@ -1810,7 +1952,7 @@ object MediaGen {
         case 2 =>
           val w = 8 + r.nextInt(24); val h = 8 + r.nextInt(16)
           val fps = 10 + r.nextInt(20); val frames = 1 + r.nextInt(30)
-          r.nextInt(3) match {
+          r.nextInt(4) match {
             case 0 => // real Motion-JPEG AVI
               Media(i.toLong, s"https://host$host.example.com/vid/$i.avi", "video",
                 aviMjpeg(Seq.tabulate(frames)(_ =>
@@ -1829,6 +1971,19 @@ object MediaGen {
                 Media(i.toLong, s"https://host$host.example.com/vid/$i.mp4", "video",
                   mp4(w, h, fps, frames, Seq("avc1", "hvc1", "vp09")(r.nextInt(3)),
                     aRate, aN, data = body(r, math.min(w * h * frames, 4096))))
+            case 2 => // Matroska/WebM: real EBML walk; V_VP8 rows carry
+              // REAL keyframes the VP8 kernel decodes, V_VP9 fake payloads
+              val nf = math.min(frames, 6)
+              if (r.nextBoolean())
+                Media(i.toLong, s"https://host$host.example.com/vid/$i.webm", "video",
+                  webmVp8(Seq.fill(nf)(Array.fill(w * h)(r.nextInt(256))),
+                    w, h, fps, qi = r.nextInt(40),
+                    audioRate = if (r.nextBoolean()) 48000 else 0,
+                    audioBlocks = 4))
+              else
+                Media(i.toLong, s"https://host$host.example.com/vid/$i.webm", "video",
+                  webm(Seq.fill(nf)(body(r, 64 + r.nextInt(256))), w, h, fps,
+                    codecId = "V_VP9"))
             case _ => // stub container (stand-in for codec-library formats)
               Media(i.toLong, s"https://host$host.example.com/vid/$i", "video",
                 "VID1".getBytes ++ be32(w) ++ be32(h) ++ be32(fps) ++ be32(frames) ++
@@ -2214,6 +2369,111 @@ object MediaGen {
   }
 
   private def probsDefault: Array[Int] = graft.kernel.Vp8Tables.coeffProbs
+
+  // ============================================================== WebM
+
+  /** The raw VP8 keyframe inside [[vp8]]'s RIFF/WEBP container —
+    * WebM SimpleBlocks carry the bare frame, not the RIFF wrapper.
+    */
+  private def vp8RawFrame(luma: Array[Int], w: Int, h: Int, qi: Int): Array[Byte] = {
+    val riff = vp8(luma, w, h, qi)
+    val len = (riff(16) & 0xff) | ((riff(17) & 0xff) << 8) |
+      ((riff(18) & 0xff) << 16) | ((riff(19) & 0xff) << 24)
+    java.util.Arrays.copyOfRange(riff, 20, 20 + len)
+  }
+
+  // EBML element writers (RFC 8794): id bytes as written on the wire,
+  // minimal-length size vint, big-endian numeric bodies
+  private def ebmlSize(v: Long): Array[Byte] = {
+    require(v >= 0)
+    var len = 1
+    while (len < 8 && v >= (1L << (7 * len)) - 1) len += 1 // reserve all-ones
+    val out = new Array[Byte](len)
+    var i = len - 1
+    var x = v
+    while (i >= 0) { out(i) = (x & 0xff).toByte; x >>= 8; i -= 1 }
+    out(0) = (out(0) | (0x100 >> len)).toByte
+    out
+  }
+  private def ebmlId(id: Long): Array[Byte] = {
+    val len = if (id <= 0xff) 1 else if (id <= 0xffff) 2
+      else if (id <= 0xffffff) 3 else 4
+    Array.tabulate(len)(i => ((id >> (8 * (len - 1 - i))) & 0xff).toByte)
+  }
+  private def el(id: Long, body: Array[Byte]*): Array[Byte] = {
+    val b = body.flatten.toArray
+    ebmlId(id) ++ ebmlSize(b.length) ++ b
+  }
+  private def uintEl(id: Long, v: Long): Array[Byte] = {
+    var len = 1
+    while (len < 8 && v >= (1L << (8 * len))) len += 1
+    el(id, Array.tabulate(len)(i => ((v >> (8 * (len - 1 - i))) & 0xff).toByte))
+  }
+  private def floatEl(id: Long, v: Float): Array[Byte] =
+    el(id, be32(java.lang.Float.floatToIntBits(v)))
+  private def strEl(id: Long, s: String): Array[Byte] =
+    el(id, s.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+
+  /** Matroska/WebM mux of raw codec frames (for `V_VP8`, real keyframes
+    * from [[vp8]] — [[graft.kernel.Webm.firstVideoFrame]] +
+    * [[graft.kernel.Vp8.decodeFrame]] then recover REAL pixels from the
+    * container). One cluster per 8 frames, keyframe-flagged
+    * SimpleBlocks, ms timecode scale. Optional audio track
+    * (`A_OPUS`-labelled random payloads — codec-library boundary).
+    */
+  def webm(frames: Seq[Array[Byte]], w: Int, h: Int, fps: Int,
+           codecId: String = "V_VP8",
+           audioRate: Int = 0, audioBlocks: Int = 0,
+           unknownSegmentSize: Boolean = false): Array[Byte] = {
+    require(frames.nonEmpty && fps > 0)
+    val header = el(0x1a45dfa3L,
+      uintEl(0x4286L, 1), uintEl(0x42f7L, 1), uintEl(0x42f2L, 4),
+      uintEl(0x42f3L, 8), strEl(0x4282L, "webm"),
+      uintEl(0x4287L, 2), uintEl(0x4285L, 2))
+    val durMs = frames.size * 1000.0f / fps
+    val info = el(0x1549a966L,
+      uintEl(0x2ad7b1L, 1000000L), floatEl(0x4489L, durMs))
+    val videoEntry = el(0xaeL,
+      uintEl(0xd7L, 1), uintEl(0x83L, 1), strEl(0x86L, codecId),
+      el(0xe0L, uintEl(0xb0L, w), uintEl(0xbaL, h)))
+    val audioEntry =
+      if (audioRate <= 0) Array.emptyByteArray
+      else el(0xaeL,
+        uintEl(0xd7L, 2), uintEl(0x83L, 2), strEl(0x86L, "A_OPUS"),
+        el(0xe1L, floatEl(0xb5L, audioRate.toFloat)))
+    val tracks = el(0x1654ae6bL, videoEntry, audioEntry)
+    def simpleBlock(track: Int, tcRel: Int, payload: Array[Byte]): Array[Byte] =
+      el(0xa3L, Array((0x80 | track).toByte,
+        ((tcRel >> 8) & 0xff).toByte, (tcRel & 0xff).toByte,
+        0x80.toByte), payload)
+    val r = new Random(w * 31 + h)
+    val audioPayloads = Seq.fill(audioBlocks)(body(r, 48))
+    val clusters = frames.zipWithIndex.grouped(8).map { grp =>
+      val baseTc = grp.head._2 * 1000L / fps
+      val blocks = grp.flatMap { case (f, i) =>
+        simpleBlock(1, (i * 1000 / fps - baseTc).toInt, f)
+      }
+      val audio = if (grp.head._2 == 0)
+        audioPayloads.zipWithIndex.flatMap { case (a, i) => simpleBlock(2, i, a) }
+      else Seq.empty[Byte]
+      el(0x1f43b675L, uintEl(0xe7L, baseTc), blocks.toArray, audio.toArray)
+    }.toSeq
+    val segBody = (Seq(info, tracks) ++ clusters).flatten.toArray
+    val segment =
+      if (unknownSegmentSize)
+        // streamed form: size = all-ones 1-byte vint (unknown, to EOF)
+        ebmlId(0x18538067L) ++ Array(0xff.toByte) ++ segBody
+      else el(0x18538067L, segBody)
+    header ++ segment
+  }
+
+  /** Convenience: encode luma planes through the real VP8 encoder and
+    * mux them.
+    */
+  def webmVp8(lumaFrames: Seq[Array[Int]], w: Int, h: Int, fps: Int,
+              qi: Int = 12, audioRate: Int = 0, audioBlocks: Int = 0): Array[Byte] =
+    webm(lumaFrames.map(l => vp8RawFrame(l, w, h, qi)), w, h, fps,
+      "V_VP8", audioRate, audioBlocks)
 
   // ============================================================== WARC
 

@@ -92,32 +92,35 @@ object Media {
     * reads are bounds-checked — malformed input throws (C5: caller
     * isolates per row).
     */
+  // (type, bodyStart, boxEnd) triples of the direct children in
+  // [start, end); strict — a box overrunning its parent throws
+  private def mp4Boxes(p: Array[Byte], start: Int, end: Int): Vector[(String, Int, Int)] = {
+    val out = Vector.newBuilder[(String, Int, Int)]
+    var off = start
+    while (off < end) {
+      require(off + 8 <= end, "truncated box header")
+      var size = be32(p, off).toLong & 0xffffffffL
+      val typ = new String(p, off + 4, 4, java.nio.charset.StandardCharsets.ISO_8859_1)
+      var hdr = 8
+      if (size == 1) {
+        require(off + 16 <= end, "truncated largesize")
+        size = be64(p, off + 8); hdr = 16
+      } else if (size == 0) size = (end - off).toLong
+      require(size >= hdr && off + size <= end,
+        s"bad box size $size for '$typ'")
+      out += ((typ, off + hdr, (off + size).toInt))
+      off = (off + size).toInt
+    }
+    out.result()
+  }
+  private def mp4Find(bs: Vector[(String, Int, Int)], typ: String): Option[(Int, Int)] =
+    bs.collectFirst { case (t, b, e) if t == typ => (b, e) }
+
   def probeMp4(p: Array[Byte]): Mp4Info = {
     require(isMp4(p), "not ISO-BMFF")
-
-    // (type, bodyStart, boxEnd) triples of the direct children in
-    // [start, end); strict — a box overrunning its parent throws
-    def boxes(start: Int, end: Int): Vector[(String, Int, Int)] = {
-      val out = Vector.newBuilder[(String, Int, Int)]
-      var off = start
-      while (off < end) {
-        require(off + 8 <= end, "truncated box header")
-        var size = be32(p, off).toLong & 0xffffffffL
-        val typ = new String(p, off + 4, 4, java.nio.charset.StandardCharsets.ISO_8859_1)
-        var hdr = 8
-        if (size == 1) {
-          require(off + 16 <= end, "truncated largesize")
-          size = be64(p, off + 8); hdr = 16
-        } else if (size == 0) size = (end - off).toLong
-        require(size >= hdr && off + size <= end,
-          s"bad box size $size for '$typ'")
-        out += ((typ, off + hdr, (off + size).toInt))
-        off = (off + size).toInt
-      }
-      out.result()
-    }
+    def boxes(start: Int, end: Int): Vector[(String, Int, Int)] = mp4Boxes(p, start, end)
     def find(bs: Vector[(String, Int, Int)], typ: String): Option[(Int, Int)] =
-      bs.collectFirst { case (t, b, e) if t == typ => (b, e) }
+      mp4Find(bs, typ)
 
     val top = boxes(0, p.length)
     val brand = find(top, "ftyp").map { case (b, e) =>
@@ -197,6 +200,37 @@ object Media {
     Mp4Info(brand, movieDurMs, tracks,
       mdat.map(_._1).getOrElse(-1),
       mdat.map { case (b, e) => (e - b).toLong }.getOrElse(0L))
+  }
+
+  /** Codec-level H.264 probe: walk to the first `avc1`/`avc3` sample
+    * entry's `avcC` configuration box and parse its SPS ([[Avc]]) —
+    * BITSTREAM dimensions/profile/level/fps, vs the container-declared
+    * values [[probeMp4]] reports (they disagree on cropped/anamorphic
+    * streams; the SPS is authoritative). `None` when the file is not
+    * ISO-BMFF or carries no AVC track; malformed avcC/SPS bytes throw
+    * (C5: caller isolates per row). Child boxes of a VisualSampleEntry
+    * start after its 78-byte fixed layout (ISO 14496-12 §12.1.3).
+    */
+  def avcSps(p: Array[Byte]): Option[Avc.SpsInfo] = {
+    if (!isMp4(p)) return None
+    val top = mp4Boxes(p, 0, p.length)
+    mp4Find(top, "moov").toVector.flatMap { case (mb, me) =>
+      mp4Boxes(p, mb, me).collect { case ("trak", tb, te) => (tb, te) }
+    }.flatMap { case (tb, te) =>
+      for {
+        (mdB, mdE) <- mp4Find(mp4Boxes(p, tb, te), "mdia")
+        (mfB, mfE) <- mp4Find(mp4Boxes(p, mdB, mdE), "minf")
+        (sbB, sbE) <- mp4Find(mp4Boxes(p, mfB, mfE), "stbl")
+        (sdB, sdE) <- mp4Find(mp4Boxes(p, sbB, sbE), "stsd")
+        if sdB + 16 <= sdE
+        entry = sdB + 8
+        fmt = new String(p, entry + 4, 4, java.nio.charset.StandardCharsets.ISO_8859_1)
+        if fmt == "avc1" || fmt == "avc3"
+        entryEnd = entry + be32(p, entry)
+        if entry + 86 <= entryEnd && entryEnd <= sdE
+        (acB, acE) <- mp4Find(mp4Boxes(p, entry + 86, entryEnd), "avcC")
+      } yield Avc.parseAvcC(p, acB, acE)
+    }.headOption
   }
 
   /** BMP → per-pixel 0–255 luminance (BT.601 integer weights for 24/32

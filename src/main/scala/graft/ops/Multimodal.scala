@@ -169,6 +169,13 @@ object Multimodal {
             soun.map(_.sampleRate).getOrElse(0), frames,
             d.samples, d.sampleMax))
         case None =>
+          // H.264 tracks: the avcC SPS is codec-level truth for the
+          // dimensions (container and bitstream disagree on cropped /
+          // anamorphic streams; the bitstream wins)
+          val sps =
+            if (vide.exists(v => v.codec == "avc1" || v.codec == "avc3"))
+              graft.kernel.Media.avcSps(m.payload)
+            else None
           val dataOff = if (info.mdatOffset >= 0) info.mdatOffset else m.payload.length
           val (mean, hist) = stats(m.payload, dataOff)
           val body = m.payload.length - dataOff
@@ -177,8 +184,40 @@ object Multimodal {
           val sampled = if (frames <= 1) frames else (frames + 4) / 5
           MediaFeatures(m.media_id, m.kind,
             vide.orElse(soun).map(_.codec).getOrElse(info.brand),
-            vide.map(_.width).getOrElse(0), vide.map(_.height).getOrElse(0),
+            sps.map(_.width).orElse(vide.map(_.width)).getOrElse(0),
+            sps.map(_.height).orElse(vide.map(_.height)).getOrElse(0),
             soun.map(_.sampleRate).getOrElse(0), frames,
+            m.payload.length.toLong, mean, hist.toSeq, thumb.toSeq, tn, sampled,
+            ok = true, error = "")
+      }
+    } else if (graft.kernel.Webm.isWebm(m.payload)) {
+      // Matroska/WebM: container metadata from the EBML walk; for V_VP8
+      // tracks the first SimpleBlock is a raw keyframe the from-scratch
+      // VP8 decoder turns into REAL pixels (the MJPEG-in-MP4 analog)
+      val info = graft.kernel.Webm.probe(m.payload)
+      val vide = info.tracks.find(_.trackType == 1)
+      val soun = info.tracks.find(_.trackType == 2)
+      val frames = vide.map(_.blockCount.toInt).getOrElse(0)
+      val firstVp8 =
+        if (vide.exists(_.codecId == "V_VP8"))
+          graft.kernel.Webm.firstVideoFrame(m.payload)
+            .map(graft.kernel.Vp8.decodeFrame)
+        else None
+      firstVp8 match {
+        case Some(f) =>
+          fromDecoded(m, graft.kernel.Media.Decoded(
+            vide.map(_.codecId).getOrElse("webm"), f.width, f.height,
+            soun.map(_.samplingHz.toInt).getOrElse(0), frames, f.y, 255))
+        case None =>
+          val (mean, hist) = stats(m.payload, 0)
+          val tn = math.min(64, m.payload.length)
+          val thumb = Array.tabulate(tn)(i =>
+            m.payload((i.toLong * m.payload.length / tn).toInt))
+          val sampled = if (frames <= 1) frames else (frames + 4) / 5
+          MediaFeatures(m.media_id, m.kind,
+            vide.orElse(soun).map(_.codecId).getOrElse(info.docType),
+            vide.map(_.width).getOrElse(0), vide.map(_.height).getOrElse(0),
+            soun.map(_.samplingHz.toInt).getOrElse(0), frames,
             m.payload.length.toLong, mean, hist.toSeq, thumb.toSeq, tn, sampled,
             ok = true, error = "")
       }

@@ -736,11 +736,17 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
     val required = Set("jpeg", "gif", "bmp", "wav", "flac", "png", "mjpeg",
       "tiff", "webp", "img1", "aud1", "vid1")
     assert(required.subsetOf(codecs), s"missing ${required -- codecs}")
-    assert((codecs -- required).subsetOf(Set("avc1", "hvc1", "vp09")),
-      s"unexpected ${codecs -- required -- Set("avc1", "hvc1", "vp09")}")
-    // ISO-BMFF rows carry real container metadata
-    assert(feats.where($"codec".isin("avc1", "hvc1", "vp09") &&
+    val containerCodecs = Set("avc1", "hvc1", "vp09", "V_VP8", "V_VP9")
+    assert((codecs -- required).subsetOf(containerCodecs),
+      s"unexpected ${codecs -- required -- containerCodecs}")
+    // ISO-BMFF and Matroska rows carry real container metadata
+    assert(feats.where($"codec".isin(containerCodecs.toSeq: _*) &&
       ($"width" <= 0 || $"height" <= 0 || $"n_frames" <= 0)).count() === 0)
+    // WebM V_VP8 rows decode a REAL first frame: histogram mass is one
+    // luminance sample per pixel, exactly like the still-image decoders
+    val m8 = expr("aggregate(hist8, 0L, (a, x) -> a + x)")
+    assert(feats.where($"codec" === "V_VP8" &&
+      m8 =!= ($"width" * $"height").cast("long")).count() === 0)
     assert(feats.where($"codec" === "flac" && $"sample_rate" <= 0).count() === 0)
     assert(feats.where($"codec" === "mjpeg" &&
       ($"width" <= 0 || $"n_frames" <= 0 || $"sample_rate" <= 0)).count() === 0)
