@@ -752,6 +752,24 @@ object SparkEntry {
         docs.where(col("doc_id") % 10 < 3), "text", n = 3)
       graft.ops.LangModel.scorePerplexity(docs, "doc_id", "text", model)
     }),
+    // RFC 9309 robots.txt gate over the page corpus: per-host policies
+    // (deterministic fixture table), longest-match/allow-wins semantics,
+    // parse-once-per-host-per-partition memo (RobotsSpec carries the
+    // RFC example suite)
+    "pipe36_robots_filter" -> ((s, _) => {
+      import s.implicits._
+      val pages = fixturePages(s).select(col("url"))
+      val robots = (0 until 20).map { h =>
+        val txt =
+          if (h == 0) "User-agent: *\nDisallow: /"
+          else if (h % 2 == 0)
+            "User-agent: *\nDisallow: /pdf/\nAllow: /pdf/item-1*\nCrawl-delay: 2"
+          else "User-agent: *\nDisallow: /*.gif$"
+        (s"host$h.example.com", txt)
+      }.toDF("host", "robots_txt")
+      graft.ops.CrawlPolicy.robotsFilter(pages, "url", "url",
+        robots, "host", "robots_txt", agent = "graftbot")
+    }),
     "pipe11_media_features" -> ((s, _) => {
       import s.implicits._
       val media = s.createDataset(graft.fixtures.MediaGen.media(300))

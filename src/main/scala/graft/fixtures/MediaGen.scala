@@ -1982,8 +1982,10 @@ object MediaGen {
                     audioBlocks = 4))
               else
                 Media(i.toLong, s"https://host$host.example.com/vid/$i.webm", "video",
-                  webm(Seq.fill(nf)(body(r, 64 + r.nextInt(256))), w, h, fps,
-                    codecId = "V_VP9"))
+                  webm(Seq.fill(nf)(vp9Keyframe(w, h,
+                      profile = if (r.nextBoolean()) 0 else 2,
+                      junk = 64 + r.nextInt(256), seed = r.nextLong())),
+                    w, h, fps, codecId = "V_VP9"))
             case _ => // stub container (stand-in for codec-library formats)
               Media(i.toLong, s"https://host$host.example.com/vid/$i", "video",
                 "VID1".getBytes ++ be32(w) ++ be32(h) ++ be32(fps) ++ be32(frames) ++
@@ -1995,7 +1997,7 @@ object MediaGen {
             bmp(body(r, w * h * 3), w, h))
         case 4 =>
           val rate = 8000 + 4000 * r.nextInt(3); val ns = 64 + r.nextInt(512)
-          val payload = r.nextInt(5) match {
+          val payload = r.nextInt(7) match {
             case 4 =>
               val mono = Array.tabulate(ns)(_ => r.nextInt(65536).toShort)
               if (r.nextBoolean()) flac(mono, rate, blockSize = 64)
@@ -2007,6 +2009,21 @@ object MediaGen {
             case 2 => // extensible-wrapped 16-bit PCM
               wavOf(body(r, ns * 2), rate, format = 1, channels = 1, bits = 16,
                 extensible = true)
+            case 5 => // MPEG audio: real frame headers, exact walk
+              mp3(frames = 4 + r.nextInt(12), bitrateIdx = 1 + r.nextInt(14),
+                srIdx = r.nextInt(3), mono = r.nextBoolean(),
+                id3Body = if (r.nextBoolean()) 0 else 32 + r.nextInt(200),
+                vbr = r.nextBoolean(), mpeg2 = r.nextBoolean(),
+                seed = r.nextLong())
+            case 6 => // Ogg: Opus or Vorbis id headers, page walk
+              if (r.nextBoolean())
+                oggOpus(1 + r.nextInt(2), 48000, 312,
+                  audioPages = 2 + r.nextInt(8), samplesPerPage = 960 * 4,
+                  seed = r.nextLong())
+              else
+                oggVorbis(1 + r.nextInt(2), 8000 + 4000 * r.nextInt(3),
+                  audioPages = 2 + r.nextInt(8), samplesPerPage = 1024,
+                  seed = r.nextLong())
             case _ => wav(Array.tabulate(ns)(_ => r.nextInt(65536).toShort), rate)
           }
           Media(i.toLong, s"https://host$host.example.com/aud/$i.wav", "audio", payload)
@@ -2474,6 +2491,134 @@ object MediaGen {
               qi: Int = 12, audioRate: Int = 0, audioBlocks: Int = 0): Array[Byte] =
     webm(lumaFrames.map(l => vp8RawFrame(l, w, h, qi)), w, h, fps,
       "V_VP8", audioRate, audioBlocks)
+
+  // ============================================================ MP3 / Ogg
+
+  /** MPEG-1/2 Layer III frame stream (headers per 11172-3 §2.4.1.3;
+    * payloads are deterministic junk — the header walk is what the
+    * probe parses). Optional ID3v2 prefix with a syncsafe length.
+    */
+  def mp3(frames: Int, bitrateIdx: Int = 9, srIdx: Int = 0,
+          mono: Boolean = false, id3Body: Int = 0, vbr: Boolean = false,
+          mpeg2: Boolean = false, seed: Long = 7L): Array[Byte] = {
+    require(frames > 0 && bitrateIdx >= 1 && bitrateIdx <= 14 && srIdx >= 0 && srIdx <= 2)
+    val r = new Random(seed)
+    val out = new java.io.ByteArrayOutputStream()
+    if (id3Body > 0) {
+      out.write("ID3".getBytes); out.write(4); out.write(0); out.write(0)
+      out.write((id3Body >> 21) & 0x7f); out.write((id3Body >> 14) & 0x7f)
+      out.write((id3Body >> 7) & 0x7f); out.write(id3Body & 0x7f)
+      out.write(body(r, id3Body))
+    }
+    val v1Rates = Array(44100, 48000, 32000)
+    val sr = if (mpeg2) v1Rates(srIdx) / 2 else v1Rates(srIdx)
+    val brTab =
+      if (mpeg2) Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)
+      else Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+    val spf = if (mpeg2) 576 else 1152
+    (0 until frames).foreach { i =>
+      val bi = if (vbr && i % 2 == 1) math.max(1, bitrateIdx - 2) else bitrateIdx
+      val len = spf / 8 * brTab(bi) * 1000 / sr
+      out.write(0xff)
+      out.write(0xe0 | ((if (mpeg2) 2 else 3) << 3) | (1 << 1) | 1) // layer III, no CRC
+      out.write((bi << 4) | (srIdx << 2)) // no padding
+      out.write(if (mono) 0xc0 else 0x00)
+      val junk = body(r, len - 4)
+      var j = 0 // frame bodies must not fake a sync run at a frame start
+      while (j < junk.length) { if ((junk(j) & 0xff) == 0xff) junk(j) = 0x7f; j += 1 }
+      out.write(junk)
+    }
+    out.toByteArray
+  }
+
+  /** One Ogg page (RFC 3533): 255-chunked lacing, CRC left zero (the
+    * probe reads structure, not integrity).
+    */
+  private def oggPage(htype: Int, granule: Long, serial: Int, seq: Int,
+                      payload: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("OggS".getBytes); out.write(0); out.write(htype)
+    (0 until 8).foreach(i => out.write(((granule >> (8 * i)) & 0xff).toInt))
+    out.write(le32(serial)); out.write(le32(seq)); out.write(le32(0))
+    val full = payload.length / 255
+    val rem = payload.length % 255
+    out.write(full + 1)
+    (0 until full).foreach(_ => out.write(255))
+    out.write(rem)
+    out.write(payload)
+    out.toByteArray
+  }
+
+  /** Ogg Opus stream (RFC 7845): OpusHead BOS page, OpusTags page, then
+    * audio pages whose granules tick at 48 kHz offset by pre-skip.
+    */
+  def oggOpus(channels: Int, inputRate: Int, preSkip: Int,
+              audioPages: Int, samplesPerPage: Int, seed: Long = 7L): Array[Byte] = {
+    val r = new Random(seed)
+    val head = "OpusHead".getBytes ++ Array[Byte](1, channels.toByte) ++
+      le16(preSkip) ++ le32(inputRate) ++ le16(0) ++ Array[Byte](0)
+    val tags = "OpusTags".getBytes ++ le32(0) ++ le32(0)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(oggPage(0x02, 0L, 0x1234, 0, head))
+    out.write(oggPage(0x00, 0L, 0x1234, 1, tags))
+    (0 until audioPages).foreach { i =>
+      out.write(oggPage(0x00, preSkip + (i + 1).toLong * samplesPerPage,
+        0x1234, 2 + i, body(r, 40 + r.nextInt(600))))
+    }
+    out.toByteArray
+  }
+
+  /** Ogg Vorbis stream (Vorbis I §4.2.2 id header; granules in native
+    * sample-rate units).
+    */
+  def oggVorbis(channels: Int, rate: Int, audioPages: Int,
+                samplesPerPage: Int, seed: Long = 7L): Array[Byte] = {
+    val r = new Random(seed)
+    val head = Array[Byte](1) ++ "vorbis".getBytes ++ le32(0) ++
+      Array[Byte](channels.toByte) ++ le32(rate) ++
+      le32(0) ++ le32(0) ++ le32(0) ++ Array[Byte](0x44, 1)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(oggPage(0x02, 0L, 0x777, 0, head))
+    (0 until audioPages).foreach { i =>
+      out.write(oggPage(0x00, (i + 1).toLong * samplesPerPage,
+        0x777, 1 + i, body(r, 40 + r.nextInt(600))))
+    }
+    out.toByteArray
+  }
+
+  /** Test hook: a single BOS page around an arbitrary first packet
+    * (for exercising the unknown-codec rejection path).
+    */
+  def oggPageForTest(payload: Array[Byte]): Array[Byte] =
+    oggPage(0x02, 0L, 1, 0, payload)
+
+  /** A VP9 keyframe whose UNCOMPRESSED HEADER is real (§6.2 bit
+    * layout — marker, profile, sync code, color config, frame/render
+    * size) followed by junk tile data: [[graft.kernel.Vp9]] parses
+    * exactly the declarative prefix, like the H.264 SPS.
+    */
+  def vp9Keyframe(w: Int, h: Int, profile: Int = 0,
+                  renderW: Int = 0, renderH: Int = 0,
+                  junk: Int = 64, seed: Long = 3L): Array[Byte] = {
+    require(w >= 1 && h >= 1 && profile >= 0 && profile <= 3)
+    val b = new BitW
+    b.u(2L, 2) // frame_marker
+    b.u(profile & 1L, 1).u((profile >> 1) & 1L, 1)
+    if (profile == 3) b.u(0L, 1)
+    b.u(0L, 1) // show_existing_frame
+    b.u(0L, 1) // frame_type KEY
+    b.u(1L, 1) // show_frame
+    b.u(0L, 1) // error_resilient_mode
+    b.u(0x498342L, 24) // frame_sync_code
+    if (profile >= 2) b.u(0L, 1) // 10-bit
+    b.u(1L, 3) // color_space BT.601
+    b.u(0L, 1) // color_range
+    if (profile == 1 || profile == 3) { b.u(1L, 1); b.u(1L, 1); b.u(0L, 1) }
+    b.u(w - 1L, 16).u(h - 1L, 16)
+    if (renderW > 0) b.u(1L, 1).u(renderW - 1L, 16).u(renderH - 1L, 16)
+    else b.u(0L, 1)
+    b.bytes ++ body(new Random(seed), junk)
+  }
 
   // ============================================================== WARC
 

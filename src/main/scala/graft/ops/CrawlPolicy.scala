@@ -1,0 +1,86 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.kernel.Robots
+
+/** Crawl-policy operators around the [[Robots]] kernel: apply a
+  * per-host robots.txt table to a URL corpus before extraction — the
+  * fetch-side gate of a web-scale pipeline (the reference has no fetch
+  * stage; this is engine-side crawl reality like the WARC source).
+  *
+  * Scale shape: ONE equi-join of the corpus against the robots table
+  * on host (robots tables are small relative to the corpus — a few
+  * million hosts vs 10^12 URLs — so AQE broadcasts it below the
+  * threshold; above, it is an ordinary hash join with the corpus
+  * already shuffling on host for politeness grouping anyway), then a
+  * per-partition streaming filter. robots.txt bodies are parsed ONCE
+  * PER HOST PER PARTITION through a bounded memo (hosts arrive
+  * clustered when the corpus is host-partitioned, which is the
+  * politeness layout a crawler wants regardless); the memo clears
+  * loudly-boundedly rather than growing without limit.
+  */
+object CrawlPolicy {
+
+  /** Keep the corpus rows whose URL the per-host robots.txt allows for
+    * `agent`. Hosts absent from `robots` (or with null text) allow
+    * everything — the RFC's missing-file semantics. Returns `urls`'
+    * full schema; `idCol` must be unique per row (the survivor
+    * semi-join key, same contract as the dedup filters).
+    */
+  def robotsFilter(urls: DataFrame, idCol: String, urlCol: String,
+                   robots: DataFrame, hostCol: String, txtCol: String,
+                   agent: String, memoCap: Int = 1 << 16): DataFrame = {
+    val spark = urls.sparkSession
+    import spark.implicits._
+    // path-with-query is what RFC 9309 rules match against
+    val pathq = concat(
+      coalesce(expr(s"parse_url($urlCol, 'PATH')"), lit("/")),
+      when(expr(s"parse_url($urlCol, 'QUERY')").isNotNull,
+        concat(lit("?"), expr(s"parse_url($urlCol, 'QUERY')"))).otherwise(lit("")))
+    val keyed = urls.select(
+      col(idCol).as("_id"),
+      expr(s"parse_url($urlCol, 'HOST')").as("_host"),
+      pathq.as("_path"))
+    val rob = robots.select(col(hostCol).as("_host"), col(txtCol).as("_robots"))
+    val keep = keyed.join(rob, Seq("_host"), "left")
+      .select(col("_id").cast("string"), col("_host"), col("_path"), col("_robots"))
+      .as[(String, String, String, String)]
+      .mapPartitions { it =>
+        val memo = new java.util.HashMap[String, Robots.RobotsFile]()
+        it.flatMap { case (id, host, path, txt) =>
+          val allowed =
+            if (txt == null) true
+            else {
+              var rf = memo.get(host)
+              if (rf == null) {
+                if (memo.size >= memoCap) memo.clear() // bounded, never OOM
+                rf = Robots.parse(txt)
+                memo.put(host, rf)
+              }
+              Robots.isAllowed(rf, agent, path)
+            }
+          if (allowed) Iterator.single(id) else Iterator.empty
+        }
+      }.toDF("_keep_id")
+    urls.join(keep, urls(idCol).cast("string") === col("_keep_id"), "left_semi")
+  }
+
+  /** Per-host crawl-delay table for `agent`: `(host, crawl_delay)` for
+    * every host whose robots.txt sets one — the politeness-scheduling
+    * input (join against the frontier, convert to per-host token
+    * rates).
+    */
+  def crawlDelays(robots: DataFrame, hostCol: String, txtCol: String,
+                  agent: String): DataFrame = {
+    val spark = robots.sparkSession
+    import spark.implicits._
+    robots.select(col(hostCol).cast("string"), col(txtCol).cast("string"))
+      .as[(String, String)]
+      .mapPartitions(_.flatMap { case (host, txt) =>
+        if (txt == null) Iterator.empty
+        else Robots.crawlDelay(Robots.parse(txt), agent)
+          .map(d => (host, d)).iterator
+      }).toDF("host", "crawl_delay")
+  }
+}

@@ -119,6 +119,22 @@ object Multimodal {
     * statistics, emits a ≤64-byte "thumbnail" by stride-subsampling and
     * samples every 5th frame.
     */
+  /** Metadata-only feature row for container formats whose payload
+    * decode sits behind the codec-library boundary: header fields are
+    * REAL, statistics/thumbnail cover the raw stream bytes.
+    */
+  private def containerRow(m: Media, codec: String, w: Int, h: Int,
+                           rate: Int, frames: Int): MediaFeatures = {
+    val (mean, hist) = stats(m.payload, 0)
+    val tn = math.min(64, m.payload.length)
+    val thumb = Array.tabulate(tn)(i =>
+      m.payload((i.toLong * m.payload.length / tn).toInt))
+    val sampled = if (frames <= 1) frames else (frames + 4) / 5
+    MediaFeatures(m.media_id, m.kind, codec, w, h, rate, frames,
+      m.payload.length.toLong, mean, hist.toSeq, thumb.toSeq, tn, sampled,
+      ok = true, error = "")
+  }
+
   def decodeOne(m: Media): MediaFeatures = try {
     if (graft.kernel.Media.isBmp(m.payload))
       fromDecoded(m, graft.kernel.Media.decodeBmp(m.payload))
@@ -209,18 +225,29 @@ object Multimodal {
             vide.map(_.codecId).getOrElse("webm"), f.width, f.height,
             soun.map(_.samplingHz.toInt).getOrElse(0), frames, f.y, 255))
         case None =>
-          val (mean, hist) = stats(m.payload, 0)
-          val tn = math.min(64, m.payload.length)
-          val thumb = Array.tabulate(tn)(i =>
-            m.payload((i.toLong * m.payload.length / tn).toInt))
-          val sampled = if (frames <= 1) frames else (frames + 4) / 5
-          MediaFeatures(m.media_id, m.kind,
-            vide.orElse(soun).map(_.codecId).getOrElse(info.docType),
-            vide.map(_.width).getOrElse(0), vide.map(_.height).getOrElse(0),
-            soun.map(_.samplingHz.toInt).getOrElse(0), frames,
-            m.payload.length.toLong, mean, hist.toSeq, thumb.toSeq, tn, sampled,
-            ok = true, error = "")
+          // V_VP9: the keyframe's uncompressed header is bitstream truth
+          // for the dimensions; best-effort (container dims remain the
+          // fallback when the first frame is damaged)
+          val vp9 =
+            if (vide.exists(_.codecId == "V_VP9"))
+              graft.kernel.Webm.firstVideoFrame(m.payload).flatMap(f =>
+                scala.util.Try(graft.kernel.Vp9.parseKeyframeHeader(f)).toOption)
+            else None
+          containerRow(m, vide.orElse(soun).map(_.codecId).getOrElse(info.docType),
+            vp9.map(_.width).orElse(vide.map(_.width)).getOrElse(0),
+            vp9.map(_.height).orElse(vide.map(_.height)).getOrElse(0),
+            soun.map(_.samplingHz.toInt).getOrElse(0), frames)
       }
+    } else if (graft.kernel.Ogg.isOgg(m.payload)) {
+      // Ogg (Opus/Vorbis): page walk + id-header truth; packet decode
+      // is the codec-library boundary, stats cover the raw stream
+      val info = graft.kernel.Ogg.probe(m.payload)
+      containerRow(m, info.codec, 0, 0, info.sampleRate, info.pages.toInt)
+    } else if (graft.kernel.Mp3.isMp3(m.payload)) {
+      // MPEG audio: exact frame walk (count, rate, duration); subband/
+      // huffman decode is the codec-library boundary
+      val info = graft.kernel.Mp3.probe(m.payload)
+      containerRow(m, "mp3", 0, 0, info.sampleRate, info.frames.toInt)
     } else {
       val magic = new String(m.payload.take(4), java.nio.charset.StandardCharsets.ISO_8859_1)
       val (w, h, rate, frames, dataOff) = magic match {

@@ -724,6 +724,84 @@ class MediaSpec extends AnyFunSuite {
     assert(!fb.ok && fb.error.nonEmpty)
   }
 
+  test("mp3: frame walk counts frames, rate, duration across versions; ID3 skipped") {
+    import graft.kernel.Mp3
+    // MPEG1 Layer III, 128 kbps, 44.1 kHz stereo, ID3v2 prefix
+    val f = MediaGen.mp3(frames = 30, bitrateIdx = 9, srIdx = 0, id3Body = 100)
+    val i = Mp3.probe(f)
+    assert(i.version === "1" && i.layer === 3)
+    assert(i.bitrateKbps === 128 && i.sampleRate === 44100 && i.channels === 2)
+    assert(i.frames === 30L && i.id3Bytes === 110)
+    assert(i.durationMs === 30L * 1152 * 1000 / 44100)
+    assert(!i.vbr)
+    // VBR flags when bitrate varies; MPEG2 halves rate and frame size
+    assert(Mp3.probe(MediaGen.mp3(10, bitrateIdx = 9, vbr = true)).vbr)
+    val m2 = Mp3.probe(MediaGen.mp3(8, bitrateIdx = 5, srIdx = 1, mpeg2 = true, mono = true))
+    assert(m2.version === "2" && m2.sampleRate === 24000 && m2.channels === 1)
+    assert(m2.durationMs === 8L * 576 * 1000 / 24000)
+    // malformed: mid-stream rate change is rejected; garbage is rejected
+    val mixed = MediaGen.mp3(3, srIdx = 0) ++ MediaGen.mp3(3, srIdx = 1)
+    intercept[IllegalArgumentException](Mp3.probe(mixed))
+    intercept[IllegalArgumentException](Mp3.probe("definitely not mp3".getBytes))
+    // ID3 tag claiming to overrun the file is rejected
+    val lying = MediaGen.mp3(2, id3Body = 50).take(20)
+    intercept[IllegalArgumentException](Mp3.probe(lying))
+  }
+
+  test("ogg: opus/vorbis id headers + page walk give rate, channels, exact duration") {
+    import graft.kernel.Ogg
+    val o = Ogg.probe(MediaGen.oggOpus(2, 48000, preSkip = 312,
+      audioPages = 5, samplesPerPage = 3840))
+    assert(o.codec === "opus" && o.channels === 2 && o.sampleRate === 48000)
+    assert(o.preSkip === 312 && o.pages === 7L)
+    assert(o.durationMs === 5L * 3840 * 1000 / 48000)
+    val v = Ogg.probe(MediaGen.oggVorbis(1, 16000, audioPages = 4, samplesPerPage = 1024))
+    assert(v.codec === "vorbis" && v.channels === 1 && v.sampleRate === 16000)
+    assert(v.durationMs === 4L * 1024 * 1000 / 16000)
+    // malformed: truncation, unknown codec header, trailing junk
+    intercept[IllegalArgumentException](
+      Ogg.probe(MediaGen.oggOpus(1, 48000, 0, 2, 960).dropRight(10)))
+    intercept[IllegalArgumentException](
+      Ogg.probe(MediaGen.oggPageForTest("FLACHEAD".getBytes)))
+    // feature stage carries the audio-container truth
+    import graft.ops.Multimodal
+    val fo = Multimodal.decodeOne(Multimodal.Media(3L, "u", "audio",
+      MediaGen.oggOpus(2, 48000, 312, 3, 960)))
+    assert(fo.ok && fo.codec === "opus" && fo.sample_rate === 48000 && fo.n_frames === 5)
+    val fm = Multimodal.decodeOne(Multimodal.Media(4L, "u", "audio", MediaGen.mp3(6)))
+    assert(fm.ok && fm.codec === "mp3" && fm.sample_rate === 44100 && fm.n_frames === 6)
+  }
+
+  test("vp9: keyframe uncompressed header yields profile/depth/dims/render size") {
+    import graft.kernel.Vp9
+    val i0 = Vp9.parseKeyframeHeader(MediaGen.vp9Keyframe(320, 180, profile = 0))
+    assert(i0.profile === 0 && i0.bitDepth === 8)
+    assert(i0.width === 320 && i0.height === 180)
+    assert(i0.renderWidth === 320 && i0.renderHeight === 180)
+    // profile 2 is 10-bit; render size can differ (anamorphic)
+    val i2 = Vp9.parseKeyframeHeader(
+      MediaGen.vp9Keyframe(1920, 1080, profile = 2, renderW = 853, renderH = 480))
+    assert(i2.profile === 2 && i2.bitDepth === 10)
+    assert(i2.width === 1920 && i2.renderWidth === 853 && i2.renderHeight === 480)
+    // profile 1 reads the subsampling bits
+    val i1 = Vp9.parseKeyframeHeader(MediaGen.vp9Keyframe(64, 48, profile = 1))
+    assert(i1.profile === 1 && i1.width === 64)
+    // malformed: bad marker, bad sync code, truncation
+    intercept[IllegalArgumentException](
+      Vp9.parseKeyframeHeader(Array[Byte](0, 0, 0, 0)))
+    val badSync = MediaGen.vp9Keyframe(64, 48); badSync(1) = 0x00
+    intercept[IllegalArgumentException](Vp9.parseKeyframeHeader(badSync))
+    intercept[IllegalArgumentException](
+      Vp9.parseKeyframeHeader(MediaGen.vp9Keyframe(64, 48).take(3)))
+    // through WebM + feature stage: bitstream dims override the container
+    val f = MediaGen.webm(Seq(MediaGen.vp9Keyframe(320, 180)), 999, 999, 30,
+      codecId = "V_VP9")
+    import graft.ops.Multimodal
+    val feat = Multimodal.decodeOne(Multimodal.Media(11L, "u", "video", f))
+    assert(feat.ok && feat.codec === "V_VP9")
+    assert(feat.width === 320 && feat.height === 180) // not the lying 999
+  }
+
   private def be32int(v: Int): Array[Byte] =
     Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
       ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)

@@ -736,12 +736,16 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
     val required = Set("jpeg", "gif", "bmp", "wav", "flac", "png", "mjpeg",
       "tiff", "webp", "img1", "aud1", "vid1")
     assert(required.subsetOf(codecs), s"missing ${required -- codecs}")
-    val containerCodecs = Set("avc1", "hvc1", "vp09", "V_VP8", "V_VP9")
-    assert((codecs -- required).subsetOf(containerCodecs),
-      s"unexpected ${codecs -- required -- containerCodecs}")
+    val videoContainers = Set("avc1", "hvc1", "vp09", "V_VP8", "V_VP9")
+    val audioContainers = Set("mp3", "opus", "vorbis")
+    assert((codecs -- required).subsetOf(videoContainers ++ audioContainers),
+      s"unexpected ${codecs -- required -- videoContainers -- audioContainers}")
     // ISO-BMFF and Matroska rows carry real container metadata
-    assert(feats.where($"codec".isin(containerCodecs.toSeq: _*) &&
+    assert(feats.where($"codec".isin(videoContainers.toSeq: _*) &&
       ($"width" <= 0 || $"height" <= 0 || $"n_frames" <= 0)).count() === 0)
+    // MPEG-audio/Ogg rows carry a real rate and frame/page count
+    assert(feats.where($"codec".isin(audioContainers.toSeq: _*) &&
+      ($"sample_rate" <= 0 || $"n_frames" <= 0)).count() === 0)
     // WebM V_VP8 rows decode a REAL first frame: histogram mass is one
     // luminance sample per pixel, exactly like the still-image decoders
     val m8 = expr("aggregate(hist8, 0L, (a, x) -> a + x)")
