@@ -408,6 +408,23 @@ object SparkEntry {
           round(sum(col("value")), 2).as("value_sum"),
           max(parse_url(url, lit("QUERY"), lit("k")).cast("int")).as("max_k"))
     }),
+    // politeness fetch scheduling: per-host crawl-delay (deterministic
+    // function of the host id, the CrawlPolicy.crawlDelays shape) ×
+    // row_number over the host's frontier order → fetch offset. The
+    // per-host window is hash-partitioned (no global sort) — the shape
+    // a 10^12-URL frontier scheduler actually runs
+    "q64_fetch_schedule" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val hostId = col("user_id") % 50
+      t(s, dir, "events")
+        .select(col("event_id"),
+          concat(lit("host"), hostId.cast("string"), lit(".example.com")).as("host"),
+          (hostId % 5 + 1).cast("bigint").as("delay_s"))
+        .withColumn("rn",
+          row_number().over(Window.partitionBy(col("host")).orderBy(col("event_id"))))
+        .select(col("host"), col("event_id"), col("delay_s"),
+          ((col("rn") - 1).cast("bigint") * col("delay_s")).as("fetch_offset_s"))
+    }),
     // Unicode NFC normalization as a NATIVE codegen expression (Spark
     // has no built-in; a UDF would break WholeStageCodegen). The suffix
     // appends a decomposed e + COMBINING ACUTE so normalization has real
@@ -769,6 +786,28 @@ object SparkEntry {
       }.toDF("host", "robots_txt")
       graft.ops.CrawlPolicy.robotsFilter(pages, "url", "url",
         robots, "host", "robots_txt", agent = "graftbot")
+    }),
+    // RFC 3986 URL canonicalization (frontier identity): fixture URLs
+    // deliberately re-spelled (case, default port, dot segments,
+    // %-escapes, fragments) must normalize back to one key per page —
+    // asserted here by distinct-count equality, which the rows-only
+    // check freezes (UrlNormSpec carries the RFC example suite +
+    // idempotence fuzz)
+    "pipe37_url_normalize" -> ((s, _) => {
+      import s.implicits._
+      val urls = fixturePages(s).select(col("url")).as[String]
+      val messy = urls.flatMap { u =>
+        val rest = u.stripPrefix("https://")
+        Iterator(u,
+          s"HTTPS://${rest.toUpperCase.takeWhile(_ != '/')}${rest.dropWhile(_ != '/')}#frag",
+          s"https://${rest.takeWhile(_ != '/')}:443/./${rest.dropWhile(_ != '/').stripPrefix("/")}")
+      }
+      val normed = messy.map(graft.kernel.UrlNorm.normalize(_)).toDF("url_norm")
+      val n = normed.distinct().count()
+      val base = urls.distinct().count()
+      // 3 spellings per url must collapse to exactly the base key set
+      require(n == base, s"canonicalization left $n keys for $base urls")
+      normed.groupBy(col("url_norm")).agg(count(lit(1)).as("spellings"))
     }),
     "pipe11_media_features" -> ((s, _) => {
       import s.implicits._
@@ -1194,6 +1233,11 @@ object SparkEntry {
              round(sum(value), 2) AS value_sum,
              max(CAST(regexp_extract(url, 'k=([0-9]+)', 1) AS INT)) AS max_k
       FROM u GROUP BY 1, 2"""),
+    "q64_fetch_schedule" -> ("""SELECT 'host' || CAST(user_id % 50 AS VARCHAR) || '.example.com' AS host,
+             event_id,
+             CAST((user_id % 50) % 5 + 1 AS BIGINT) AS delay_s,
+             CAST((row_number() OVER (PARTITION BY user_id % 50 ORDER BY event_id) - 1) * ((user_id % 50) % 5 + 1) AS BIGINT) AS fetch_offset_s
+      FROM events"""),
     "q54_nfc_normalize" -> ("SELECT doc_id, nfc_normalize(substring(text, 1, 64) || ' cafe' || chr(769) || ' suffix') AS norm_text FROM documents"),
     "q53_gopher_quality" -> ("""WITH m AS (SELECT doc_id,
         len(regexp_split_to_array(trim(text), '\s+')) AS word_cnt,
