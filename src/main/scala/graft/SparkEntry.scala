@@ -753,8 +753,13 @@ object SparkEntry {
     // centroids bit-identical at any parallelism (ClusterSpec pins 1 == 7
     // partitions; k=1 == the exact all-pairs oracle)
     "pipe34_semantic_dedup" -> ((s, dir) => {
+      // maxIter 4: near-random fixture embeddings never meet tol, so the
+      // default 10 rounds just buy per-job overhead at this SF — the
+      // quantizer is equally valid at any cut (ClusterSpec pins the
+      // convergence-sensitive claims on separable data)
       graft.ops.Cluster.semanticDedup(t(s, dir, "embeddings"),
-          "vec_id", "embedding", threshold = 0.4, k = 16, maxCluster = 4096)
+          "vec_id", "embedding", threshold = 0.4, k = 16, maxCluster = 4096,
+          maxIter = 4)
         .select(col("vec_id"), col("label"))
     }),
     // CCNet-style perplexity quality scoring (LREC 2020): char-trigram LM
