@@ -798,6 +798,18 @@ object SparkEntry {
     // asserted here by distinct-count equality, which the rows-only
     // check freezes (UrlNormSpec carries the RFC example suite +
     // idempotence fuzz)
+    // Lee-et-al (ACL 2022) duplicated-SUBSTRING removal: every 8-token
+    // window repeated corpus-wide keeps its canonical (least (doc,
+    // offset)) occurrence; other occurrences merge into maximal spans
+    // and are cut from the text itself. Output: per-doc before/after
+    // lengths (SpanDedupSpec proves equality with a naive reference at
+    // two partitionings; q60 is the decision-metric twin)
+    "pipe38_span_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").where(col("doc_id") < 2000)
+      graft.ops.SpanDedup.removeDuplicateSpans(docs, "doc_id", "text", k = 8)
+        .select(col("doc_id"), col("lang"),
+          length(col("text")).as("clean_chars"), col("n_chars"))
+    }),
     "pipe37_url_normalize" -> ((s, _) => {
       import s.implicits._
       val urls = fixturePages(s).select(col("url")).as[String]

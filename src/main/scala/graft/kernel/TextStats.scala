@@ -48,6 +48,48 @@ object TextStats {
 
   def hamming64(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
 
+  /** Character spans `(start, end)` of each whitespace-delimited token
+    * — the offset-preserving twin of [[tokens]] (which lowercases and
+    * drops positions). Needed by span-level dedup, which must CUT the
+    * original text, not a normalized copy.
+    */
+  def tokenSpans(text: String): Array[(Int, Int)] = {
+    val out = Vector.newBuilder[(Int, Int)]
+    var i = 0
+    while (i < text.length) {
+      while (i < text.length && Character.isWhitespace(text.charAt(i))) i += 1
+      val s = i
+      while (i < text.length && !Character.isWhitespace(text.charAt(i))) i += 1
+      if (i > s) out += ((s, i))
+    }
+    out.result().toArray
+  }
+
+  /** Karp–Rabin hash of every `k`-token window WITH its char span:
+    * `(hash, startChar, endChar)` — the same polynomial roll as
+    * [[rollingFingerprints]] over [[hashToken]] of the LOWERCASED
+    * token, so the two sketches agree on what a window hashes to.
+    */
+  def windowHashSpans(text: String, k: Int): Array[(Long, Int, Int)] = {
+    val spans = tokenSpans(text)
+    if (spans.length < k) return Array.empty
+    val base = 1000003L
+    val hs = spans.map { case (s, e) => hashToken(text.substring(s, e).toLowerCase) }
+    var pow = 1L
+    var i = 1
+    while (i < k) { pow *= base; i += 1 }
+    val out = new Array[(Long, Int, Int)](spans.length - k + 1)
+    var h = 0L
+    i = 0
+    while (i < hs.length) {
+      if (i < k) h = h * base + hs(i)
+      else h = (h - hs(i - k) * pow) * base + hs(i)
+      if (i >= k - 1) out(i - k + 1) = (h, spans(i - k + 1)._1, spans(i)._2)
+      i += 1
+    }
+    out
+  }
+
   /** Karp–Rabin rolling-hash fingerprints: polynomial hash of every
     * `window`-token span, rolled in O(1) per step; returns the k smallest
     * distinct fingerprints (a winnowing-style document signature).
