@@ -798,6 +798,31 @@ object SparkEntry {
     // asserted here by distinct-count equality, which the rows-only
     // check freezes (UrlNormSpec carries the RFC example suite +
     // idempotence fuzz)
+    // Iceberg-style snapshots: two versioned runs (t2 republishes with
+    // changed content under the same partitions), then readAsOf at each
+    // timestamp — output is the per-url content diff between snapshots
+    // (PipelineSpec proves byte identity per snapshot + expiry semantics)
+    "pipe39_time_travel" -> ((s, _) => {
+      import s.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("graft-pipe39").toString
+      val v1 = graft.fixtures.PageGen.pages(100)
+      val v2 = v1.zip(v1.reverse).map { case (a, b) =>
+        a.copy(html = b.html, text = b.text, lang = b.lang)
+      }
+      val t1 = new java.sql.Timestamp(graft.fixtures.PageGen.EpochMs)
+      val t2 = new java.sql.Timestamp(graft.fixtures.PageGen.EpochMs + 3600000L)
+      Checkpoint.writePages(s.createDataset(v1).toDF(), s"$tmp/p1")
+      Checkpoint.writePages(s.createDataset(v2).toDF(), s"$tmp/p2")
+      Checkpoint.runVersioned(s, s"$tmp/p1", s"$tmp/docs", s"$tmp/mani", s"$tmp/met", "v1", t1)
+      Checkpoint.runVersioned(s, s"$tmp/p2", s"$tmp/docs", s"$tmp/mani", s"$tmp/met", "v2", t2,
+        force = true)
+      val a = Checkpoint.readAsOf(s, s"$tmp/docs", s"$tmp/mani", t1)
+        .select(col("url"), length(col("extracted_text")).as("len_t1"))
+      val b = Checkpoint.readAsOf(s, s"$tmp/docs", s"$tmp/mani", t2)
+        .select(col("url"), length(col("extracted_text")).as("len_t2"))
+      a.join(b, Seq("url"))
+        .withColumn("changed", (col("len_t1") =!= col("len_t2")).cast("int"))
+    }),
     // Lee-et-al (ACL 2022) duplicated-SUBSTRING removal: every 8-token
     // window repeated corpus-wide keeps its canonical (least (doc,
     // offset)) occurrence; other occurrences merge into maximal spans

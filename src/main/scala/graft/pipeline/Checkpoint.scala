@@ -260,6 +260,117 @@ object Checkpoint {
     * exactly the invalidated hashes and cache-hits everything else.
     * Returns removed-row count.
     */
+  // --------------------------------------- snapshots / time travel
+
+  /** Iceberg-style SNAPSHOT semantics over the checkpointed output:
+    * [[runVersioned]] writes each run's data under `run_id=<id>/` —
+    * append-only, never overwriting a previous run's files — and the
+    * manifest rows point at run-scoped partition paths. The table
+    * state "as of T" is then pure manifest arithmetic
+    * ([[snapshotAsOf]]): per partition, the newest commit with
+    * `committed_ts <= T`. [[readAsOf]] materializes that state;
+    * [[expireSnapshots]] is the retention vacuum (after expiring to
+    * horizon H, time travel before H is gone — exactly Iceberg's
+    * `expire_snapshots` contract). The reference has no versioning at
+    * all (`document_saver.py` overwrites by timestamped dir); this is
+    * the north rule's Iceberg emulation carried to its logical end.
+    */
+  def runVersioned(spark: SparkSession, pagesDir: String, outDir: String,
+                   manifestDir: String, metricsDir: String,
+                   runId: String, runTs: Timestamp,
+                   force: Boolean = false): Long = {
+    val pages = spark.read.parquet(pagesDir)
+    val manifestPath = new org.apache.hadoop.fs.Path(manifestDir)
+    val manifestFs = manifestPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasManifest = manifestFs.exists(manifestPath) &&
+      Option(manifestFs.globStatus(new org.apache.hadoop.fs.Path(manifestDir, "*.parquet")))
+        .exists(_.nonEmpty)
+    val manifest: DataFrame =
+      if (hasManifest) spark.read.parquet(manifestDir)
+      else {
+        import spark.implicits._
+        Seq.empty[(java.sql.Date, Int)].toDF("ts_day", "url_bucket")
+      }
+    // force = reprocess everything into a NEW snapshot (the "input
+    // changed" path); otherwise the usual idempotent resume
+    val todo = (if (force) withPartitionCols(pages) else resume(pages, manifest)).cache()
+    val nTodo = todo.count()
+    if (nTodo > 0) {
+      val runOut = s"$outDir/run_id=$runId"
+      val docs = extractParted(todo).persist()
+      docs.drop("extract_ns")
+        .write.mode("errorifexists").partitionBy("ts_day", "url_bucket")
+        .parquet(runOut) // append-only: a reused runId must fail, not clobber
+      metricsParted(todo, docs, runId).write.mode("append").parquet(metricsDir)
+      manifestRows(todo, runId, runTs, runOut).write.mode("append").parquet(manifestDir)
+      docs.unpersist()
+    }
+    todo.unpersist()
+    nTodo
+  }
+
+  /** Per partition, the newest commit at or before `asOf`:
+    * `(ts_day, url_bucket, path, committed_ts)`. Ties on
+    * `committed_ts` break by path (lexicographic max) — deterministic.
+    */
+  def snapshotAsOf(manifest: DataFrame, asOf: Timestamp): DataFrame =
+    manifest.where(col("committed_ts") <= lit(asOf))
+      .groupBy(col("ts_day"), col("url_bucket"))
+      .agg(max(struct(col("committed_ts"), col("path"))).as("c"))
+      .select(col("ts_day"), col("url_bucket"),
+        col("c.path").as("path"), col("c.committed_ts").as("committed_ts"))
+
+  /** Materialize the table state as of `asOf`. The path list is driver
+    * work bounded by the PARTITION count (the same class as Iceberg's
+    * manifest processing), never by row count. `basePath` keeps the
+    * run_id/ts_day/url_bucket partition columns readable.
+    */
+  def readAsOf(spark: SparkSession, outDir: String, manifestDir: String,
+               asOf: Timestamp): DataFrame = {
+    import spark.implicits._
+    val paths = snapshotAsOf(spark.read.parquet(manifestDir), asOf)
+      .select(col("path")).as[String].collect().sorted
+    require(paths.nonEmpty, s"no snapshot at or before $asOf")
+    spark.read.option("basePath", outDir).parquet(paths: _*)
+  }
+
+  /** Iceberg `expire_snapshots`: keep every partition version still
+    * reachable from a time travel AT OR AFTER `olderThan` (the newest
+    * commit <= olderThan, plus everything after it); delete the rest's
+    * data directories and drop their manifest rows (temp-write + swap,
+    * like [[sweepExpired]]). Returns the number of expired partition
+    * versions. Idempotent.
+    */
+  def expireSnapshots(spark: SparkSession, manifestDir: String,
+                      olderThan: Timestamp): Long = {
+    import spark.implicits._
+    val manifest = spark.read.parquet(manifestDir)
+    val horizon = snapshotAsOf(manifest, olderThan).select(col("path"))
+    val after = manifest.where(col("committed_ts") > lit(olderThan)).select(col("path"))
+    val live = horizon.union(after).distinct()
+    val dead = manifest.select(col("path")).distinct()
+      .join(live, Seq("path"), "left_anti")
+      .as[String].collect().sorted
+    if (dead.nonEmpty) {
+      val conf = spark.sparkContext.hadoopConfiguration
+      dead.foreach { p =>
+        val path = new org.apache.hadoop.fs.Path(p)
+        val fs = path.getFileSystem(conf)
+        if (fs.exists(path))
+          require(fs.delete(path, true), s"could not expire $p")
+      }
+      val keepRows = manifest.where(!col("path").isInCollection(dead))
+      val tmp = manifestDir + ".expire"
+      keepRows.write.mode("overwrite").parquet(tmp)
+      val target = new org.apache.hadoop.fs.Path(manifestDir)
+      val side = new org.apache.hadoop.fs.Path(tmp)
+      val fs = target.getFileSystem(conf)
+      require(fs.delete(target, true), s"could not remove old manifest at $manifestDir")
+      require(fs.rename(side, target), s"swap failed for $manifestDir")
+    }
+    dead.length.toLong
+  }
+
   def invalidate(spark: SparkSession, cacheDir: String,
                  hashes: Seq[String]): Long = {
     require(hashes.nonEmpty, "no hashes to invalidate")

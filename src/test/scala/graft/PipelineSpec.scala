@@ -198,6 +198,57 @@ class PipelineSpec extends AnyFunSuite with SparkSuite {
     assert(todo.count() === expected)
   }
 
+  test("snapshots: versioned runs time-travel via readAsOf; expire removes the horizon") {
+    val tmp = Files.createTempDirectory("graft-snap").toString
+    val (outDir, maniDir, metDir) = (s"$tmp/docs", s"$tmp/manifest", s"$tmp/metrics")
+    val pagesV1 = PageGen.pages(120)
+    val pagesDirV1 = s"$tmp/pagesV1"
+    Checkpoint.writePages(spark.createDataset(pagesV1).toDF(), pagesDirV1)
+    val t1 = new Timestamp(PageGen.EpochMs)
+    val t2 = new Timestamp(PageGen.EpochMs + 3600L * 1000)
+
+    val n1 = Checkpoint.runVersioned(spark, pagesDirV1, outDir, maniDir, metDir, "v1", t1)
+    assert(n1 === pagesV1.size)
+    // resume semantics hold across versioned runs too
+    assert(Checkpoint.runVersioned(spark, pagesDirV1, outDir, maniDir, metDir, "v1b", t2) === 0)
+
+    // the CONTENT changes under the same urls/timestamps (same
+    // partitions); force publishes a full second snapshot
+    val pagesV2 = pagesV1.zip(pagesV1.reverse).map { case (a, b) =>
+      a.copy(html = b.html, text = b.text, lang = b.lang)
+    }
+    val pagesDirV2 = s"$tmp/pagesV2"
+    Checkpoint.writePages(spark.createDataset(pagesV2).toDF(), pagesDirV2)
+    val n2 = Checkpoint.runVersioned(spark, pagesDirV2, outDir, maniDir, metDir, "v2", t2,
+      force = true)
+    assert(n2 === pagesV2.size)
+
+    // time travel: t1 sees snapshot v1's CONTENT, t2 sees v2's
+    val truth1 = pagesV1.map(p => p.url -> p.text).toMap
+    val truth2 = pagesV2.map(p => p.url -> p.text).toMap
+    val at1 = Checkpoint.readAsOf(spark, outDir, maniDir, t1)
+    assert(at1.select($"url").distinct().count() === pagesV1.size.toLong)
+    assert(at1.select(countDistinct($"run_id")).as[Long].head() === 1L)
+    at1.select($"url", $"extracted_text").as[(String, String)].collect()
+      .foreach { case (u, x) => assert(x === truth1(u), s"t1 mismatch for $u") }
+    val at2 = Checkpoint.readAsOf(spark, outDir, maniDir, t2)
+    assert(at2.select($"url").distinct().count() === pagesV2.size.toLong)
+    // every partition at t2 resolves to the newest commit (run v2)
+    assert(at2.select(countDistinct($"run_id")).as[Long].head() === 1L)
+    at2.select($"url", $"extracted_text").as[(String, String)].collect()
+      .foreach { case (u, x) => assert(x === truth2(u), s"t2 mismatch for $u") }
+
+    // expire to horizon t2: v1's partition versions vanish (dirs AND
+    // manifest rows); t2 still reads; before-horizon travel is gone
+    val expired = Checkpoint.expireSnapshots(spark, maniDir, t2)
+    assert(expired > 0L)
+    assert(Checkpoint.readAsOf(spark, outDir, maniDir, t2)
+      .select($"url").distinct().count() === pagesV2.size.toLong)
+    intercept[IllegalArgumentException](Checkpoint.readAsOf(spark, outDir, maniDir, t1))
+    // idempotent: a second expiry finds nothing
+    assert(Checkpoint.expireSnapshots(spark, maniDir, t2) === 0L)
+  }
+
   test("json results sink round-trips every document (document_saver.py:84-85 analog)") {
     val dir = Files.createTempDirectory("graft-json").toString + "/results"
     Checkpoint.writeJsonResults(docs, dir)
