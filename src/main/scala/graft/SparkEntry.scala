@@ -798,6 +798,38 @@ object SparkEntry {
     // asserted here by distinct-count equality, which the rows-only
     // check freezes (UrlNormSpec carries the RFC example suite +
     // idempotence fuzz)
+    // the URL-DISCOVERY funnel end-to-end: per-host sitemaps (incl.
+    // gzipped) expand to frontier rows, locs canonicalize (RFC 3986),
+    // and the robots gate cuts disallowed paths — sitemap → UrlNorm →
+    // robots in one composed call chain (each stage spec-tested alone)
+    "pipe40_discovery_funnel" -> ((s, _) => {
+      import s.implicits._
+      def urlset(h: Int): Array[Byte] = {
+        val urls = (0 until 10).map { i =>
+          val path = if (i % 3 == 0) s"/private/p$i" else s"/Page/./$i/../item-$i"
+          s"<url><loc>HTTPS://Host$h.Example.com:443$path</loc><priority>0.$i</priority></url>"
+        }.mkString
+        val xml = s"<urlset>$urls</urlset>".getBytes("UTF-8")
+        if (h % 2 == 0) xml
+        else { // half the hosts serve sitemap.xml.gz
+          val bos = new java.io.ByteArrayOutputStream()
+          val g = new java.util.zip.GZIPOutputStream(bos)
+          g.write(xml); g.close(); bos.toByteArray
+        }
+      }
+      val sitemaps = (0 until 20).map(h => (s"host$h.example.com", urlset(h)))
+        .toDF("host", "payload")
+      val entries = graft.ops.CrawlPolicy.sitemapEntries(sitemaps, "host", "payload")
+      val canon = entries.select(col("host"), col("loc"), col("priority"))
+        .as[(String, String, Double)]
+        .map { case (h, l, p) => (h, graft.kernel.UrlNorm.normalize(l), p) }
+        .toDF("host", "url", "priority")
+      val robots = (0 until 20).map(h =>
+        (s"host$h.example.com", "User-agent: *\nDisallow: /private/"))
+        .toDF("rhost", "robots_txt")
+      graft.ops.CrawlPolicy.robotsFilter(canon, "url", "url",
+        robots, "rhost", "robots_txt", agent = "graftbot")
+    }),
     // Iceberg-style snapshots: two versioned runs (t2 republishes with
     // changed content under the same partitions), then readAsOf at each
     // timestamp — output is the per-url content diff between snapshots

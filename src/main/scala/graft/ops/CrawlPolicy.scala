@@ -66,6 +66,31 @@ object CrawlPolicy {
     urls.join(keep, urls(idCol).cast("string") === col("_keep_id"), "left_semi")
   }
 
+  /** Expand a per-host sitemap table `(host, payload)` (raw or
+    * gzipped XML — [[graft.kernel.Sitemap]]) into discovered frontier
+    * rows `(host, loc, lastmod_ms, changefreq, priority, from_index)`.
+    * `from_index = true` rows are CHILD SITEMAP locations still to
+    * fetch, not page URLs — the recursion is the caller's fetch loop
+    * (this operator is one expansion level, the batch-join shape).
+    * Malformed payloads contribute zero rows (a frontier seed is
+    * best-effort; diff the input host set against the output's to
+    * count drops).
+    */
+  def sitemapEntries(df: DataFrame, hostCol: String, payloadCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(hostCol).cast("string"), col(payloadCol))
+      .as[(String, Array[Byte])]
+      .flatMap { case (host, payload) =>
+        if (payload == null) Iterator.empty
+        else scala.util.Try(graft.kernel.Sitemap.parse(payload)).toOption
+          .iterator.flatMap { f =>
+            f.entries.iterator.map(e =>
+              (host, e.loc, e.lastmodMs, e.changefreq, e.priority, f.isIndex))
+          }
+      }.toDF("host", "loc", "lastmod_ms", "changefreq", "priority", "from_index")
+  }
+
   /** Per-host crawl-delay table for `agent`: `(host, crawl_delay)` for
     * every host whose robots.txt sets one — the politeness-scheduling
     * input (join against the frontier, convert to per-host token
