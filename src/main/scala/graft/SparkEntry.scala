@@ -798,6 +798,35 @@ object SparkEntry {
     // asserted here by distinct-count equality, which the rows-only
     // check freezes (UrlNormSpec carries the RFC example suite +
     // idempotence fuzz)
+    // small-file compaction (Iceberg rewrite_data_files analog): six
+    // fragmenting appends, then partitions over the file-count threshold
+    // rewrite to ceil(bytes/target) files — output is the per-partition
+    // before/after census; content identity is PipelineSpec-pinned
+    "pipe41_compaction" -> ((s, _) => {
+      import s.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("graft-pipe41").toString
+      val out = s"$tmp/docs"
+      val parted = graft.pipeline.Checkpoint.withPartitionCols(fixturePages(s))
+      (0 until 6).foreach { i =>
+        parted.sample(withReplacement = false, 0.5, seed = i)
+          .write.mode("append").partitionBy("ts_day", "url_bucket").parquet(out)
+      }
+      val fsRoot = new org.apache.hadoop.fs.Path(out)
+      val fs = fsRoot.getFileSystem(s.sparkContext.hadoopConfiguration)
+      def census(): Map[String, Int] =
+        fs.globStatus(new org.apache.hadoop.fs.Path(out, "ts_day=*/url_bucket=*"))
+          .map(p => p.getPath.toString.stripPrefix(out) ->
+            fs.listStatus(p.getPath).count(_.getPath.getName.endsWith(".parquet")))
+          .toMap
+      val before = census()
+      val rewritten = graft.pipeline.Checkpoint.compactPartitions(s, out,
+        maxFilesPerPartition = 2)
+      val after = census()
+      require(rewritten > 0, "compaction found nothing to rewrite")
+      before.toSeq.map { case (p, nb) => (p, nb, after.getOrElse(p, -1)) }
+        .toDF("partition", "files_before", "files_after")
+        .where(col("files_after") < col("files_before"))
+    }),
     // the URL-DISCOVERY funnel end-to-end: per-host sitemaps (incl.
     // gzipped) expand to frontier rows, locs canonicalize (RFC 3986),
     // and the robots gate cuts disallowed paths — sitemap → UrlNorm →

@@ -371,6 +371,49 @@ object Checkpoint {
     dead.length.toLong
   }
 
+  /** Small-file compaction — the Iceberg `rewrite_data_files` analog
+    * and THE operational failure mode of long-lived partitioned
+    * tables: every incremental run appends a few files per partition
+    * until scans drown in open-file overhead. Rewrites each partition
+    * whose file count exceeds `maxFilesPerPartition` into
+    * `ceil(bytes / targetBytes)` files (coalesce inside the partition
+    * — no shuffle of other partitions' data), via the temp-write +
+    * FS-swap idiom of [[sweepExpired]]. Content-preserving by
+    * construction and asserted in PipelineSpec (byte-identical rows
+    * before/after). Returns the number of partitions rewritten.
+    *
+    * Scale shape: the partition census is a driver listing bounded by
+    * partition count (Iceberg-manifest-class work); each rewrite reads
+    * and writes ONLY that partition's bytes. Run it from the same
+    * scheduled maintenance slot as [[expireSnapshots]].
+    */
+  def compactPartitions(spark: SparkSession, outDir: String,
+                        targetBytes: Long = 128L << 20,
+                        maxFilesPerPartition: Int = 4): Long = {
+    val root = new org.apache.hadoop.fs.Path(outDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(root), s"no table at $outDir")
+    // leaf partition dirs: ts_day=*/url_bucket=*
+    val parts = fs.globStatus(new org.apache.hadoop.fs.Path(outDir, "ts_day=*/url_bucket=*"))
+    var rewritten = 0L
+    parts.foreach { st =>
+      val dir = st.getPath
+      val files = fs.listStatus(dir).filter(f =>
+        f.isFile && f.getPath.getName.endsWith(".parquet"))
+      if (files.length > maxFilesPerPartition) {
+        val bytes = files.map(_.getLen).sum
+        val nOut = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+        val df = spark.read.parquet(dir.toString)
+        val tmp = new org.apache.hadoop.fs.Path(dir.getParent, dir.getName + ".compact")
+        df.coalesce(nOut).write.mode("overwrite").parquet(tmp.toString)
+        require(fs.delete(dir, true), s"could not remove $dir")
+        require(fs.rename(tmp, dir), s"swap failed for $dir")
+        rewritten += 1
+      }
+    }
+    rewritten
+  }
+
   def invalidate(spark: SparkSession, cacheDir: String,
                  hashes: Seq[String]): Long = {
     require(hashes.nonEmpty, "no hashes to invalidate")

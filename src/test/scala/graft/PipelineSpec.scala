@@ -249,6 +249,32 @@ class PipelineSpec extends AnyFunSuite with SparkSuite {
     assert(Checkpoint.expireSnapshots(spark, maniDir, t2) === 0L)
   }
 
+  test("compaction: fragmented partitions rewrite to few files, content byte-identical") {
+    val tmp = Files.createTempDirectory("graft-compact").toString
+    val out = s"$tmp/docs"
+    // fragment every partition: 6 separate appends of disjoint slices
+    val parted = Checkpoint.withPartitionCols(pagesDs.toDF()).cache()
+    (0 until 6).foreach { i =>
+      parted.sample(withReplacement = false, 0.5, seed = i)
+        .write.mode("append").partitionBy("ts_day", "url_bucket").parquet(out)
+    }
+    val before = spark.read.parquet(out)
+      .select($"url", $"text").as[(String, String)].collect().sorted.toSeq
+    val fsRoot = new org.apache.hadoop.fs.Path(out)
+    val fs = fsRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def fileCount(): Int =
+      fs.globStatus(new org.apache.hadoop.fs.Path(out, "ts_day=*/url_bucket=*/*.parquet")).length
+    val filesBefore = fileCount()
+    val n = Checkpoint.compactPartitions(spark, out, maxFilesPerPartition = 2)
+    assert(n > 0L)
+    assert(fileCount() < filesBefore)
+    val after = spark.read.parquet(out)
+      .select($"url", $"text").as[(String, String)].collect().sorted.toSeq
+    assert(after === before, "compaction changed table content")
+    // idempotent below the threshold
+    assert(Checkpoint.compactPartitions(spark, out, maxFilesPerPartition = 2) === 0L)
+  }
+
   test("json results sink round-trips every document (document_saver.py:84-85 analog)") {
     val dir = Files.createTempDirectory("graft-json").toString + "/results"
     Checkpoint.writeJsonResults(docs, dir)
