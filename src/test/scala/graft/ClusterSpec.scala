@@ -110,6 +110,20 @@ class ClusterSpec extends AnyFunSuite with SparkSuite {
       s"cluster-split miss rate too high: $missed of ${losers.size}")
   }
 
+  test("assignment plan is shuffle-free; pair search never goes cartesian") {
+    val m = Cluster.kmeansFit(blobDf, "vec_id", "embedding", k = 3)
+    val assigned = Cluster.assignClusters(blobDf, "vec_id", "embedding", m.centroids)
+    assigned.collect()
+    val aPlan = assigned.queryExecution.executedPlan.toString
+    assert(!aPlan.contains("Exchange"),
+      "nearest-centroid assignment must not shuffle:\n" + aPlan.take(600))
+    val pairs = Cluster.semanticDupPairs(dupCorpus, "vec_id", "embedding", 0.95,
+      k = 4, maxCluster = 10000)
+    val pPlan = pairs.queryExecution.executedPlan.toString
+    assert(!pPlan.contains("CartesianProduct") && !pPlan.contains("BroadcastNestedLoop"),
+      "within-cluster pairs must stay an equi-join:\n" + pPlan.take(600))
+  }
+
   test("semanticDupPairs fails loudly when a cluster exceeds maxCluster") {
     val e = intercept[IllegalArgumentException] {
       Cluster.semanticDupPairs(dupCorpus, "vec_id", "embedding", 0.95,

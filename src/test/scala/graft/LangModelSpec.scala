@@ -98,6 +98,14 @@ class LangModelSpec extends AnyFunSuite with SparkSuite {
     assert(kept === Set(1L))
   }
 
+  test("scoring plan is shuffle-free: a stateless map against the broadcast model") {
+    val scored = LangModel.scorePerplexity(trainDf, "id", "text", model)
+    scored.collect()
+    val plan = scored.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      "perplexity scoring must not shuffle:\n" + plan.take(600))
+  }
+
   test("normalize: digits fold to 0, whitespace collapses, case folds") {
     assert(CharLm.normalize("  Ab3 \t\n 45x  ") === "ab0 00x")
     assert(CharLm.normalize("\n\t ") === "")

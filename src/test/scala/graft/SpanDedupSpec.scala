@@ -97,6 +97,15 @@ class SpanDedupSpec extends AnyFunSuite with SparkSuite {
     assert(out.count(_.contains(boiler)) === 1)
   }
 
+  test("plan: the span pipeline stays equi-join shaped, never cartesian") {
+    val docs = Seq((1L, "a b c d e f g h i"), (2L, "a b c d e f g h j"))
+      .toDF("doc_id", "body")
+    val out = SpanDedup.removeDuplicateSpans(docs, "doc_id", "body", k = 8)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      "span dedup must stay hash-join shaped:\n" + plan.take(600))
+  }
+
   test("duplicateSpanStats: counts and doc spread for duplicated windows") {
     val docs = Seq(
       (1L, "a b c d e f g h tail"), (2L, "a b c d e f g h other"),
