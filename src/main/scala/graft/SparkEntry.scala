@@ -806,7 +806,12 @@ object SparkEntry {
       import s.implicits._
       val tmp = java.nio.file.Files.createTempDirectory("graft-pipe41").toString
       val out = s"$tmp/docs"
-      val parted = graft.pipeline.Checkpoint.withPartitionCols(fixturePages(s))
+      // one ts_day's partitions: the rewrite is a Spark job per
+      // partition (inherent to the per-partition temp+swap), so the
+      // sweep entry covers the mechanism on 8 partitions, not 56
+      val parted0 = graft.pipeline.Checkpoint.withPartitionCols(fixturePages(s))
+      val day = parted0.agg(min(col("ts_day"))).head().getDate(0)
+      val parted = parted0.where(col("ts_day") === lit(day))
       (0 until 6).foreach { i =>
         parted.sample(withReplacement = false, 0.5, seed = i)
           .write.mode("append").partitionBy("ts_day", "url_bucket").parquet(out)
