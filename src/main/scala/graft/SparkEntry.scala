@@ -901,6 +901,57 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"),
           length(col("text")).as("clean_chars"), col("n_chars"))
     }),
+    // Structured extraction, the complement of boilerplate stripping:
+    // tables → records via the kernel's grid-fill (colspan/rowspan
+    // resolved, nested tables separate). Cells joined with '' so
+    // the rows-only checker sees scalar columns (pipe12 lesson). The
+    // fixture returns expected counts, so the entry self-verifies
+    // totals before returning — StructuredSpec covers cell-level truth.
+    "pipe42_html_tables" -> ((s, _) => {
+      import s.implicits._
+      val fixture = graft.fixtures.StructuredGen.pages(400)
+      val docs = s.createDataset(fixture.map(p => (p.doc_id, p.html)))
+        .toDF("doc_id", "html")
+      val out = graft.ops.Structured.tables(docs, "doc_id", "html")
+        .select(col("doc_id"), col("table_idx"), col("caption"),
+          concat_ws("", col("headers")).as("header_line"),
+          col("row_idx"), concat_ws("", col("cells")).as("cell_line"))
+      val got = out.groupBy(col("doc_id")).agg(
+        (max(col("table_idx")) + 1).as("nt"), count(lit(1)).as("nr"))
+        .as[(Long, Int, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+      fixture.foreach { p =>
+        val (nt, nr) = got(p.doc_id)
+        require(nt == p.n_tables && nr == p.n_rows.toLong,
+          s"doc ${p.doc_id}: got ($nt tables, $nr rows), " +
+            s"expected (${p.n_tables}, ${p.n_rows})")
+      }
+      out
+    }),
+    // Head metadata → curation fields: OG/meta map, canonical, title,
+    // JSON-LD payload count. Map column flattened to scalars for the
+    // checker; MapType plumbing itself is asserted in StructuredSpec.
+    "pipe43_head_metadata" -> ((s, _) => {
+      import s.implicits._
+      val fixture = graft.fixtures.StructuredGen.pages(400)
+      val docs = s.createDataset(fixture.map(p => (p.doc_id, p.html)))
+        .toDF("doc_id", "html")
+      val out = graft.ops.Structured.headMetadata(docs, "doc_id", "html")
+        .select(col("doc_id"), col("title"), col("canonical"),
+          size(col("meta")).as("n_meta"),
+          col("meta").getItem("og:title").as("og_title"),
+          size(col("json_ld")).as("n_json_ld"))
+      val got = out.select(col("doc_id"), col("og_title"), col("n_meta"),
+        col("n_json_ld"), col("canonical"))
+        .as[(Long, String, Int, Int, String)].collect()
+        .map(r => r._1 -> r).toMap
+      fixture.foreach { p =>
+        val (_, og, nm, nld, canon) = got(p.doc_id)
+        require(og == p.og_title && nm == p.n_meta && nld == p.n_json_ld &&
+          canon == p.url,
+          s"doc ${p.doc_id}: metadata mismatch ($og, $nm, $nld, $canon)")
+      }
+      out
+    }),
     "pipe37_url_normalize" -> ((s, _) => {
       import s.implicits._
       val urls = fixturePages(s).select(col("url")).as[String]

@@ -459,4 +459,171 @@ object Html {
     }
     out.result()
   }
+
+  // ------------------------------------------------------------ tables
+
+  final case class HtmlTable(caption: String, headers: Vector[String],
+                             rows: Vector[Vector[String]])
+
+  /** Subtree text for one cell: collapsed, entity-decoded, EXCLUDING
+    * nested tables (each nested table is extracted as its own
+    * [[HtmlTable]]) and script/style payloads.
+    */
+  private def cellText(e: Element): String = {
+    val sb = new java.lang.StringBuilder()
+    def walk(n: Node): Unit = n match {
+      case Element("table" | "script" | "style", _, _) => ()
+      case Element(_, _, cs) => cs.foreach(walk)
+      case TextNode(t) => sb.append(t).append(' ')
+    }
+    e.children.foreach(walk)
+    collapseWs(sb.toString)
+  }
+
+  /** Every `<table>` (nested ones included, innermost extracted
+    * separately) as rows of cell texts with the HTML table model
+    * honored: `colspan` duplicates a value across columns, `rowspan`
+    * carries it down through subsequent rows (the standard grid-fill
+    * algorithm), `<caption>` captured, `headers` = the cells of the
+    * first all-`<th>` row. Structured tables are training-data gold
+    * (tables → records); the boilerplate classifier deliberately
+    * down-weights them, so this is the complementary reader.
+    */
+  def extractTables(html: String): Vector[HtmlTable] =
+    extractTables(parse(html))
+
+  def extractTables(htmlBytes: Array[Byte]): Vector[HtmlTable] =
+    extractTables(CharsetSniff.decode(htmlBytes))
+
+  private def extractTables(root: Element): Vector[HtmlTable] = {
+    val out = Vector.newBuilder[HtmlTable]
+    def findTables(n: Node): Unit = n match {
+      case e @ Element("table", _, _) =>
+        out += oneTable(e)
+        e.children.foreach(findTables) // nested tables too
+      case Element(_, _, cs) => cs.foreach(findTables)
+      case _ => ()
+    }
+    findTables(root)
+    out.result()
+  }
+
+  private def intAttr(e: Element, a: String, dflt: Int): Int =
+    e.attrs.get(a).flatMap(_.trim.toIntOption).filter(_ >= 1).getOrElse(dflt)
+
+  private def oneTable(table: Element): HtmlTable = {
+    var caption = ""
+    val trs = Vector.newBuilder[Element]
+    def collect(n: Node, depth: Int): Unit = n match {
+      case Element("table", _, _) if depth > 0 => () // nested: its own table
+      case e @ Element("caption", _, _) => if (caption.isEmpty) caption = cellText(e)
+      case e @ Element("tr", _, _) => trs += e
+      case Element(_, _, cs) => cs.foreach(collect(_, depth + 1))
+      case _ => ()
+    }
+    table.children.foreach(collect(_, 1))
+    // grid fill: pending(col) = (remainingRows, value) from rowspans above
+    val pending = scala.collection.mutable.Map.empty[Int, (Int, String)]
+    val rows = Vector.newBuilder[Vector[String]]
+    var nRows = 0
+    var headers = Vector.empty[String]
+    trs.result().foreach { tr =>
+      val cells = tr.children.collect {
+        case e @ Element("td" | "th", _, _) => e
+      }
+      val row = scala.collection.mutable.ArrayBuffer.empty[String]
+      var col = 0
+      def drainPending(): Unit =
+        while (pending.contains(col)) {
+          val (left, v) = pending(col)
+          row += v
+          if (left <= 1) pending.remove(col) else pending(col) = (left - 1, v)
+          col += 1
+        }
+      cells.foreach { c =>
+        drainPending()
+        val txt = cellText(c)
+        val cspan = math.min(intAttr(c, "colspan", 1), 1000)
+        val rspan = math.min(intAttr(c, "rowspan", 1), 65534)
+        (0 until cspan).foreach { _ =>
+          row += txt
+          if (rspan > 1) pending(col) = (rspan - 1, txt)
+          col += 1
+        }
+      }
+      drainPending()
+      val vrow = row.toVector
+      if (vrow.nonEmpty) {
+        if (headers.isEmpty && nRows == 0 &&
+          cells.nonEmpty && cells.forall(_.name == "th")) headers = vrow
+        else { rows += vrow; nRows += 1 }
+      }
+    }
+    HtmlTable(caption, headers, rows.result())
+  }
+
+  // ----------------------------------------------------- head metadata
+
+  final case class HeadMeta(title: String, canonical: String,
+                            meta: Map[String, String], jsonLd: Vector[String])
+
+  /** Structured page metadata for corpus curation: `<meta name=…>` and
+    * `<meta property=…>` content (OpenGraph/Twitter/description…,
+    * first value wins per key), `<link rel=canonical>`, and raw
+    * JSON-LD payloads (`<script type="application/ld+json">` — kept
+    * verbatim; schema interpretation is downstream's concern). Token
+    * stream only, no DOM build — head metadata never nests.
+    */
+  def extractMetadata(html: String): HeadMeta = {
+    var title = ""
+    var canonical = ""
+    val meta = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    var inTitle = false
+    val titleSb = new java.lang.StringBuilder()
+    tokenize(html).foreach {
+      case TStart("title", _, _) => inTitle = title.isEmpty
+      case TEnd("title") =>
+        if (inTitle) { title = collapseWs(titleSb.toString); inTitle = false }
+      case TStart("meta", attrs, _) =>
+        val key = attrs.get("name").orElse(attrs.get("property")).map(_.trim.toLowerCase)
+        (key, attrs.get("content")) match {
+          case (Some(k), Some(v)) if k.nonEmpty => meta.getOrElseUpdate(k, v.trim)
+          case _ => ()
+        }
+      case TStart("link", attrs, _) =>
+        if (canonical.isEmpty &&
+          attrs.get("rel").exists(_.trim.equalsIgnoreCase("canonical")))
+          canonical = attrs.getOrElse("href", "").trim
+      case TText(t) =>
+        if (inTitle) titleSb.append(t)
+      case _ => ()
+    }
+    // JSON-LD: the tokenizer DROPS script bodies by design (the
+    // extraction hot path never wants them), so ld+json payloads come
+    // from a dedicated raw scan over the source
+    val jsonLd = Vector.newBuilder[String]
+    var i = 0
+    val lower = html.toLowerCase
+    while (i >= 0 && i < html.length) {
+      i = lower.indexOf("<script", i)
+      if (i >= 0) {
+        val gt = html.indexOf('>', i)
+        if (gt < 0) i = -1
+        else {
+          val attrsRegion = lower.substring(i, gt)
+          val isLd = attrsRegion.contains("application/ld+json")
+          val end = lower.indexOf("</script", gt + 1)
+          if (isLd) {
+            val body = html.substring(gt + 1, if (end < 0) html.length else end).trim
+            if (body.nonEmpty) jsonLd += body
+          }
+          i = if (end < 0) -1 else end + 1
+        }
+      }
+    }
+    HeadMeta(title, canonical, meta.toMap, jsonLd.result())
+  }
+
+  def extractMetadata(htmlBytes: Array[Byte]): HeadMeta =
+    extractMetadata(CharsetSniff.decode(htmlBytes))
 }

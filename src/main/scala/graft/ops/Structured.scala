@@ -1,0 +1,56 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.kernel.Html
+
+/** Structured extraction over the HTML column: tables → records and
+  * head metadata → curation fields. The boilerplate classifier
+  * deliberately down-weights tabular and head content when producing
+  * training TEXT; these operators are the complementary readers that
+  * turn the same DOM into STRUCTURE (tables as rows, OpenGraph/
+  * JSON-LD as metadata) — per-row stateless maps, embarrassingly
+  * parallel, failure-isolated per document (C5).
+  */
+object Structured {
+
+  /** One row per table row: `(id, table_idx, caption, headers,
+    * row_idx, cells)` — colspan/rowspan resolved by the kernel's
+    * grid fill, nested tables enumerated as their own `table_idx`.
+    * Malformed documents contribute zero rows.
+    */
+  def tables(df: DataFrame, idCol: String, htmlCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(htmlCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, html) =>
+        if (html == null) Iterator.empty
+        else scala.util.Try(Html.extractTables(html)).toOption.iterator.flatMap {
+          ts =>
+            ts.iterator.zipWithIndex.flatMap { case (t, ti) =>
+              t.rows.iterator.zipWithIndex.map { case (cells, ri) =>
+                (id, ti, t.caption, t.headers, ri, cells)
+              }
+            }
+        }
+      }.toDF(idCol, "table_idx", "caption", "headers", "row_idx", "cells")
+  }
+
+  /** `(id, title, canonical, meta, json_ld)` per document — OpenGraph
+    * and friends as a map column, JSON-LD payloads verbatim.
+    */
+  def headMetadata(df: DataFrame, idCol: String, htmlCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(htmlCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, html) =>
+        val m =
+          if (html == null) Html.HeadMeta("", "", Map.empty, Vector.empty)
+          else scala.util.Try(Html.extractMetadata(html))
+            .getOrElse(Html.HeadMeta("", "", Map.empty, Vector.empty))
+        (id, m.title, m.canonical, m.meta, m.jsonLd)
+      }.toDF(idCol, "title", "canonical", "meta", "json_ld")
+  }
+}
