@@ -952,6 +952,35 @@ object SparkEntry {
       }
       out
     }),
+    // HTML → Markdown serialization: structure-preserving training
+    // text. Self-verifies against the fixture's known shape: the h1
+    // leads as an ATX heading, each of the n_tables tables emits
+    // exactly one `| --- …` separator line, total pipe-table lines =
+    // 2·n_tables + n_rows (header+separator+bodies), and head-only
+    // content (meta description) never leaks into the body markdown.
+    "pipe44_markdown" -> ((s, _) => {
+      import s.implicits._
+      val fixture = graft.fixtures.StructuredGen.pages(400)
+      val docs = s.createDataset(fixture.map(p => (p.doc_id, p.html)))
+        .toDF("doc_id", "html")
+      val out = graft.ops.Structured.markdown(docs, "doc_id", "html")
+      val got = out.select(col("doc_id"), col("markdown"))
+        .as[(Long, String)].collect().toMap
+      fixture.foreach { p =>
+        val md = got(p.doc_id)
+        require(md.startsWith(s"# ${p.og_title}"),
+          s"doc ${p.doc_id}: markdown must open with the h1 heading")
+        val lines = md.linesIterator.toVector
+        val seps = lines.count(_.startsWith("| --- |"))
+        val pipes = lines.count(_.startsWith("| "))
+        require(seps == p.n_tables && pipes == 2 * p.n_tables + p.n_rows,
+          s"doc ${p.doc_id}: got ($seps seps, $pipes pipe lines), " +
+            s"expected (${p.n_tables}, ${2 * p.n_tables + p.n_rows})")
+        require(!md.contains("Fixture page"),
+          s"doc ${p.doc_id}: head metadata leaked into body markdown")
+      }
+      out
+    }),
     "pipe37_url_normalize" -> ((s, _) => {
       import s.implicits._
       val urls = fixturePages(s).select(col("url")).as[String]

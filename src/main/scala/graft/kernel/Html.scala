@@ -499,7 +499,7 @@ object Html {
     val out = Vector.newBuilder[HtmlTable]
     def findTables(n: Node): Unit = n match {
       case e @ Element("table", _, _) =>
-        out += oneTable(e)
+        out += gridFillTable(e)
         e.children.foreach(findTables) // nested tables too
       case Element(_, _, cs) => cs.foreach(findTables)
       case _ => ()
@@ -511,7 +511,7 @@ object Html {
   private def intAttr(e: Element, a: String, dflt: Int): Int =
     e.attrs.get(a).flatMap(_.trim.toIntOption).filter(_ >= 1).getOrElse(dflt)
 
-  private def oneTable(table: Element): HtmlTable = {
+  private[kernel] def gridFillTable(table: Element): HtmlTable = {
     var caption = ""
     val trs = Vector.newBuilder[Element]
     def collect(n: Node, depth: Int): Unit = n match {

@@ -37,6 +37,25 @@ object Structured {
       }.toDF(idCol, "table_idx", "caption", "headers", "row_idx", "cells")
   }
 
+  /** `(id, markdown, md_chars)` per document: the page serialized as
+    * CommonMark via [[graft.kernel.Markdown]] — structure-preserving
+    * training text (headings/lists/tables/code survive). Stateless
+    * per-row map, garbage HTML yields an empty string rather than a
+    * task failure (C5).
+    */
+  def markdown(df: DataFrame, idCol: String, htmlCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(htmlCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, html) =>
+        val md =
+          if (html == null) ""
+          else scala.util.Try(graft.kernel.Markdown.fromHtml(html)).getOrElse("")
+        (id, md, md.length)
+      }.toDF(idCol, "markdown", "md_chars")
+  }
+
   /** `(id, title, canonical, meta, json_ld)` per document — OpenGraph
     * and friends as a map column, JSON-LD payloads verbatim.
     */

@@ -70,10 +70,25 @@ class StructuredSpec extends AnyFunSuite with SparkSuite {
     assert(m.jsonLd === Vector("""{"@type":"Article","x":1}"""))
   }
 
-  test("driver entries pipe42/pipe43 self-verify against the fixture's expected counts") {
+  test("driver entries pipe42/pipe43/pipe44 self-verify against the fixture's expected counts") {
     // the entries `require` fixture-vs-extracted totals internally
     assert(SparkEntry.queries("pipe42_html_tables")(spark, "").count() > 0)
     assert(SparkEntry.queries("pipe43_head_metadata")(spark, "").count() > 0)
+    assert(SparkEntry.queries("pipe44_markdown")(spark, "").count() > 0)
+  }
+
+  test("markdown op: structure survives, garbage and null rows isolate to empty") {
+    val rows = Seq(
+      (1L, "<h2>T</h2><ul><li>a</li></ul>".getBytes("UTF-8")),
+      (2L, Array.tabulate[Byte](64)(i => (i * 37 % 251).toByte)), // binary junk
+      (3L, null.asInstanceOf[Array[Byte]]))
+      .toDF("doc_id", "html")
+    val got = Structured.markdown(rows, "doc_id", "html")
+      .as[(Long, String, Int)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L)._2 === "## T\n\n- a")
+    assert(got(1L)._3 === got(1L)._2.length)
+    assert(got(3L)._2 === "")
+    assert(got.size === 3) // junk row present, never throws
   }
 
   test("spark ops: per-document fan-out over binary html, failures isolated") {
