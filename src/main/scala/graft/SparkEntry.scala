@@ -146,6 +146,14 @@ object SparkEntry {
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("survivors"), sum(col("n_chars")).as("chars"))
     }),
+    // per-host template removal, word-separated so DuckDB can mirror
+    // the full semantics (documents.text has no newlines); the
+    // production '\n' shape is pipe45 + TemplateSpec
+    "q65_template_removal" -> ((s, dir) => {
+      graft.ops.Template.removeTemplateLines(
+        t(s, dir, "documents"), "doc_id", "source", "text",
+        separator = " ", minDocFrac = 0.6, minDocs = 2)
+    }),
     // ------------------------------------------- C6: TTL predicate
     "q10_ttl_filter" -> ((s, dir) => {
       t(s, dir, "events")
@@ -981,6 +989,39 @@ object SparkEntry {
       }
       out
     }),
+    // per-host template-LINE removal in its production '\n' shape:
+    // same-host header/nav/footer lines (df = all docs) vanish, unique
+    // body lines and sub-minDocs rare lines survive verbatim, order
+    // preserved. Fixture is deterministic with known expected output,
+    // so the entry self-verifies byte-exactly per document.
+    "pipe45_template_lines" -> ((s, _) => {
+      import s.implicits._
+      val docs = (0 until 5).flatMap { h =>
+        (0 until 40).map { i =>
+          val id = (h * 40 + i).toLong
+          val body = (0 until 3).map(k => s"body paragraph $h-$i-$k with unique words")
+          val rare = if (i == 7) Vector(s"rare once-only line of host $h") else Vector.empty
+          val lines = Vector(s"HOST $h NAVIGATION MENU home about contact") ++
+            body ++ rare ++ Vector("", s"Copyright host $h - all rights reserved")
+          (id, s"host$h.example.com", lines.mkString("\n"),
+            (body ++ rare).mkString("\n") + "\n") // expected: body+rare, blank kept
+        }
+      }
+      val df = s.createDataset(docs).toDF("doc_id", "host", "text", "expected")
+      val out = graft.ops.Template.removeTemplateLines(
+        df.select(col("doc_id"), col("host"), col("text")),
+        "doc_id", "host", "text", separator = "\n",
+        minDocFrac = 0.5, minDocs = 2)
+      val got = out.select(col("doc_id"), col("clean_text"), col("n_removed"))
+        .as[(Long, String, Long)].collect().map(r => r._1 -> r).toMap
+      docs.foreach { case (id, _, _, expected) =>
+        val (_, clean, removed) = got(id)
+        require(clean == expected,
+          s"doc $id: template removal mismatch:\n[$clean]\nvs\n[$expected]")
+        require(removed == 2L, s"doc $id: expected 2 removed lines, got $removed")
+      }
+      out
+    }),
     "pipe37_url_normalize" -> ((s, _) => {
       import s.implicits._
       val urls = fixturePages(s).select(col("url")).as[String]
@@ -1421,6 +1462,24 @@ object SparkEntry {
              round(sum(value), 2) AS value_sum,
              max(CAST(regexp_extract(url, 'k=([0-9]+)', 1) AS INT)) AS max_k
       FROM u GROUP BY 1, 2"""),
+    "q65_template_removal" -> ("""WITH docs AS (SELECT doc_id, source, text FROM documents),
+      freq AS (
+        SELECT source, w, count(*) AS df FROM (
+          SELECT DISTINCT dd.doc_id, dd.source, u.w
+          FROM docs dd, UNNEST(string_split(dd.text, ' ')) AS u(w)
+        ) WHERE w <> '' GROUP BY source, w
+      ),
+      hd AS (SELECT source, count(DISTINCT doc_id) AS n_docs FROM docs GROUP BY source),
+      tmpl AS (
+        SELECT f.source, list(f.w) AS ws
+        FROM freq f JOIN hd USING (source)
+        WHERE f.df >= 2 AND CAST(f.df AS DOUBLE) >= CAST(0.6 AS DOUBLE) * CAST(hd.n_docs AS DOUBLE)
+        GROUP BY f.source
+      )
+      SELECT d.doc_id, d.source,
+        coalesce(array_to_string(list_filter(string_split(d.text, ' '), x -> x = '' OR NOT list_contains(coalesce(t.ws, []), x)), ' '), '') AS clean_text,
+        CAST(len(string_split(d.text, ' ')) - len(list_filter(string_split(d.text, ' '), x -> x = '' OR NOT list_contains(coalesce(t.ws, []), x))) AS BIGINT) AS n_removed
+      FROM docs d LEFT JOIN tmpl t USING (source)"""),
     "q64_fetch_schedule" -> ("""SELECT 'host' || CAST(user_id % 50 AS VARCHAR) || '.example.com' AS host,
              event_id,
              CAST((user_id % 50) % 5 + 1 AS BIGINT) AS delay_s,
