@@ -1022,6 +1022,45 @@ object SparkEntry {
       }
       out
     }),
+    // mojibake repair over a deterministically corrupted slice of the
+    // documents table: every doc whose id % 3 == 0 is run through a
+    // WHATWG windows-1252 mis-decode of its UTF-8 bytes (the browser-
+    // shaped corruption), then fix_mojibake must restore the original
+    // byte-exactly and leave the clean docs untouched. Self-verifying.
+    "pipe46_mojibake" -> ((s, dir) => {
+      import s.implicits._
+      graft.functions.GraftFunctions.register(s)
+      val high = "\u20ac\u0081\u201a\u0192\u201e\u2026\u2020\u2021" +
+        "\u02c6\u2030\u0160\u2039\u0152\u008d\u017d\u008f" +
+        "\u0090\u2018\u2019\u201c\u201d\u2022\u2013\u2014" +
+        "\u02dc\u2122\u0161\u203a\u0153\u009d\u017e\u0178"
+      val mojify = udf { (t: String) =>
+        val b = t.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val sb = new java.lang.StringBuilder(b.length)
+        b.foreach { x =>
+          val u = x & 0xff
+          sb.append(if (u >= 0x80 && u <= 0x9f) high.charAt(u - 0x80) else u.toChar)
+        }
+        sb.toString
+      }
+      val docs = t(s, dir, "documents")
+        // seed accents deterministically so a third of docs carry
+        // multibyte UTF-8 worth corrupting (fixture text is ASCII-heavy)
+        .withColumn("orig", concat(col("text"), lit(" — café №"),
+          (col("doc_id") % 7).cast("string")))
+        .withColumn("wire",
+          when(col("doc_id") % 3 === 0, mojify(col("orig"))).otherwise(col("orig")))
+      val out = docs.select(col("doc_id"), col("wire"),
+          expr("fix_mojibake(wire)").as("fixed"),
+          col("orig"))
+        .withColumn("was_broken", col("wire") =!= col("orig"))
+        .withColumn("restored", col("fixed") === col("orig"))
+      val bad = out.where(!col("restored")).count()
+      require(bad == 0, s"$bad documents not restored byte-exactly")
+      val broken = out.where(col("was_broken")).count()
+      require(broken > 0, "fixture produced no corrupted docs")
+      out.select(col("doc_id"), col("was_broken"), col("restored"))
+    }),
     "pipe37_url_normalize" -> ((s, _) => {
       import s.implicits._
       val urls = fixturePages(s).select(col("url")).as[String]

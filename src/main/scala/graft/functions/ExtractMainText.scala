@@ -63,6 +63,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(LangId.registration)
     ext.injectFunction(NormalizeText.registration)
     ext.injectFunction(BpeCount.registration)
+    ext.injectFunction(FixMojibake.registration)
   }
 }
 
@@ -70,7 +71,8 @@ object GraftFunctions {
   /** Imperative fallback for sessions built without the extension. */
   def register(spark: SparkSession): Unit =
     Seq(ExtractMainText.registration, LangId.registration,
-        NormalizeText.registration, BpeCount.registration).foreach {
+        NormalizeText.registration, BpeCount.registration,
+        FixMojibake.registration).foreach {
       case (id, info, builder) =>
         spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     }
