@@ -1061,6 +1061,27 @@ object SparkEntry {
       require(broken > 0, "fixture produced no corrupted docs")
       out.select(col("doc_id"), col("was_broken"), col("restored"))
     }),
+    // deflate compression-ratio repetition signal over documents plus a
+    // planted spam slice (every doc_id % 5 == 0 gets its text replaced
+    // by one phrase repeated): the planted docs must land in a strictly
+    // lower ratio band than every untouched doc's prose. Self-verifying.
+    "pipe47_compression_ratio" -> ((s, dir) => {
+      import s.implicits._
+      graft.functions.GraftFunctions.register(s)
+      val docs = t(s, dir, "documents")
+        .withColumn("wire", when(col("doc_id") % 5 === 0,
+          concat_ws(" ", array_repeat(lit("free crypto signup bonus now"), 120)))
+          .otherwise(concat_ws(" ", array_repeat(col("text"), 3))))
+        .withColumn("planted", col("doc_id") % 5 === 0)
+      val out = docs.select(col("doc_id"), col("planted"),
+        expr("compression_ratio(wire)").as("ratio"))
+      val bands = out.groupBy(col("planted"))
+        .agg(min(col("ratio")).as("lo"), max(col("ratio")).as("hi"))
+        .as[(Boolean, Double, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+      require(bands(true)._2 < bands(false)._1,
+        s"spam band ${bands(true)} overlaps prose band ${bands(false)}")
+      out
+    }),
     "pipe37_url_normalize" -> ((s, _) => {
       import s.implicits._
       val urls = fixturePages(s).select(col("url")).as[String]

@@ -64,6 +64,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(NormalizeText.registration)
     ext.injectFunction(BpeCount.registration)
     ext.injectFunction(FixMojibake.registration)
+    ext.injectFunction(CompressionRatio.registration)
   }
 }
 
@@ -72,7 +73,7 @@ object GraftFunctions {
   def register(spark: SparkSession): Unit =
     Seq(ExtractMainText.registration, LangId.registration,
         NormalizeText.registration, BpeCount.registration,
-        FixMojibake.registration).foreach {
+        FixMojibake.registration, CompressionRatio.registration).foreach {
       case (id, info, builder) =>
         spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     }
