@@ -1082,6 +1082,28 @@ object SparkEntry {
         s"spam band ${bands(true)} overlaps prose band ${bands(false)}")
       out
     }),
+    // hashed linear classifier (fastText shape): plant a deterministic
+    // spam vocabulary into half the documents, train logistic weights by
+    // distributed full-batch GD on the EVEN doc_ids, score the held-out
+    // ODD ids; holdout accuracy must be >= 0.98. Output = per-doc score.
+    "pipe48_hashed_classifier" -> ((s, dir) => {
+      import s.implicits._
+      val spamWords = "free crypto bonus winner click casino jackpot"
+      val docs = t(s, dir, "documents")
+        .withColumn("label", (col("doc_id") % 2 === 0).cast("int"))
+        .withColumn("wire", when(col("label") === 1,
+          concat(col("text"), lit(" "), lit(spamWords))).otherwise(col("text")))
+      val train = docs.where(col("doc_id") % 4 < 2)
+      val hold = docs.where(col("doc_id") % 4 >= 2)
+      val model = graft.ops.Classifier.trainLogistic(
+        train, "wire", "label", dim = 1 << 16, iters = 25)
+      val out = graft.ops.Classifier.scored(hold, model, "wire")
+        .select(col("doc_id"), col("label"), col("score"))
+      val acc = out.select(avg(when((col("score") > 0.5) === (col("label") === 1),
+        1.0).otherwise(0.0))).as[Double].head()
+      require(acc >= 0.98, s"holdout accuracy $acc")
+      out
+    }),
     "pipe37_url_normalize" -> ((s, _) => {
       import s.implicits._
       val urls = fixturePages(s).select(col("url")).as[String]
