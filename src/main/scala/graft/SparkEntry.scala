@@ -154,6 +154,18 @@ object SparkEntry {
         t(s, dir, "documents"), "doc_id", "source", "text",
         separator = " ", minDocFrac = 0.6, minDocs = 2)
     }),
+    // eval-set decontamination (GPT-3 appendix-C shape): docs whose
+    // doc_id % 37 == 0 pose as the benchmark; report per-train-doc
+    // overlap at n=4 (13 is the published default — the synthetic
+    // corpus needs a smaller window to overlap at all). The broadcast
+    // eval-gram probe means the train side never shuffles.
+    "q66_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val eval = docs.where(col("doc_id") % 37 === 0)
+      val train = docs.where(col("doc_id") % 37 =!= 0)
+      graft.ops.Decontaminate.overlapReport(train, eval, "doc_id", "text", n = 4)
+        .select(col("id").as("doc_id"), col("eval_docs_hit"), col("grams_hit"))
+    }),
     // ------------------------------------------- C6: TTL predicate
     "q10_ttl_filter" -> ((s, dir) => {
       t(s, dir, "events")
@@ -1562,6 +1574,13 @@ object SparkEntry {
         coalesce(array_to_string(list_filter(string_split(d.text, ' '), x -> x = '' OR NOT list_contains(coalesce(t.ws, []), x)), ' '), '') AS clean_text,
         CAST(len(string_split(d.text, ' ')) - len(list_filter(string_split(d.text, ' '), x -> x = '' OR NOT list_contains(coalesce(t.ws, []), x))) AS BIGINT) AS n_removed
       FROM docs d LEFT JOIN tmpl t USING (source)"""),
+    "q66_decontaminate" -> ("""WITH tok AS (SELECT doc_id, regexp_split_to_array(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks FROM documents),
+      g AS (SELECT doc_id, array_to_string(toks[i : i + 3], ' ') AS gram FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 2)) AS i FROM tok WHERE len(toks) >= 4)),
+      gd AS (SELECT DISTINCT doc_id, gram FROM g),
+      ev AS (SELECT doc_id AS eval_id, gram FROM gd WHERE doc_id % 37 = 0),
+      tr AS (SELECT doc_id, gram FROM gd WHERE doc_id % 37 <> 0)
+      SELECT tr.doc_id, CAST(count(DISTINCT ev.eval_id) AS BIGINT) AS eval_docs_hit, CAST(count(DISTINCT tr.gram) AS BIGINT) AS grams_hit
+      FROM tr JOIN ev USING (gram) GROUP BY tr.doc_id"""),
     "q64_fetch_schedule" -> ("""SELECT 'host' || CAST(user_id % 50 AS VARCHAR) || '.example.com' AS host,
              event_id,
              CAST((user_id % 50) % 5 + 1 AS BIGINT) AS delay_s,
