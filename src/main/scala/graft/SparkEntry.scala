@@ -1116,6 +1116,41 @@ object SparkEntry {
       require(acc >= 0.98, s"holdout accuracy $acc")
       out
     }),
+    // DSIR importance resampling (Xie et al. NeurIPS 2023): plant a
+    // target vocabulary into every 3rd document, hold out every 9th as
+    // the TARGET corpus, model both corpora as hashed-bigram
+    // multinomials (one treeAggregate pass each), weight every raw doc
+    // by the broadcast log-ratio, Gumbel-top-k the best quarter. The
+    // selected set must be >= 75% target-flavored (the unflavored
+    // baseline rate is 33%).
+    "pipe49_dsir_resample" -> ((s, dir) => {
+      import s.implicits._
+      val tv = "quantum tensor gradient lattice spinor eigenvalue"
+      val docs = t(s, dir, "documents")
+        .withColumn("flavored", col("doc_id") % 3 === 0)
+        .withColumn("wire", when(col("flavored"),
+          concat(col("text"), lit(" "), lit(tv))).otherwise(col("text")))
+        .cache()
+      val target = docs.where(col("doc_id") % 9 === 0).select(col("wire").as("text"))
+      // alpha·dim must stay well under the (small) target corpus's token
+      // mass or the log-ratio degenerates — see featureLogProbs scaladoc
+      val dim = 1 << 16
+      val logT = graft.ops.Dsir.featureLogProbs(target, "text", dim, alpha = 0.01)
+      val logR = graft.ops.Dsir.featureLogProbs(docs, "wire", dim, alpha = 0.01)
+      val w = graft.ops.Dsir.importanceWeights(docs, "doc_id", "wire", logT, logR)
+      val k = (docs.count() / 4).toInt.max(1)
+      // rank on the length-invariant per-token ratio: doc lengths vary
+      // here, so the raw sum confounds length with target-likeness; low
+      // temperature keeps selection sharp against unit-scale Gumbel noise
+      val picked = graft.ops.Dsir.resampleTopK(w, "doc_id", k,
+        temperature = 0.01, weightCol = "avg_weight")
+        .join(docs.select(col("doc_id"), col("flavored")), Seq("doc_id"))
+      val out = picked.select(col("doc_id"), col("weight"), col("flavored")).cache()
+      val frac = out.select(avg(col("flavored").cast("double"))).as[Double].head()
+      docs.unpersist()
+      require(frac >= 0.75, s"DSIR enrichment too weak: $frac flavored among top quarter")
+      out
+    }),
     "pipe37_url_normalize" -> ((s, _) => {
       import s.implicits._
       val urls = fixturePages(s).select(col("url")).as[String]
