@@ -1151,6 +1151,33 @@ object SparkEntry {
       require(frac >= 0.75, s"DSIR enrichment too weak: $frac flavored among top quarter")
       out
     }),
+    // incremental cross-corpus dedup: signature the corpus ONCE at rest
+    // (writeMinhashIndex), then dedup a synthetic "next crawl" batch
+    // against it — near-dup mutations (one token dropped) must drop,
+    // token-reversed docs (3-shingle sets disjoint from the original)
+    // must survive. The decisive counts are require-checked in-query.
+    "pipe50_index_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val idx = java.nio.file.Files.createTempDirectory("graft-pipe50").toString
+      graft.ops.Dedup.writeMinhashIndex(docs, "doc_id", "text", idx)
+      val muts = docs.where(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 100000L).as("doc_id"),
+          array_join(slice(split(col("text"), " "), 2, 100000), " ").as("text"))
+      val fresh = docs.where(col("doc_id") % 7 === 3)
+        .select((col("doc_id") + 200000L).as("doc_id"),
+          array_join(reverse(split(col("text"), " ")), " ").as("text"))
+      val batch = muts.unionByName(fresh)
+      val out = graft.ops.Dedup.dedupAgainstIndex(batch, "doc_id", "text", idx,
+          threshold = 0.5)
+        .select(col("doc_id"), length(col("text")).as("n_chars")).cache()
+      val survivedMuts = out.where(col("doc_id") < 200000L).count()
+      val survivedFresh = out.where(col("doc_id") >= 200000L).count()
+      require(survivedMuts == 0, s"$survivedMuts near-dup mutations evaded the index")
+      require(survivedFresh == fresh.count(),
+        s"fresh docs wrongly dropped: $survivedFresh of ${fresh.count()}")
+      out
+    }),
     "pipe37_url_normalize" -> ((s, _) => {
       import s.implicits._
       val urls = fixturePages(s).select(col("url")).as[String]

@@ -264,6 +264,34 @@ object Dedup {
     sig
   }
 
+  /** `(id, sh, mh)` signature rows — shingle set + MinHash signature per
+    * document, the stage shared by the single-corpus pair job and the
+    * at-rest cross-corpus index. null-text rows are dropped, preserving
+    * the columnar twin's semantics (shingles(null) → null → no LSH row);
+    * String.valueOf would have turned them into the literal "null" and
+    * paired them all at jac=1.0.
+    */
+  private def sigRows(df: DataFrame, idCol: String, textCol: String,
+                      shingleK: Int, numHashes: Int): DataFrame = {
+    import org.apache.spark.sql.types._
+    val idField = df.schema(idCol)
+    val outSchema = StructType(Seq(
+      idField.copy(name = "id"),
+      StructField("sh", ArrayType(StringType, containsNull = false)),
+      StructField("mh", ArrayType(LongType, containsNull = false))))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val textIdx = 1
+    df.select(col(idCol), col(textCol)).mapPartitions { it =>
+      it.flatMap { r =>
+        if (r.isNullAt(textIdx)) Iterator.empty
+        else {
+          val s = shingleSet(r.getString(textIdx), shingleK)
+          Iterator.single(org.apache.spark.sql.Row(r.get(0), s, minHashSig(s, numHashes)))
+        }
+      }
+    }(enc)
+  }
+
   /** MinHash-LSH near-dup pairs, exact-verified: LSH prunes to candidates,
     * then each candidate pair is checked with exact shingle-set Jaccard.
     * `threshold` should sit near (1/numBands)^(numBands/numHashes) for the
@@ -280,27 +308,7 @@ object Dedup {
                           numBands: Int = 8,
                           threshold: Double = 0.8,
                           maxBucket: Int = Int.MaxValue): DataFrame = {
-    import org.apache.spark.sql.types._
-    val spark = df.sparkSession
-    val idField = df.schema(idCol)
-    val outSchema = StructType(Seq(
-      idField.copy(name = "id"),
-      StructField("sh", ArrayType(StringType, containsNull = false)),
-      StructField("mh", ArrayType(LongType, containsNull = false))))
-    val enc = org.apache.spark.sql.Encoders.row(outSchema)
-    val textIdx = 1
-    // null-text rows are dropped, preserving the columnar twin's semantics
-    // (shingles(null) → null → no LSH row); String.valueOf would have
-    // turned them into the literal "null" and paired them all at jac=1.0
-    val sh = df.select(col(idCol), col(textCol)).mapPartitions { it =>
-      it.flatMap { r =>
-        if (r.isNullAt(textIdx)) Iterator.empty
-        else {
-          val s = shingleSet(r.getString(textIdx), shingleK)
-          Iterator.single(org.apache.spark.sql.Row(r.get(0), s, minHashSig(s, numHashes)))
-        }
-      }
-    }(enc)
+    val sh = sigRows(df, idCol, textCol, shingleK, numHashes)
     val cand =
       if (maxBucket == Int.MaxValue)
         lshCandidates(sh.select(col("id"), col("mh")), "id", "mh", numBands)
@@ -341,6 +349,91 @@ object Dedup {
     val losers = clusters.where(col("id") =!= col("cluster"))
       .select(col("id").as(idCol))
     df.join(losers, Seq(idCol), "left_anti")
+  }
+
+  // ---------------------------- incremental cross-corpus dedup (at rest)
+
+  /** Materialize a REFERENCE corpus's MinHash signatures at rest — the
+    * incremental-crawl dedup shape: the existing 100 TB corpus is
+    * signatured ONCE; every new crawl batch then dedups against
+    * `{dir}/sigs` without re-reading (or even retaining) the reference
+    * TEXT — the stored shingle sets make candidate verification
+    * self-contained. Layout: `{dir}/sigs` = (id, sh, mh) parquet,
+    * `{dir}/meta` = one row pinning (shingle_k, num_hashes, num_bands)
+    * so probes can never band-mismatch the index.
+    */
+  def writeMinhashIndex(df: DataFrame, idCol: String, textCol: String,
+                        dir: String, shingleK: Int = 3, numHashes: Int = 32,
+                        numBands: Int = 8): Unit = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    sigRows(df, idCol, textCol, shingleK, numHashes)
+      .write.mode("overwrite").parquet(s"$dir/sigs")
+    Seq((shingleK, numHashes, numBands))
+      .toDF("shingle_k", "num_hashes", "num_bands")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  /** Exact-verified near-dup pairs of a NEW batch against a
+    * [[writeMinhashIndex]] index: `(new_id, ref_id, jac)`. Signature
+    * parameters come from the index's own meta row — a probe cannot
+    * band-mismatch what was written. The only corpus-scale shuffle is
+    * the (band, key) equi-join of the new batch's bands against the
+    * index's; `maxBucket` bounds a hot bucket's REF side to its
+    * `maxBucket` smallest ids (a new doc in a saturated bucket still
+    * meets enough representatives to be verified and dropped — the
+    * DROP decision needs ONE surviving match, so the cap costs pair
+    * completeness, not dedup correctness, mirroring
+    * [[lshCandidatesCapped]]'s star argument).
+    */
+  def minhashPairsAgainstIndex(newDf: DataFrame, idCol: String,
+                               textCol: String, dir: String,
+                               threshold: Double = 0.8,
+                               maxBucket: Int = Int.MaxValue): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = newDf.sparkSession
+    val meta = spark.read.parquet(s"$dir/meta")
+      .select(col("shingle_k"), col("num_hashes"), col("num_bands"))
+      .head()
+    val (shingleK, numHashes, numBands) =
+      (meta.getInt(0), meta.getInt(1), meta.getInt(2))
+    val refSigs = spark.read.parquet(s"$dir/sigs")
+    val newSigs = sigRows(newDf, idCol, textCol, shingleK, numHashes)
+    val newB = bandBuckets(newSigs.select(col("id"), col("mh")), "id", "mh", numBands)
+    val refB0 = bandBuckets(refSigs.select(col("id"), col("mh")), "id", "mh", numBands)
+    val refB =
+      if (maxBucket == Int.MaxValue) refB0
+      else {
+        val w = Window.partitionBy(col("band_idx"), col("band_key"))
+          .orderBy(col("id"))
+        refB0.withColumn("_rn", row_number().over(w))
+          .where(col("_rn") <= maxBucket).drop("_rn")
+      }
+    val cand = newB.as("n").join(refB.as("r"),
+        col("n.band_idx") === col("r.band_idx") &&
+          col("n.band_key") === col("r.band_key"))
+      .select(col("n.id").as("new_id"), col("r.id").as("ref_id"))
+      .distinct()
+    val jac = size(array_intersect(col("a.sh"), col("b.sh"))).cast("double") /
+      size(array_union(col("a.sh"), col("b.sh"))).cast("double")
+    cand.join(newSigs.as("a"), cand("new_id") === col("a.id"))
+      .join(refSigs.as("b"), cand("ref_id") === col("b.id"))
+      .where(jac >= threshold)
+      .select(col("new_id"), col("ref_id"), round(jac, 4).as("jac"))
+  }
+
+  /** The incremental-crawl filter: the NEW batch minus every document
+    * near-duplicating the at-rest reference corpus. Full input schema
+    * preserved; null-text rows survive (they have no signature and can
+    * match nothing, like [[nearDupFilter]]).
+    */
+  def dedupAgainstIndex(newDf: DataFrame, idCol: String, textCol: String,
+                        dir: String, threshold: Double = 0.8,
+                        maxBucket: Int = Int.MaxValue): DataFrame = {
+    val losers = minhashPairsAgainstIndex(newDf, idCol, textCol, dir,
+      threshold, maxBucket)
+      .select(col("new_id").as(idCol)).distinct()
+    newDf.join(losers, Seq(idCol), "left_anti")
   }
 
   // ------------------------------------------------------------- SimHash
