@@ -166,6 +166,20 @@ object SparkEntry {
       graft.ops.Decontaminate.overlapReport(train, eval, "doc_id", "text", n = 4)
         .select(col("id").as("doc_id"), col("eval_docs_hit"), col("grams_hit"))
     }),
+    // PII census over deterministically planted addresses/IPs/phones
+    // (the corpus itself is synthetic word salad): detect is a pure
+    // regexp_count map, exactly replayable in DuckDB. The Luhn-gated
+    // card detector is spec-covered (PiiSpec) — not SQL-expressible.
+    "q67_pii_detect" -> ((s, dir) => {
+      val wire = concat(col("text"),
+        when(col("doc_id") % 5 === 0, lit(" contact user@example.com now")).otherwise(lit("")),
+        when(col("doc_id") % 7 === 0, lit(" from 203.0.113.7 gateway")).otherwise(lit("")),
+        when(col("doc_id") % 11 === 0, lit(" call 415-555-0123 today")).otherwise(lit("")))
+      graft.ops.Pii.detect(
+          t(s, dir, "documents").withColumn("text", wire), "doc_id", "text")
+        .where(col("emails") + col("ipv4s") + col("phones") > 0)
+        .select(col("doc_id"), col("emails"), col("ipv4s"), col("phones"))
+    }),
     // ------------------------------------------- C6: TTL predicate
     "q10_ttl_filter" -> ((s, dir) => {
       t(s, dir, "events")
@@ -1636,6 +1650,16 @@ object SparkEntry {
         coalesce(array_to_string(list_filter(string_split(d.text, ' '), x -> x = '' OR NOT list_contains(coalesce(t.ws, []), x)), ' '), '') AS clean_text,
         CAST(len(string_split(d.text, ' ')) - len(list_filter(string_split(d.text, ' '), x -> x = '' OR NOT list_contains(coalesce(t.ws, []), x))) AS BIGINT) AS n_removed
       FROM docs d LEFT JOIN tmpl t USING (source)"""),
+    "q67_pii_detect" -> ("""WITH w AS (SELECT doc_id, text
+        || CASE WHEN doc_id % 5 = 0 THEN ' contact user@example.com now' ELSE '' END
+        || CASE WHEN doc_id % 7 = 0 THEN ' from 203.0.113.7 gateway' ELSE '' END
+        || CASE WHEN doc_id % 11 = 0 THEN ' call 415-555-0123 today' ELSE '' END AS text FROM documents),
+      c AS (SELECT doc_id,
+        CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS emails,
+        CAST(len(regexp_extract_all(text, '\b(?:(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\.){3}(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\b')) AS INT) AS ipv4s,
+        CAST(len(regexp_extract_all(text, '\+[0-9]{9,15}\b|\b[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}\b')) AS INT) AS phones
+      FROM w)
+      SELECT doc_id, emails, ipv4s, phones FROM c WHERE emails + ipv4s + phones > 0"""),
     "q66_decontaminate" -> ("""WITH tok AS (SELECT doc_id, regexp_split_to_array(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks FROM documents),
       g AS (SELECT doc_id, array_to_string(toks[i : i + 3], ' ') AS gram FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 2)) AS i FROM tok WHERE len(toks) >= 4)),
       gd AS (SELECT DISTINCT doc_id, gram FROM g),
