@@ -180,6 +180,21 @@ object SparkEntry {
         .where(col("emails") + col("ipv4s") + col("phones") > 0)
         .select(col("doc_id"), col("emails"), col("ipv4s"), col("phones"))
     }),
+    // domain-suffix blocklist gate over synthesized hosts (every 3rd
+    // user's traffic is served from an ads. subdomain): one entry per
+    // registrable suffix blocks all subdomains; survivors per host.
+    "q68_domain_blocklist" -> ((s, dir) => {
+      import s.implicits._
+      val bl = Seq("ads.example.com", "host7.example.com", "blocked.net")
+        .toDF("blocked")
+      val ev = t(s, dir, "events").select(col("event_id"),
+        concat(
+          when(col("user_id") % 3 === 0, lit("ads.")).otherwise(lit("")),
+          lit("host"), (col("user_id") % 50).cast("string"),
+          lit(".example.com")).as("host"))
+      graft.ops.CrawlPolicy.blockByDomainSuffix(ev, "host", bl)
+        .groupBy(col("host")).agg(count(lit(1)).as("kept_events"))
+    }),
     // ------------------------------------------- C6: TTL predicate
     "q10_ttl_filter" -> ((s, dir) => {
       t(s, dir, "events")
@@ -1650,6 +1665,16 @@ object SparkEntry {
         coalesce(array_to_string(list_filter(string_split(d.text, ' '), x -> x = '' OR NOT list_contains(coalesce(t.ws, []), x)), ' '), '') AS clean_text,
         CAST(len(string_split(d.text, ' ')) - len(list_filter(string_split(d.text, ' '), x -> x = '' OR NOT list_contains(coalesce(t.ws, []), x))) AS BIGINT) AS n_removed
       FROM docs d LEFT JOIN tmpl t USING (source)"""),
+    "q68_domain_blocklist" -> ("""WITH bl(blocked) AS (VALUES ('ads.example.com'), ('host7.example.com'), ('blocked.net')),
+      ev AS (SELECT event_id,
+        CASE WHEN user_id % 3 = 0 THEN 'ads.' ELSE '' END || 'host' || CAST(user_id % 50 AS VARCHAR) || '.example.com' AS host
+        FROM events),
+      hosts AS (SELECT DISTINCT host FROM ev),
+      sfx AS (SELECT host, array_to_string(parts[i:], '.') AS s
+              FROM (SELECT host, string_split(host, '.') AS parts, unnest(range(1, len(string_split(host, '.')) + 1)) AS i FROM hosts)),
+      blocked_hosts AS (SELECT DISTINCT sfx.host FROM sfx JOIN bl ON sfx.s = bl.blocked)
+      SELECT host, count(*) AS kept_events FROM ev
+      WHERE host NOT IN (SELECT host FROM blocked_hosts) GROUP BY host"""),
     "q67_pii_detect" -> ("""WITH w AS (SELECT doc_id, text
         || CASE WHEN doc_id % 5 = 0 THEN ' contact user@example.com now' ELSE '' END
         || CASE WHEN doc_id % 7 = 0 THEN ' from 203.0.113.7 gateway' ELSE '' END

@@ -108,4 +108,32 @@ object CrawlPolicy {
           .map(d => (host, d)).iterator
       }).toDF("host", "crawl_delay")
   }
+
+  /** Domain-suffix blocklist gate — the UT1/adult-ads-malware domain
+    * filter every web corpus applies before extraction: a host is
+    * blocked when ANY of its dot-suffixes ("a.ads.example.com" →
+    * {"a.ads.example.com", "ads.example.com", "example.com", "com"})
+    * appears in the blocklist, so one `example.com` entry covers every
+    * subdomain.
+    *
+    * Scale shape: the blocked-HOST set is computed first — distinct
+    * hosts (tiny vs the row count: a 10^12-row corpus has maybe 10^8
+    * hosts) exploded into ≤ label-count suffixes, equi-joined against
+    * the BROADCAST blocklist — and the corpus pays one host equi-join
+    * (anti) against that small set. The corpus rows themselves are
+    * never exploded.
+    */
+  def blockByDomainSuffix(df: DataFrame, hostCol: String,
+                          blocklist: DataFrame): DataFrame = {
+    val blockedCol = blocklist.columns.head
+    val suffixes = expr(
+      s"transform(sequence(1, size(split($hostCol, '\\\\.'))), " +
+        s"i -> array_join(slice(split($hostCol, '\\\\.'), i, " +
+        s"size(split($hostCol, '\\\\.'))), '.'))")
+    val blockedHosts = df.select(col(hostCol)).distinct()
+      .select(col(hostCol), explode(suffixes).as("_sfx"))
+      .join(broadcast(blocklist.select(col(blockedCol).as("_sfx"))), Seq("_sfx"))
+      .select(col(hostCol)).distinct()
+    df.join(blockedHosts, Seq(hostCol), "left_anti")
+  }
 }

@@ -105,4 +105,29 @@ class RobotsSpec extends AnyFunSuite with SparkSuite {
       .as[(String, Double)].collect().toMap
     assert(delays === Map("h1" -> 3.0))
   }
+
+  test("domain blocklist: suffix match blocks all subdomains, exact host blocks one") {
+    val rows = Seq(
+      (1L, "a.ads.example.com"),    // blocked via suffix ads.example.com
+      (2L, "ads.example.com"),      // blocked exactly
+      (3L, "host7.example.com"),    // blocked exactly
+      (4L, "ahost7.example.com"),   // NOT blocked: label boundary respected
+      (5L, "sub.blocked.net"),      // blocked via registrable suffix
+      (6L, "clean.example.org"))    // kept
+    val bl = Seq("ads.example.com", "host7.example.com", "blocked.net").toDF("blocked")
+    val kept = CrawlPolicy.blockByDomainSuffix(rows.toDF("id", "host"), "host", bl)
+      .select($"id").as[Long].collect().toSet
+    assert(kept === Set(4L, 6L))
+  }
+
+  test("domain blocklist: empty blocklist keeps everything; blocklist side is broadcast") {
+    val rows = Seq((1L, "x.com"), (2L, "y.org")).toDF("id", "host")
+    val none = CrawlPolicy.blockByDomainSuffix(rows,
+      "host", Seq.empty[String].toDF("blocked"))
+    assert(none.count() === 2)
+    val plan = CrawlPolicy.blockByDomainSuffix(rows,
+        "host", Seq("x.com").toDF("blocked"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange"), s"blocklist not broadcast:\n$plan")
+  }
 }
