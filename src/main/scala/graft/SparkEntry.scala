@@ -195,6 +195,16 @@ object SparkEntry {
       graft.ops.CrawlPolicy.blockByDomainSuffix(ev, "host", bl)
         .groupBy(col("host")).agg(count(lit(1)).as("kept_events"))
     }),
+    // Aho-Corasick phrase gate: one automaton pass per doc for the
+    // whole pattern list. Patterns are border-free (cannot overlap
+    // themselves), so AC's every-occurrence count equals the oracle's
+    // non-overlapping regexp count.
+    "q69_phrase_scan" -> ((s, dir) => {
+      graft.ops.TextOps.phraseScan(t(s, dir, "documents"), "doc_id", "text",
+          Seq("stream join", "window merge", "fast key"))
+        .where(col("flagged"))
+        .select(col("doc_id"), col("total_hits"), col("patterns_hit"))
+    }),
     // ------------------------------------------- C6: TTL predicate
     "q10_ttl_filter" -> ((s, dir) => {
       t(s, dir, "events")
@@ -1665,6 +1675,14 @@ object SparkEntry {
         coalesce(array_to_string(list_filter(string_split(d.text, ' '), x -> x = '' OR NOT list_contains(coalesce(t.ws, []), x)), ' '), '') AS clean_text,
         CAST(len(string_split(d.text, ' ')) - len(list_filter(string_split(d.text, ' '), x -> x = '' OR NOT list_contains(coalesce(t.ws, []), x))) AS BIGINT) AS n_removed
       FROM docs d LEFT JOIN tmpl t USING (source)"""),
+    "q69_phrase_scan" -> ("""WITH c AS (SELECT doc_id,
+        len(regexp_extract_all(text, 'stream join')) AS h1,
+        len(regexp_extract_all(text, 'window merge')) AS h2,
+        len(regexp_extract_all(text, 'fast key')) AS h3
+      FROM documents)
+      SELECT doc_id, CAST(h1 + h2 + h3 AS BIGINT) AS total_hits,
+        CAST((CASE WHEN h1 > 0 THEN 1 ELSE 0 END) + (CASE WHEN h2 > 0 THEN 1 ELSE 0 END) + (CASE WHEN h3 > 0 THEN 1 ELSE 0 END) AS INT) AS patterns_hit
+      FROM c WHERE h1 + h2 + h3 > 0"""),
     "q68_domain_blocklist" -> ("""WITH bl(blocked) AS (VALUES ('ads.example.com'), ('host7.example.com'), ('blocked.net')),
       ev AS (SELECT event_id,
         CASE WHEN user_id % 3 = 0 THEN 'ads.' ELSE '' END || 'host' || CAST(user_id % 50 AS VARCHAR) || '.example.com' AS host
