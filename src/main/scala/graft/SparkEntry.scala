@@ -205,6 +205,34 @@ object SparkEntry {
         .where(col("flagged"))
         .select(col("doc_id"), col("total_hits"), col("patterns_hit"))
     }),
+    // sliding-window chunker: 500-char windows advancing 400 (100-char
+    // overlap) — pure arithmetic, exactly replayable in SQL
+    "q70_chunk_windows" -> ((s, dir) => {
+      graft.ops.TextOps.chunkWindows(
+          t(s, dir, "documents"), "doc_id", "text", window = 500, overlap = 100)
+        .select(col("doc_id"), col("chunk_idx"),
+          length(col("chunk")).as("chunk_len"), sha2(col("chunk"), 256).as("chunk_hash"))
+    }),
+    // per-domain contribution cap (C4-style host diversification):
+    // deterministic 30-doc cap per lang, ordered by a hash both engines
+    // can compute (sha256 of the id)
+    "q71_domain_cap" -> ((s, dir) => {
+      graft.ops.Sampling.capPerKey(
+          t(s, dir, "documents").select(col("doc_id"), col("lang")),
+          "lang", "doc_id", cap = 30,
+          orderCol = Some(sha2(col("doc_id").cast("string"), 256)))
+    }),
+    // invisible/bidi-control strip as a native codegen expression, over
+    // deterministically planted zero-widths and overrides
+    "q72_strip_invisible" -> ((s, dir) => {
+      val wire = concat(
+        when(col("doc_id") % 3 === 0, lit("x\u200By\u202Ez ")).otherwise(lit("")),
+        col("text"),
+        when(col("doc_id") % 4 === 0, lit(" tail\u00ADsoft\uFEFF")).otherwise(lit("")))
+      t(s, dir, "documents").withColumn("wire", wire)
+        .selectExpr("doc_id", "sha2(strip_invisible(wire), 256) AS clean_hash",
+          "length(wire) - length(strip_invisible(wire)) AS removed_chars")
+    }),
     // ------------------------------------------- C6: TTL predicate
     "q10_ttl_filter" -> ((s, dir) => {
       t(s, dir, "events")
@@ -1677,6 +1705,26 @@ object SparkEntry {
         coalesce(array_to_string(list_filter(string_split(d.text, ' '), x -> x = '' OR NOT list_contains(coalesce(t.ws, []), x)), ' '), '') AS clean_text,
         CAST(len(string_split(d.text, ' ')) - len(list_filter(string_split(d.text, ' '), x -> x = '' OR NOT list_contains(coalesce(t.ws, []), x))) AS BIGINT) AS n_removed
       FROM docs d LEFT JOIN tmpl t USING (source)"""),
+    "q70_chunk_windows" -> ("""WITH n AS (SELECT doc_id, text,
+        CASE WHEN len(text) <= 500 THEN 1 ELSE 1 + CAST(ceil((len(text) - 500) / 400.0) AS INT) END AS k
+      FROM documents)
+      SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+        CAST(len(substr(text, CAST(i AS INT) * 400 + 1, 500)) AS INT) AS chunk_len,
+        sha256(substr(text, CAST(i AS INT) * 400 + 1, 500)) AS chunk_hash
+      FROM (SELECT doc_id, text, unnest(range(0, k)) AS i FROM n)"""),
+    "q71_domain_cap" -> ("""SELECT doc_id, lang FROM (
+        SELECT doc_id, lang, row_number() OVER (
+          PARTITION BY lang ORDER BY sha256(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        FROM documents) WHERE rn <= 30"""),
+    "q72_strip_invisible" -> ("""WITH w AS (SELECT doc_id,
+        (CASE WHEN doc_id % 3 = 0 THEN 'x' || chr(8203) || 'y' || chr(8238) || 'z ' ELSE '' END)
+        || text
+        || (CASE WHEN doc_id % 4 = 0 THEN ' tail' || chr(173) || 'soft' || chr(65279) ELSE '' END) AS wire
+      FROM documents)
+      SELECT doc_id,
+        sha256(regexp_replace(wire, '[\x{00AD}\x{200B}-\x{200D}\x{2060}\x{202A}-\x{202E}\x{2066}-\x{2069}\x{FEFF}]', '', 'g')) AS clean_hash,
+        CAST(len(wire) - len(regexp_replace(wire, '[\x{00AD}\x{200B}-\x{200D}\x{2060}\x{202A}-\x{202E}\x{2066}-\x{2069}\x{FEFF}]', '', 'g')) AS INT) AS removed_chars
+      FROM w"""),
     "q69_phrase_scan" -> ("""WITH c AS (SELECT doc_id,
         len(regexp_extract_all(text, 'stream join')) AS h1,
         len(regexp_extract_all(text, 'window merge')) AS h2,

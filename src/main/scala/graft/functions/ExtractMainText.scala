@@ -65,6 +65,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(BpeCount.registration)
     ext.injectFunction(FixMojibake.registration)
     ext.injectFunction(CompressionRatio.registration)
+    ext.injectFunction(StripInvisible.registration)
   }
 }
 
@@ -73,7 +74,8 @@ object GraftFunctions {
   def register(spark: SparkSession): Unit =
     Seq(ExtractMainText.registration, LangId.registration,
         NormalizeText.registration, BpeCount.registration,
-        FixMojibake.registration, CompressionRatio.registration).foreach {
+        FixMojibake.registration, CompressionRatio.registration,
+        StripInvisible.registration).foreach {
       case (id, info, builder) =>
         spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     }

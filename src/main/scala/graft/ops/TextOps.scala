@@ -240,6 +240,33 @@ object TextOps {
       dupLineFrac.as("dup_line_frac"), keep.as("keep"))
   }
 
+  /** Sliding-window chunker — training-sequence / RAG-context prep:
+    * split each document into `window`-char chunks advancing by
+    * `window - overlap` so consecutive chunks share `overlap` chars of
+    * context (boundary sentences are never orphaned). Pure Catalyst
+    * (sequence → posexplode → substring): codegen'd, zero shuffle, and
+    * the chunk count arithmetic is exactly replayable in SQL.
+    * A document shorter than one window yields one (possibly short)
+    * chunk; the final chunk may be shorter than `window`.
+    */
+  def chunkWindows(df: org.apache.spark.sql.DataFrame, idCol: String,
+                   textCol: String, window: Int,
+                   overlap: Int): org.apache.spark.sql.DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    require(overlap >= 0 && overlap < window,
+      s"overlap must be in [0, window), got $overlap")
+    val stride = window - overlap
+    val len = length(col(textCol))
+    val nChunks = when(len <= window, lit(1))
+      .otherwise(lit(1) + ceil((len - window).cast("double") / stride).cast("int"))
+    df.select(col(idCol), col(textCol).as("_t"), nChunks.as("_n"))
+      .select(col(idCol),
+        posexplode(expr(s"transform(sequence(0, _n - 1), " +
+          s"i -> substring(_t, i * $stride + 1, $window))")))
+      .select(col(idCol), col("pos").as("chunk_idx"),
+        col("col").as("chunk"))
+  }
+
   /** Multi-pattern phrase scan via a broadcast [[graft.kernel.AhoCorasick]]
     * automaton — the badword/license/boilerplate-phrase gate. Per row:
     * total occurrences, distinct patterns hit, and the drop flag.
