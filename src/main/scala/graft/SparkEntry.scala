@@ -1269,6 +1269,48 @@ object SparkEntry {
       graft.ops.Multimodal.featureStats(
         graft.ops.Multimodal.extractFeatures(media).toDF())
     }),
+    "pipe51_image_dedup" -> ((s, _) => {
+      import s.implicits._
+      // 40 distinct photos, each re-posted as PNG + BMP + JPEG + a noisy
+      // PNG — the crawl's re-encode shape. Perceptual dedup must put the
+      // 4 spellings of each photo in one cluster and keep photos apart.
+      val w = 48; val h = 36
+      val media = (0 until 40).flatMap { g =>
+        // per-photo seeded 8x8 tiles: textured content so dHash separates
+        // photos (smooth gradients would all hash to zero and merge)
+        val rnd = new scala.util.Random(4242 + g)
+        val tw = (w + 7) / 8
+        val tiles = Array.fill(tw * ((h + 7) / 8))(30 + rnd.nextInt(170))
+        val lum = Array.tabulate(w * h) { i =>
+          val x = i % w; val y = i / w
+          math.min(215, math.max(0, tiles((y / 8) * tw + x / 8) + rnd.nextInt(7) - 3))
+        }
+        val noisy = lum.map(v => math.min(255, math.max(0, v + rnd.nextInt(5) - 2)))
+        val gray3 = lum.flatMap(v => Array(v.toByte, v.toByte, v.toByte))
+        Seq(
+          graft.ops.Multimodal.Media(g * 10L, s"img$g", "image",
+            graft.fixtures.MediaGen.png(lum.map(_.toByte), w, h, 1)),
+          graft.ops.Multimodal.Media(g * 10L + 1, s"img$g", "image",
+            graft.fixtures.MediaGen.bmp(gray3, w, h)),
+          graft.ops.Multimodal.Media(g * 10L + 2, s"img$g", "image",
+            graft.fixtures.MediaGen.jpeg(lum, w, h)),
+          graft.ops.Multimodal.Media(g * 10L + 3, s"img$g", "image",
+            graft.fixtures.MediaGen.png(noisy.map(_.toByte), w, h, 1)))
+      }
+      val clusters = graft.ops.Multimodal.imageDedup(
+        s.createDataset(media), maxHamming = 8).cache()
+      val n = clusters.count()
+      require(n == media.size, s"clustered $n of ${media.size} images")
+      val groups = clusters
+        .groupBy((col("media_id") / 10).cast("long").as("photo"))
+        .agg(countDistinct(col("cluster")).as("k"))
+      val split = groups.where(col("k") =!= 1).count()
+      require(split == 0, s"$split photos split across clusters")
+      val distinctClusters = clusters.select(col("cluster")).distinct().count()
+      require(distinctClusters == 40,
+        s"$distinctClusters clusters for 40 distinct photos (merge or split)")
+      clusters.orderBy(col("media_id"))
+    }),
     "pipe12_rolling_fingerprints" -> ((s, _) => {
       import s.implicits._
       // exploded to one (url, fp_idx, fp) row per fingerprint: the driver's

@@ -470,6 +470,82 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
   }
 
+  // ---------------------------------------- generic 64-bit Hamming dedup
+  /** Near-dup pairs over ANY 64-bit hash column (SimHash, dHash, pHash,
+    * any fingerprint) with `hamming ≤ maxHamming` — EXACT recall at
+    * corpus scale via multi-index Hamming (Norouzi & Fleet, CVPR'12):
+    * the hash splits into four 16-bit blocks; a pair within Hamming r
+    * must agree within d = r/4 bits on at least ONE block (pigeonhole —
+    * all four blocks differing by ≥ d+1 would total ≥ 4d+4 > r). The
+    * probe side therefore explodes each block value to its full
+    * radius-d Hamming ball (C(16,≤d) = 1/17/137 variants for d=0/1/2)
+    * and the candidate step is a plain (block_idx, value) equi-join —
+    * shuffle-shaped, AQE-splittable, never a similarity join. The
+    * `bit_count(xor)` verify makes precision exact, so the pair list is
+    * exactly the Hamming-ball graph.
+    *
+    * This generalizes [[simHashPairs]]'s fixed d=0 block join to radius
+    * d ≤ 2, i.e. maxHamming ≤ 11 — past that the ball enumeration stops
+    * paying for itself and a caller should band a wider hash instead.
+    */
+  def hammingPairs64(sigs: DataFrame, idCol: String, hashCol: String,
+                     maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 11,
+      s"hammingPairs64: maxHamming=$maxHamming outside [0,11] " +
+        "(4 blocks x radius-2 balls cover at most 11)")
+    val d = maxHamming / 4
+    val masks: Seq[Long] = {
+      val b = Seq.newBuilder[Long]
+      b += 0L
+      if (d >= 1) for (i <- 0 until 16) b += 1L << i
+      if (d >= 2)
+        for (i <- 0 until 16; j <- i + 1 until 16) b += (1L << i) | (1L << j)
+      b.result()
+    }
+    val base = sigs.select(col(idCol).cast("long").as("id"),
+      col(hashCol).cast("long").as("h"))
+    val index = base.select(col("id"), col("h"),
+        posexplode(array((0 until 4).map(b =>
+          shiftrightunsigned(col("h"), b * 16).bitwiseAND(lit(0xFFFFL))): _*)))
+      .withColumnRenamed("pos", "block_idx").withColumnRenamed("col", "block_val")
+    val probes =
+      if (masks.size == 1) index
+      else index.select(col("id"), col("h"), col("block_idx"),
+        explode(array(masks.map(m =>
+          col("block_val").bitwiseXOR(lit(m))): _*)).as("block_val"))
+    val ham = expr("bit_count(a.h ^ b.h)")
+    probes.as("a").join(index.as("b"),
+        col("a.block_idx") === col("b.block_idx") &&
+          col("a.block_val") === col("b.block_val") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"), ham.as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+
+  /** `(id, cluster)` for EVERY input row, clustering by transitive
+    * Hamming proximity of a 64-bit hash: identical hashes collapse FIRST
+    * (one groupBy — a mirror-heavy crawl's exact re-posts never reach
+    * the pair join), [[hammingPairs64]] connects the distinct hash
+    * values, and [[connectedComponents]] elects each component's minimum
+    * id. Singletons map to themselves. Because each hash group's
+    * representative is its minimum id, the component minimum over
+    * representatives IS the global minimum over member ids — the label
+    * is the same one a pair-per-duplicate construction would elect,
+    * without materializing quadratic pairs inside identical-hash groups.
+    */
+  def hammingClusters(sigs: DataFrame, idCol: String, hashCol: String,
+                      maxHamming: Int): DataFrame = {
+    val base = sigs.select(col(idCol).cast("long").as("id"),
+      col(hashCol).cast("long").as("h"))
+    val reps = base.groupBy(col("h")).agg(min(col("id")).as("rep"))
+    val cross = hammingPairs64(reps.select(col("rep").as("id"), col("h")),
+      "id", "h", maxHamming).select(col("a_id"), col("b_id"))
+    val cc = connectedComponents(cross)
+    val repCluster = reps.join(cc, reps("rep") === cc("id"), "left")
+      .select(col("h"), coalesce(col("cluster"), col("rep")).as("cluster"))
+    base.join(repCluster, "h").select(col("id"), col("cluster"))
+  }
+
   // -------------------------------------------- pair → cluster resolution
   /** Connected components over near-dup pairs — the step that turns pair
     * lists (exact, MinHash, SimHash, cosine — any of the operators above)

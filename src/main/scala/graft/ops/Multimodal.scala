@@ -285,6 +285,61 @@ object Multimodal {
     media.mapPartitions(_.map(decodeOne))
   }
 
+  // ------------------------------------------- perceptual image dedup
+  final case class ImageHashRow(media_id: Long, codec: String, width: Int,
+                                height: Int, dhash: Long, phash: Long,
+                                ok: Boolean, error: String)
+
+  /** Perceptual hashes per payload ([[graft.kernel.ImageHash]]): dHash
+    * (gradient) + pHash (DCT) over the decoded luminance plane. Every
+    * format with a real from-scratch pixel decode participates (BMP,
+    * PNG, JPEG, GIF, TIFF, WebP incl. lossy VP8, and AVI's first MJPEG
+    * frame); non-image payloads in a mixed media column come back
+    * `ok=false` with a reason instead of poisoning the stage (C5).
+    */
+  def imageHashOne(m: Media): ImageHashRow = try {
+    val p = m.payload
+    val d =
+      if (graft.kernel.Media.isBmp(p)) graft.kernel.Media.decodeBmp(p)
+      else if (graft.kernel.Media.isPng(p)) graft.kernel.Media.decodePng(p)
+      else if (graft.kernel.Jpeg.isJpeg(p)) graft.kernel.Jpeg.decode(p)
+      else if (graft.kernel.Media.isGif(p)) graft.kernel.Media.decodeGif(p)
+      else if (graft.kernel.Media.isTiff(p)) graft.kernel.Media.decodeTiff(p)
+      else if (graft.kernel.WebP.isWebP(p)) graft.kernel.WebP.decode(p)
+      else if (graft.kernel.Media.isAvi(p)) graft.kernel.Media.decodeAvi(p)
+      else throw new IllegalArgumentException("no still-image decoder for payload")
+    require(d.width > 0 && d.height > 0, s"no pixel plane in ${d.codec}")
+    ImageHashRow(m.media_id, d.codec, d.width, d.height,
+      graft.kernel.ImageHash.dHash64(d.samples, d.width, d.height),
+      graft.kernel.ImageHash.pHash64(d.samples, d.width, d.height),
+      ok = true, error = "")
+  } catch {
+    case e: Exception =>
+      ImageHashRow(m.media_id, "?", 0, 0, 0L, 0L, ok = false,
+        String.valueOf(e.getMessage))
+  }
+
+  /** Typed batch stage: media rows in, perceptual-hash rows out. */
+  def imageHashes(media: Dataset[Media]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map(imageHashOne)).toDF()
+  }
+
+  /** Image near-dup clusters — the LAION-style re-encode dedup: dHash
+    * per image, identical hashes collapsed, multi-index Hamming join +
+    * connected components ([[Dedup.hammingClusters]] — exact recall at
+    * the given radius, shuffle-shaped). Returns
+    * `(media_id, cluster, keep)` for every DECODABLE image;
+    * undecodable rows are excluded (they have no pixels to compare).
+    * `keep` marks the cluster's canonical representative (minimum id).
+    */
+  def imageDedup(media: Dataset[Media], maxHamming: Int = 8): DataFrame = {
+    val hashes = imageHashes(media).where(col("ok"))
+    Dedup.hammingClusters(hashes, "media_id", "dhash", maxHamming)
+      .select(col("id").as("media_id"), col("cluster"),
+        (col("id") === col("cluster")).as("keep"))
+  }
+
   /** Per-kind feature rollup (bytes, levels, failure counts). */
   def featureStats(features: DataFrame): DataFrame =
     features.groupBy(col("kind")).agg(
