@@ -1269,6 +1269,41 @@ object SparkEntry {
       graft.ops.Multimodal.featureStats(
         graft.ops.Multimodal.extractFeatures(media).toDF())
     }),
+    "pipe52_encrypted_pdf" -> ((s, _) => {
+      import s.implicits._
+      // encrypted crawl PDFs (standard security handler, empty user
+      // password — the universal "permissions-only" shape): the full
+      // split → extract → merge branch must produce byte-identical text
+      // to the same documents unencrypted. Mix RC4-128 and AESV2, with
+      // multi-chunk page counts so decryption composes with chunking.
+      val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+      val specs = (0 until 12).map { i =>
+        val nPages = 1 + (i * 7) % 23
+        val pages = (1 to nPages).map(p => Seq(s"doc $i page $p", s"body line $p"))
+        (s"https://enc.example/doc$i.pdf", pages, i % 2 == 1)
+      }
+      val encPages = specs.map { case (url, pages, aes) =>
+        graft.pipeline.Page(url, ts,
+          graft.kernel.PdfWriter.buildEncrypted(pages, compress = true, aes = aes),
+          "", "en")
+      }
+      val plainPages = specs.map { case (url, pages, _) =>
+        graft.pipeline.Page(url, ts,
+          graft.kernel.PdfWriter.build(pages, compress = true), "", "en")
+      }
+      def runBranch(rows: Seq[graft.pipeline.Page]) =
+        Extraction.mergePdfDocs(Extraction.extractChunks(
+            Extraction.pdfChunks(s.createDataset(rows))))
+          .select(col("url"), col("extracted_text"), col("total_chunks"), col("ok"))
+      val enc = runBranch(encPages).cache()
+      val plain = runBranch(plainPages)
+      val diff = enc.as("e").join(plain.as("p"), Seq("url"))
+        .where(col("e.extracted_text") =!= col("p.extracted_text") ||
+          !col("e.ok") || !col("p.ok")).count()
+      require(diff == 0, s"$diff encrypted docs extracted differently from plaintext twins")
+      enc.select(col("url"), length(col("extracted_text")).as("text_len"),
+        col("total_chunks"), col("ok"))
+    }),
     "pipe51_image_dedup" -> ((s, _) => {
       import s.implicits._
       // 40 distinct photos, each re-posted as PNG + BMP + JPEG + a noisy

@@ -397,6 +397,16 @@ object Pdf {
       }
     var doc = PdfDoc(objs.toMap, trailer)
 
+    // ---- encrypted documents (standard security handler): decrypt
+    // strings and stream bytes in place BEFORE ObjStm expansion — member
+    // objects of a decrypted ObjStm come out as plaintext and must not
+    // be touched again (§7.6.2: the crypt filter applies to the object
+    // stream as a whole, not its members)
+    PdfCrypt.findEncryption(doc).foreach { enc =>
+      PdfCrypt.decryptObjects(doc, enc).foreach { case (n2, o2) => objs(n2) = o2 }
+      doc = PdfDoc(objs.toMap, trailer)
+    }
+
     def typeIs(d: PDict, t: String): Boolean =
       doc.resolve(d.m.getOrElse("Type", PNull)) == PName(t)
 

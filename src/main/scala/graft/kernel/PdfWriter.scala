@@ -110,6 +110,94 @@ object PdfWriter {
     out.toByteArray
   }
 
+  private def hexStr(b: Array[Byte]): String =
+    "<" + b.map(x => f"${x & 0xff}%02X").mkString + ">"
+
+  /** Encrypted build (standard security handler): same page/text
+    * semantics as [[build]], classic xref layout, but every content
+    * stream and the /Info title string are encrypted under per-object
+    * keys, with `/Encrypt` + `/ID` in the trailer. `aes = false` writes
+    * V2 R3 RC4-128; `aes = true` writes V4 R4 `/CFM /AESV2`
+    * (AES-128-CBC, deterministic per-object IV so fixture bytes are
+    * reproducible). A non-empty `userPw` produces a genuinely
+    * password-protected file — the parser must REFUSE it, which the
+    * spec pins.
+    */
+  def buildEncrypted(pages: Seq[Seq[String]], compress: Boolean,
+                     aes: Boolean = false, userPw: String = "",
+                     ownerPw: String = "owner",
+                     mediaBox: (Double, Double) = (612.0, 792.0)): Array[Byte] = {
+    require(pages.nonEmpty, "pdf needs at least one page")
+    val contents = pages.map(pageContent)
+    val boxes = Seq.fill(pages.size)(mediaBox)
+    val n = contents.size
+    val out = new ByteArrayOutputStream(4096)
+    def w(s: String): Unit = out.write(s.getBytes(ISO_8859_1))
+    def fmtNum(d: Double): String =
+      if (d == d.floor && !d.isInfinite) d.toLong.toString else d.toString
+
+    val fontObj = 3 + 2 * n
+    val infoObj = fontObj + 1
+    val encObj = fontObj + 2
+    val total = encObj + 1
+    val offsets = new Array[Long](total)
+
+    // deterministic key material
+    val r = if (aes) 4 else 3
+    val perm = -3904
+    val id0 = PdfCrypt.md5(s"graft-fixture-$n-$aes".getBytes(ISO_8859_1))
+    val oEntry = PdfCrypt.ownerEntry(ownerPw.getBytes(ISO_8859_1),
+      userPw.getBytes(ISO_8859_1), r, 128)
+    val key = PdfCrypt.fileKey(userPw.getBytes(ISO_8859_1), oEntry, perm,
+      id0, r, 128)
+    val uEntry = PdfCrypt.userEntry(key, id0, r)
+    val enc = PdfCrypt.Encryption(key, aes, encObj)
+
+    w("%PDF-1.4\n%âãÏÓ\n")
+    offsets(1) = out.size(); w("1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+    offsets(2) = out.size()
+    val kids = (0 until n).map(i => s"${3 + 2 * i} 0 R").mkString(" ")
+    w(s"2 0 obj\n<< /Type /Pages /Kids [ $kids ] /Count $n >>\nendobj\n")
+    (0 until n).foreach { i =>
+      val pageObj = 3 + 2 * i
+      val contObj = pageObj + 1
+      val (mw, mh) = boxes(i)
+      offsets(pageObj) = out.size()
+      w(s"$pageObj 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [ 0 0 ${fmtNum(mw)} ${fmtNum(mh)} ] " +
+        s"/Resources << /Font << /F1 $fontObj 0 R >> >> /Contents $contObj 0 R >>\nendobj\n")
+      offsets(contObj) = out.size()
+      val filtered = if (compress) deflate(contents(i)) else contents(i)
+      val body = PdfCrypt.encryptBytes(enc, contObj, 0, filtered)
+      val filter = if (compress) " /Filter /FlateDecode" else ""
+      w(s"$contObj 0 obj\n<< /Length ${body.length}$filter >>\nstream\n")
+      out.write(body)
+      w("\nendstream\nendobj\n")
+    }
+    offsets(fontObj) = out.size()
+    w(s"$fontObj 0 obj\n<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>\nendobj\n")
+    // Info dict: an encrypted STRING outside any stream
+    offsets(infoObj) = out.size()
+    val title = PdfCrypt.encryptBytes(enc, infoObj, 0,
+      s"Fixture Title $n".getBytes(ISO_8859_1))
+    w(s"$infoObj 0 obj\n<< /Title ${hexStr(title)} >>\nendobj\n")
+    // Encrypt dict: its own strings are NOT encrypted (§7.6.2)
+    offsets(encObj) = out.size()
+    val cf =
+      if (aes) " /CF << /StdCF << /CFM /AESV2 /Length 16 >> >> /StmF /StdCF /StrF /StdCF"
+      else ""
+    val v = if (aes) 4 else 2
+    w(s"$encObj 0 obj\n<< /Filter /Standard /V $v /R $r /Length 128 " +
+      s"/P $perm /O ${hexStr(oEntry)} /U ${hexStr(uEntry)}$cf >>\nendobj\n")
+    val xrefPos = out.size()
+    w(s"xref\n0 $total\n")
+    w("0000000000 65535 f \n")
+    (1 until total).foreach { i => w(f"${offsets(i)}%010d 00000 n \n") }
+    w(s"trailer\n<< /Size $total /Root 1 0 R /Info $infoObj 0 R " +
+      s"/Encrypt $encObj 0 R /ID [ ${hexStr(id0)} ${hexStr(id0)} ] >>\n" +
+      s"startxref\n$xrefPos\n%%EOF\n")
+    out.toByteArray
+  }
+
   /** PDF 1.5-style build: same page/text semantics as [[build]], but the
     * modern file layout — document dictionaries (catalog, page tree,
     * pages, font) packed into a compressed object stream (`/ObjStm`) and

@@ -234,4 +234,81 @@ class PdfKernelSpec extends AnyFunSuite {
     assert(Pdf.pageText(ps.head.content) === "NEW\n",
       "type-2 xref entry must select the compressed (updated) page dict")
   }
+
+  // ---------------------------------------- standard security handler
+
+  test("rc4 matches the published test vectors") {
+    import graft.kernel.PdfCrypt
+    def hex(b: Array[Byte]) = b.map(x => f"${x & 0xff}%02x").mkString
+    // the two classic ARCFOUR vectors (key "Key"/"Wiki", public folklore
+    // reproduced in the original cypherpunks posting and RFC 6229 notes)
+    assert(hex(PdfCrypt.rc4("Key".getBytes(ISO_8859_1),
+      "Plaintext".getBytes(ISO_8859_1))) === "bbf316e8d940af0ad3")
+    assert(hex(PdfCrypt.rc4("Wiki".getBytes(ISO_8859_1),
+      "pedia".getBytes(ISO_8859_1))) === "1021bf0420")
+    // symmetry: decrypt(encrypt(x)) == x for a binary payload
+    val key = Array[Byte](1, 2, 3, 4, 5)
+    val data = Array.tabulate[Byte](257)(i => i.toByte)
+    assert(PdfCrypt.rc4(key, PdfCrypt.rc4(key, data)).toSeq === data.toSeq)
+  }
+
+  test("encrypted pdf (RC4-128, empty user password): text and Info string decrypt") {
+    val pages = Seq(Seq("secret line one", "secret line two"), Seq("page two"))
+    val bytes = PdfWriter.buildEncrypted(pages, compress = true)
+    val doc = Pdf.parseDoc(bytes)
+    val ps = Pdf.pages(doc)
+    assert(ps.length === 2)
+    assert(Pdf.pageText(ps(0).content) === "secret line one\nsecret line two\n")
+    assert(Pdf.pageText(ps(1).content) === "page two\n")
+    // the /Info title is a string OUTSIDE any stream — string decryption
+    val info = doc.dictOf(doc.trailer.m("Info")).m
+    doc.resolve(info("Title")) match {
+      case Pdf.PStr(b) => assert(new String(b, ISO_8859_1) === "Fixture Title 2")
+      case other       => fail(s"Title not a string: $other")
+    }
+    // the raw file must NOT contain the plaintext (it is actually encrypted)
+    assert(!new String(bytes, ISO_8859_1).contains("secret line"))
+  }
+
+  test("encrypted pdf (AESV2): round-trips, uncompressed and FlateDecode") {
+    for (compress <- Seq(false, true)) {
+      val bytes = PdfWriter.buildEncrypted(
+        Seq(Seq("aes body", "second")), compress = compress, aes = true)
+      val ps = Pdf.pages(Pdf.parseDoc(bytes))
+      assert(Pdf.pageText(ps.head.content) === "aes body\nsecond\n",
+        s"compress=$compress")
+      assert(!new String(bytes, ISO_8859_1).contains("aes body"))
+    }
+  }
+
+  test("encrypted pdf: chunker splits and chunks re-extract to the same text") {
+    val pages = (1 to 23).map(i => Seq(s"enc page $i"))
+    val bytes = PdfWriter.buildEncrypted(pages, compress = true)
+    val chunks = Pdf.chunkBytes(bytes)
+    assert(chunks.map(c => Pdf.pages(Pdf.parseDoc(c)).length) === Vector(10, 10, 3))
+    val whole = Pdf.pages(Pdf.parseDoc(bytes)).map(p => Pdf.pageText(p.content))
+    val viaChunks = chunks.flatMap(c =>
+      Pdf.pages(Pdf.parseDoc(c)).map(p => Pdf.pageText(p.content)))
+    assert(viaChunks === whole)
+  }
+
+  test("password-protected pdf is refused, not garbled") {
+    val bytes = PdfWriter.buildEncrypted(Seq(Seq("locked")), compress = false,
+      userPw = "hunter2")
+    val e = intercept[Pdf.ParseError](Pdf.parseDoc(bytes))
+    assert(e.getMessage.contains("non-empty user password"))
+  }
+
+  test("encryption round-trip property: assorted page counts, both ciphers") {
+    for (n <- Seq(1, 3, 11); aes <- Seq(false, true)) {
+      val pages = (1 to n).map(i => Seq(s"pg $i alpha", s"pg $i beta"))
+      val bytes = PdfWriter.buildEncrypted(pages, compress = true, aes = aes)
+      val ps = Pdf.pages(Pdf.parseDoc(bytes))
+      assert(ps.length === n, s"n=$n aes=$aes")
+      (0 until n).foreach { i =>
+        assert(Pdf.pageText(ps(i).content) === s"pg ${i + 1} alpha\npg ${i + 1} beta\n",
+          s"n=$n aes=$aes page=$i")
+      }
+    }
+  }
 }
