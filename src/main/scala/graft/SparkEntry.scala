@@ -1269,6 +1269,37 @@ object SparkEntry {
       graft.ops.Multimodal.featureStats(
         graft.ops.Multimodal.extractFeatures(media).toDF())
     }),
+    "pipe53_cid_font_pdf" -> ((s, _) => {
+      import s.implicits._
+      // Type0/CID-font PDFs (embedded-subset fonts): Tj bytes are 2-byte
+      // codes that only the /ToUnicode CMap can turn into text — the
+      // dominant shape for PDFs produced by modern typesetters. The full
+      // split → extract → merge branch must recover the exact text, with
+      // chunking (which re-serializes sub-PDFs) preserving the font map.
+      val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+      val docs = (0 until 10).map { i =>
+        val nPages = 1 + (i * 5) % 17
+        val pages = (1 to nPages).map(p =>
+          Seq(s"cid doc $i page $p", s"umlaut öäü €$p"))
+        (s"https://cid.example/doc$i.pdf", pages)
+      }
+      val rows = docs.map { case (url, pages) =>
+        graft.pipeline.Page(url, ts,
+          graft.kernel.PdfWriter.buildType0(pages, compress = true), "", "en")
+      }
+      val out = Extraction.mergePdfDocs(Extraction.extractChunks(
+          Extraction.pdfChunks(s.createDataset(rows))))
+        .select(col("url"), col("extracted_text"), col("total_chunks"), col("ok"))
+        .cache()
+      val expected = docs.map { case (url, pages) =>
+        (url, pages.map(_.mkString("", "\n", "\n")).mkString)
+      }.toDF("url", "want")
+      val bad = out.join(expected, Seq("url"))
+        .where(col("extracted_text") =!= col("want") || !col("ok")).count()
+      require(bad == 0, s"$bad CID-font docs extracted wrong text")
+      out.select(col("url"), length(col("extracted_text")).as("text_len"),
+        col("total_chunks"), col("ok"))
+    }),
     "pipe52_encrypted_pdf" -> ((s, _) => {
       import s.implicits._
       // encrypted crawl PDFs (standard security handler, empty user

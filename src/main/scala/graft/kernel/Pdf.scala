@@ -507,7 +507,112 @@ object Pdf {
   }
 
   // ------------------------------------------------------------- page model
-  final case class PdfPage(content: Array[Byte], width: Double, height: Double)
+  /** Per-font text decoding truth: `twoByte` for Type0 (CID) fonts whose
+    * show strings are 2-byte codes; `toUnicode` the /ToUnicode CMap when
+    * present. Fonts with neither stay on the Latin-1 passthrough (the
+    * WinAnsi≈Latin-1 default the frozen extraction spec pins).
+    */
+  final case class FontInfo(twoByte: Boolean, toUnicode: Option[Map[Int, String]])
+
+  final case class PdfPage(content: Array[Byte], width: Double, height: Double,
+                           fonts: Map[String, FontInfo] = Map.empty)
+
+  /** Parse a /ToUnicode CMap (Adobe CMap syntax, §9.10.3): `bfchar`
+    * blocks map source codes to UTF-16BE strings; `bfrange` blocks map
+    * code intervals to either an incrementing base string or an explicit
+    * array. Malformed entries stop their block (C5 posture: partial maps
+    * beat thrown pages); ranges longer than 65 536 codes are ignored as
+    * bombs.
+    */
+  def parseCMap(bytes: Array[Byte]): Map[Int, String] = {
+    val s = new String(bytes, ISO_8859_1)
+    val out = Map.newBuilder[Int, String]
+    def codeOf(b: Array[Byte]): Int = b.foldLeft(0)((a, x) => (a << 8) | (x & 0xff))
+    def strOf(b: Array[Byte]): String =
+      new String(b, java.nio.charset.StandardCharsets.UTF_16BE)
+    var i = 0
+    while ({ i = s.indexOf("beginbfchar", i); i >= 0 }) {
+      val end = s.indexOf("endbfchar", i)
+      val lex = new Lexer(s); lex.pos = i + "beginbfchar".length
+      var ok = end >= 0
+      while (ok && { lex.skipWs(); lex.pos < end }) {
+        try (lex.parseObj(), lex.parseObj()) match {
+          case (PStr(src), PStr(dst)) if src.nonEmpty => out += codeOf(src) -> strOf(dst)
+          case _ => ok = false
+        } catch { case _: ParseError => ok = false }
+      }
+      i = if (end >= 0) end + "endbfchar".length else s.length
+    }
+    i = 0
+    while ({ i = s.indexOf("beginbfrange", i); i >= 0 }) {
+      val end = s.indexOf("endbfrange", i)
+      val lex = new Lexer(s); lex.pos = i + "beginbfrange".length
+      var ok = end >= 0
+      while (ok && { lex.skipWs(); lex.pos < end }) {
+        try (lex.parseObj(), lex.parseObj(), lex.parseObj()) match {
+          case (PStr(lo), PStr(hi), PStr(d0))
+            if lo.nonEmpty && d0.length >= 2 && codeOf(hi) - codeOf(lo) <= 65536 =>
+            val l = codeOf(lo); val h = codeOf(hi)
+            var c = l
+            while (c <= h) {
+              val base = d0.clone()
+              // increment the TRAILING 16-bit code unit (§9.10.3 note)
+              val n2 = base.length
+              val last = (((base(n2 - 2) & 0xff) << 8) | (base(n2 - 1) & 0xff)) + (c - l)
+              base(n2 - 2) = (last >> 8).toByte; base(n2 - 1) = last.toByte
+              out += c -> strOf(base)
+              c += 1
+            }
+          case (PStr(lo), PStr(hi), PArr(items))
+            if lo.nonEmpty && codeOf(hi) - codeOf(lo) <= 65536 =>
+            val l = codeOf(lo)
+            items.zipWithIndex.foreach {
+              case (PStr(db), k) => out += (l + k) -> strOf(db)
+              case _             =>
+            }
+          case _ => ok = false
+        } catch { case _: ParseError => ok = false }
+      }
+      i = if (end >= 0) end + "endbfrange".length else s.length
+    }
+    out.result()
+  }
+
+  /** Fonts visible to a page's content stream: the page's own
+    * /Resources /Font entries (falling back to inherited resources per
+    * §7.8.3 — resources REPLACE, they never merge). Only fonts that
+    * change text decoding are kept: Type0 (2-byte codes) and anything
+    * with a /ToUnicode CMap; plain unmapped fonts stay on the default
+    * Latin-1 path.
+    */
+  private def fontsOf(doc: PdfDoc, d: PDict,
+                      inherited: Map[String, FontInfo]): Map[String, FontInfo] =
+    doc.resolve(d.m.getOrElse("Resources", PNull)) match {
+      case rd: PDict =>
+        doc.resolve(rd.m.getOrElse("Font", PNull)) match {
+          case fd: PDict =>
+            fd.m.flatMap { case (name, fo) =>
+              doc.resolve(fo) match {
+                case f: PDict =>
+                  val twoByte =
+                    doc.resolve(f.m.getOrElse("Subtype", PNull)) == PName("Type0")
+                  val tu = doc.resolve(f.m.getOrElse("ToUnicode", PNull)) match {
+                    case st: PStream =>
+                      try {
+                        val m = parseCMap(decodeStream(doc, st))
+                        if (m.isEmpty) None else Some(m)
+                      } catch { case _: ParseError => None }
+                    case _ => None
+                  }
+                  if (!twoByte && tu.isEmpty) None
+                  else Some(name -> FontInfo(twoByte, tu))
+                case _ => None
+              }
+            }
+          case _ => inherited
+        }
+      case _ => inherited
+    }
 
   /** Walk the page tree in Kids order, inheriting MediaBox; returns the
     * decoded (de-flated) content bytes per page.
@@ -536,37 +641,74 @@ object Pdf {
       case _ => Array.emptyByteArray
     }
 
-    def walk(o: PObj, inherited: Option[(Double, Double)]): Unit = doc.resolve(o) match {
+    def walk(o: PObj, inherited: Option[(Double, Double)],
+             inhFonts: Map[String, FontInfo]): Unit = doc.resolve(o) match {
       case d: PDict =>
         val mb = mediaBox(d, inherited)
+        val fonts = fontsOf(doc, d, inhFonts)
         doc.resolve(d.m.getOrElse("Type", PNull)) match {
           case PName("Pages") =>
             doc.resolve(d.m.getOrElse("Kids", PNull)) match {
-              case PArr(kids) => kids.foreach(walk(_, mb))
+              case PArr(kids) => kids.foreach(walk(_, mb, fonts))
               case _          =>
             }
           case PName("Page") =>
             val (w, h) = mb.getOrElse((612.0, 792.0))
-            out += PdfPage(contentBytes(d.m.getOrElse("Contents", PNull)), w, h)
+            out += PdfPage(contentBytes(d.m.getOrElse("Contents", PNull)), w, h, fonts)
           case _ =>
         }
       case _ =>
     }
-    walk(pagesRoot, None)
+    walk(pagesRoot, None, Map.empty)
     out.result()
   }
 
   // ------------------------------------------------------- text extraction
+  /** Decode one show-string under a font's truth: 2-byte codes for
+    * Type0, mapped through /ToUnicode when present. Unmapped codes emit
+    * nothing — "no mapping" means the file carries no byte-level text
+    * truth for that glyph, and emitting raw CIDs would be garbage that
+    * poisons dedup hashes downstream.
+    */
+  private def decodeShown(fi: FontInfo, b: Array[Byte]): String = {
+    val step = if (fi.twoByte) 2 else 1
+    fi.toUnicode match {
+      case Some(m) =>
+        val sb = new java.lang.StringBuilder(b.length)
+        var i = 0
+        while (i + step <= b.length) {
+          val code =
+            if (step == 2) ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+            else b(i) & 0xff
+          m.get(code).foreach(sb.append)
+          i += step
+        }
+        sb.toString
+      case None =>
+        if (fi.twoByte) "" else new String(b, ISO_8859_1)
+    }
+  }
+
   /** Extract text from one decoded content stream per the frozen spec. */
-  def pageText(content: Array[Byte]): String = {
+  def pageText(content: Array[Byte]): String = pageText(content, Map.empty)
+
+  /** [[pageText]] with the page's font resources: `Tf` switches the
+    * active font, and show strings under a Type0 / ToUnicode font decode
+    * through [[decodeShown]] instead of the Latin-1 passthrough.
+    */
+  def pageText(content: Array[Byte], fonts: Map[String, FontInfo]): String = {
     val lex = new Lexer(new String(content, ISO_8859_1))
     val sb = new java.lang.StringBuilder
     val operands = scala.collection.mutable.ArrayBuffer.empty[PObj]
     var textShown = false
+    var curFont: Option[FontInfo] = None
 
     def strOf(o: PObj): String = o match {
-      case PStr(b) => new String(b, ISO_8859_1)
-      case _       => ""
+      case PStr(b) => curFont match {
+        case Some(fi) => decodeShown(fi, b)
+        case None     => new String(b, ISO_8859_1)
+      }
+      case _ => ""
     }
     def newlineIfShown(): Unit = if (textShown) sb.append('\n')
 
@@ -604,7 +746,12 @@ object Pdf {
               newlineIfShown()
               if (operands.nonEmpty) { sb.append(strOf(operands.last)); textShown = true }
             case "Td" | "TD" | "T*" | "Tm" => newlineIfShown(); textShown = false
-            case _ => // Tf, colors, graphics — ignored
+            case "Tf" =>
+              // operands are [/Name size]; the name selects the font
+              curFont = operands.headOption.collect {
+                case PName(n) => fonts.get(n)
+              }.flatten
+            case _ => // colors, graphics — ignored
           }
           operands.clear()
         }
@@ -630,8 +777,16 @@ object Pdf {
     val ps = pages(parseDoc(pdf))
     if (ps.isEmpty) Vector(pdf)
     else ps.grouped(MaxPagesPerChunk).map { grp =>
-      PdfWriter.buildRaw(grp.map(_.content), compress = false,
-        grp.map(p => (p.width, p.height)))
+      // font-mapped pages re-serialize WITH their Type0/ToUnicode font
+      // objects so a chunk stays a self-contained extraction unit (the
+      // chunk-bytes cache key still sees deterministic bytes); the plain
+      // path keeps the historical byte-exact layout
+      if (grp.forall(_.fonts.isEmpty))
+        PdfWriter.buildRaw(grp.map(_.content), compress = false,
+          grp.map(p => (p.width, p.height)))
+      else
+        PdfWriter.buildRawFonts(grp.map(_.content), compress = false,
+          grp.map(p => (p.width, p.height)), grp.map(_.fonts))
     }.toVector
   }
 
@@ -653,7 +808,7 @@ object Pdf {
     val sb = new java.lang.StringBuilder
     val metas = Vector.newBuilder[PageMeta]
     ps.zipWithIndex.foreach { case (p, i) =>
-      sb.append(pageText(p.content))
+      sb.append(pageText(p.content, p.fonts))
       metas += PageMeta(i + 1, p.width, p.height,
         math.rint(1.0 * 10000) / 10000)
     }

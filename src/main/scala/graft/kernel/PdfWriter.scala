@@ -198,6 +198,133 @@ object PdfWriter {
     out.toByteArray
   }
 
+  /** Serialize a ToUnicode map as an Adobe CMap (§9.10.3): sorted
+    * bfchar blocks of ≤100 entries, 4-hex-digit codes for 2-byte fonts.
+    */
+  def cmapBytes(twoByte: Boolean, m: Map[Int, String]): Array[Byte] = {
+    val sb = new StringBuilder
+    sb.append("/CIDInit /ProcSet findresource begin\n12 dict begin\nbegincmap\n")
+    sb.append("1 begincodespacerange\n")
+    sb.append(if (twoByte) "<0000> <FFFF>\n" else "<00> <FF>\n")
+    sb.append("endcodespacerange\n")
+    val w = if (twoByte) 4 else 2
+    m.toSeq.sortBy(_._1).grouped(100).foreach { grp =>
+      sb.append(s"${grp.size} beginbfchar\n")
+      grp.foreach { case (code, str) =>
+        val dst = str.getBytes(java.nio.charset.StandardCharsets.UTF_16BE)
+          .map(b => f"${b & 0xff}%02X").mkString
+        sb.append(s"<${("%0" + w + "X").format(code)}> <$dst>\n")
+      }
+      sb.append("endbfchar\n")
+    }
+    sb.append("endcmap\nCMapName currentdict /CMap defineresource pop\nend\nend")
+    sb.toString.getBytes(ISO_8859_1)
+  }
+
+  /** [[buildRaw]] with per-page font resources: each distinct
+    * [[Pdf.FontInfo]] becomes a font object (Type0 for 2-byte fonts)
+    * with its /ToUnicode CMap stream, and page dicts reference the SAME
+    * names the content streams use — the chunker's re-serialization path
+    * for font-mapped documents, keeping every chunk a self-contained
+    * extraction unit.
+    */
+  def buildRawFonts(contents: Seq[Array[Byte]], compress: Boolean,
+                    boxes: Seq[(Double, Double)],
+                    pageFonts: Seq[Map[String, Pdf.FontInfo]]): Array[Byte] = {
+    val n = contents.size
+    val out = new ByteArrayOutputStream(4096)
+    def w(s: String): Unit = out.write(s.getBytes(ISO_8859_1))
+    def fmtNum(d: Double): String =
+      if (d == d.floor && !d.isInfinite) d.toLong.toString else d.toString
+
+    val helv = 3 + 2 * n
+    // distinct FontInfos in first-appearance order → (fontObj, cmapObj)
+    val distinct = scala.collection.mutable.LinkedHashMap.empty[Pdf.FontInfo, (Int, Int)]
+    pageFonts.foreach(_.values.foreach { fi =>
+      if (!distinct.contains(fi)) {
+        val base = helv + 1 + 2 * distinct.size
+        distinct(fi) = (base, base + 1)
+      }
+    })
+    val total = helv + 1 + 2 * distinct.size
+    val offsets = new Array[Long](total)
+
+    w("%PDF-1.4\n%âãÏÓ\n")
+    offsets(1) = out.size(); w("1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+    offsets(2) = out.size()
+    val kids = (0 until n).map(i => s"${3 + 2 * i} 0 R").mkString(" ")
+    w(s"2 0 obj\n<< /Type /Pages /Kids [ $kids ] /Count $n >>\nendobj\n")
+    (0 until n).foreach { i =>
+      val pageObj = 3 + 2 * i
+      val contObj = pageObj + 1
+      val (mw, mh) = boxes(i)
+      val fonts = pageFonts(i)
+      val entries = fonts.toSeq.sortBy(_._1)
+        .map { case (name, fi) => s"/$name ${distinct(fi)._1} 0 R" } ++
+        (if (fonts.contains("F1")) Nil else Seq(s"/F1 $helv 0 R"))
+      offsets(pageObj) = out.size()
+      w(s"$pageObj 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [ 0 0 ${fmtNum(mw)} ${fmtNum(mh)} ] " +
+        s"/Resources << /Font << ${entries.mkString(" ")} >> >> /Contents $contObj 0 R >>\nendobj\n")
+      offsets(contObj) = out.size()
+      val raw = contents(i)
+      val body = if (compress) deflate(raw) else raw
+      val filter = if (compress) " /Filter /FlateDecode" else ""
+      w(s"$contObj 0 obj\n<< /Length ${body.length}$filter >>\nstream\n")
+      out.write(body)
+      w("\nendstream\nendobj\n")
+    }
+    offsets(helv) = out.size()
+    w(s"$helv 0 obj\n<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>\nendobj\n")
+    distinct.foreach { case (fi, (fontObj, cmapObj)) =>
+      val subtype = if (fi.twoByte) "Type0" else "Type1"
+      val tu = fi.toUnicode.map(_ => s" /ToUnicode $cmapObj 0 R").getOrElse("")
+      offsets(fontObj) = out.size()
+      w(s"$fontObj 0 obj\n<< /Type /Font /Subtype /$subtype /BaseFont /Graft$tu >>\nendobj\n")
+      fi.toUnicode.foreach { m =>
+        val body = cmapBytes(fi.twoByte, m)
+        offsets(cmapObj) = out.size()
+        w(s"$cmapObj 0 obj\n<< /Length ${body.length} >>\nstream\n")
+        out.write(body)
+        w("\nendstream\nendobj\n")
+      }
+    }
+    val xrefPos = out.size()
+    w(s"xref\n0 $total\n")
+    w("0000000000 65535 f \n")
+    (1 until total).foreach { i => w(f"${offsets(i)}%010d 00000 n \n") }
+    w(s"trailer\n<< /Size $total /Root 1 0 R >>\nstartxref\n$xrefPos\n%%EOF\n")
+    out.toByteArray
+  }
+
+  /** Type0/CID fixture: text shown as TWO-BYTE codes through a
+    * generated /ToUnicode CMap (codes assigned per distinct char, offset
+    * 0x0100 so no code equals its Unicode value) — the embedded-subset
+    * shape real crawl PDFs have, where Tj bytes are meaningless without
+    * the CMap.
+    */
+  def buildType0(pages: Seq[Seq[String]], compress: Boolean,
+                 mediaBox: (Double, Double) = (612.0, 792.0)): Array[Byte] = {
+    require(pages.nonEmpty, "pdf needs at least one page")
+    val chars = pages.flatten.flatten.distinct.sorted
+    val enc: Map[Char, Int] = chars.zipWithIndex.map { case (c, i) => c -> (0x0100 + i) }.toMap
+    val toUni: Map[Int, String] = enc.map { case (c, code) => code -> c.toString }
+    val fi = Pdf.FontInfo(twoByte = true, toUnicode = Some(toUni))
+    def hexShow(s: String): String =
+      "<" + s.map(c => f"${enc(c)}%04X").mkString + ">"
+    val contents = pages.map { lines =>
+      val sb = new StringBuilder
+      sb.append("BT\n/F1 12 Tf\n72 720 Td\n")
+      lines.zipWithIndex.foreach { case (l, i) =>
+        if (i > 0) sb.append("0 -14 Td\n")
+        sb.append(hexShow(l)).append(" Tj\n")
+      }
+      sb.append("ET")
+      sb.toString.getBytes(ISO_8859_1)
+    }
+    buildRawFonts(contents, compress, Seq.fill(pages.size)(mediaBox),
+      Seq.fill(pages.size)(Map("F1" -> fi)))
+  }
+
   /** PDF 1.5-style build: same page/text semantics as [[build]], but the
     * modern file layout — document dictionaries (catalog, page tree,
     * pages, font) packed into a compressed object stream (`/ObjStm`) and

@@ -299,6 +299,63 @@ class PdfKernelSpec extends AnyFunSuite {
     assert(e.getMessage.contains("non-empty user password"))
   }
 
+  // ------------------------------------------ Type0 / ToUnicode fonts
+
+  test("parseCMap: bfchar, incrementing bfrange, array bfrange") {
+    val cmap = """/CIDInit /ProcSet findresource begin
+      |begincmap
+      |2 beginbfchar
+      |<0041> <0061>
+      |<0042> <00620063>
+      |endbfchar
+      |1 beginbfrange
+      |<0100> <0103> <0041>
+      |endbfrange
+      |1 beginbfrange
+      |<0200> <0201> [ <20AC> <00580059> ]
+      |endbfrange
+      |endcmap end""".stripMargin.getBytes(ISO_8859_1)
+    val m = Pdf.parseCMap(cmap)
+    assert(m(0x41) === "a")
+    assert(m(0x42) === "bc") // multi-char destination
+    assert((0x100 to 0x103).map(m) === Seq("A", "B", "C", "D"))
+    assert(m(0x200) === "€" && m(0x201) === "XY")
+  }
+
+  test("type0/ToUnicode pdf: two-byte codes decode to the original text") {
+    val pages = Seq(Seq("CID hello", "wörld €2"), Seq("page zwei"))
+    val bytes = PdfWriter.buildType0(pages, compress = true)
+    // raw Tj bytes are CODES, not text: plaintext must be absent
+    assert(!new String(bytes, ISO_8859_1).contains("CID hello"))
+    val ps = Pdf.pages(Pdf.parseDoc(bytes))
+    assert(ps.length === 2)
+    assert(Pdf.pageText(ps(0).content, ps(0).fonts) === "CID hello\nwörld €2\n")
+    assert(Pdf.pageText(ps(1).content, ps(1).fonts) === "page zwei\n")
+    // without the font map the codes are meaningless — NOT the text
+    assert(Pdf.pageText(ps(0).content) !== "CID hello\nwörld €2\n")
+  }
+
+  test("type0 pdf: chunker preserves the font map across re-serialization") {
+    val pages = (1 to 12).map(i => Seq(s"cid page $i"))
+    val bytes = PdfWriter.buildType0(pages, compress = true)
+    val chunks = Pdf.chunkBytes(bytes)
+    assert(chunks.length === 2)
+    val viaChunks = chunks.flatMap(c =>
+      Pdf.extractChunk(c).text.split("\n").filter(_.nonEmpty))
+    val direct = Pdf.extractDocChunks(bytes).flatMap(_.text.split("\n").filter(_.nonEmpty))
+    assert(direct === (1 to 12).map(i => s"cid page $i").toVector)
+    assert(viaChunks === direct, "chunk re-serialization lost the ToUnicode map")
+  }
+
+  test("type0 without ToUnicode emits nothing (honest absence, no CID garbage)") {
+    val fi = Pdf.FontInfo(twoByte = true, toUnicode = None)
+    val content = "BT /F1 12 Tf 72 720 Td <01000101> Tj ET".getBytes(ISO_8859_1)
+    assert(Pdf.pageText(content, Map("F1" -> fi)) === "\n")
+    // and unmapped codes under a partial map are dropped, mapped ones kept
+    val part = Pdf.FontInfo(twoByte = true, toUnicode = Some(Map(0x100 -> "Q")))
+    assert(Pdf.pageText(content, Map("F1" -> part)) === "Q\n")
+  }
+
   test("encryption round-trip property: assorted page counts, both ciphers") {
     for (n <- Seq(1, 3, 11); aes <- Seq(false, true)) {
       val pages = (1 to n).map(i => Seq(s"pg $i alpha", s"pg $i beta"))
