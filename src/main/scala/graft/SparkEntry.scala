@@ -790,6 +790,23 @@ object SparkEntry {
     // the IVF index AT REST: corpus written partitionBy(cell) so the
     // probe's cell filter prunes partitions — OpsSpec asserts the scan
     // touches exactly nprobe of nlist files; equals the in-memory twin
+    "pipe54_pq_ann" -> ((s, dir) => {
+      import s.implicits._
+      // product quantization (Jégou TPAMI'11): the corpus compresses to
+      // 8 code bytes per 64-float vector; ADC scans the codes and an
+      // exact refine pass re-ranks the survivors. Recall vs brute force
+      // is asserted in-query so the entry fails loudly on drift.
+      val emb = t(s, dir, "embeddings")
+      val k = 10
+      val got = graft.ops.Similarity.pqTopK(emb, "vec_id", "embedding",
+        queryId = 7L, k = k).cache()
+      val exact = graft.ops.Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        queryId = 7L, k = k)
+      val hits = got.select(col("id")).join(
+        exact.select(col("vec_id").as("id")), Seq("id"), "left_semi").count()
+      require(hits >= (k * 7) / 10, s"PQ recall@$k = $hits/$k below 0.7")
+      got
+    }),
     "pipe19_ivf_index" -> ((s, dir) => {
       import s.implicits._
       val tmp = java.nio.file.Files.createTempDirectory("graft-pipe19").toString

@@ -386,6 +386,207 @@ object Similarity extends Serializable {
       .limit(k)
   }
 
+  // ------------------------------------------ product quantization (PQ)
+  /** Per-subspace PQ codebooks (Jégou et al., "Product Quantization for
+    * Nearest Neighbor Search", TPAMI 2011): the vector splits into `m`
+    * contiguous subvectors of dim/m and each subspace gets its own
+    * `ksub`-centroid k-means ([[trainCentroids]] — driver-side over the
+    * deterministic sample, so codebooks are bit-stable run to run).
+    * Result layout: `books(sub)(code)(dim/m)`.
+    */
+  private[graft] def trainPq(sample: Array[Array[Double]], m: Int, ksub: Int,
+                             iters: Int): Array[Array[Array[Double]]] = {
+    require(sample.nonEmpty, "empty training sample")
+    val dim = sample.head.length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
+    require(ksub >= 2 && ksub <= 256, s"ksub=$ksub outside [2,256] (one code byte)")
+    val dsub = dim / m
+    Array.tabulate(m) { sub =>
+      val slices = sample.map(v =>
+        java.util.Arrays.copyOfRange(v, sub * dsub, (sub + 1) * dsub))
+      trainCentroids(slices, ksub, iters)
+    }
+  }
+
+  /** Encode one vector as `m` code bytes — 8–16 bytes standing in for a
+    * multi-KB float vector, the memory shape that lets a 10^12-vector
+    * corpus's index live in RAM.
+    */
+  private[graft] def pqEncodeOne(v: Array[Double],
+                                 books: Array[Array[Array[Double]]]): Array[Byte] = {
+    val m = books.length
+    val dsub = v.length / m
+    val code = new Array[Byte](m)
+    var sub = 0
+    while (sub < m) {
+      val slice = java.util.Arrays.copyOfRange(v, sub * dsub, (sub + 1) * dsub)
+      code(sub) = nearestCell(slice, books(sub)).toByte
+      sub += 1
+    }
+    code
+  }
+
+  /** Asymmetric-distance tables for a query: per subspace, the dot of
+    * the query slice with every codeword (`dots`) and every codeword's
+    * squared norm (`norms2`). An ADC scan is then `m` table lookups per
+    * corpus vector: cos(q, v̂) = Σ dots / (|q| · sqrt(Σ norms2)).
+    */
+  private[graft] def adcTables(qv: Array[Double],
+                               books: Array[Array[Array[Double]]])
+      : (Array[Array[Double]], Array[Array[Double]]) = {
+    val m = books.length
+    val dsub = qv.length / m
+    val dots = Array.ofDim[Array[Double]](m)
+    val norms2 = Array.ofDim[Array[Double]](m)
+    var sub = 0
+    while (sub < m) {
+      val ks = books(sub).length
+      dots(sub) = new Array[Double](ks)
+      norms2(sub) = new Array[Double](ks)
+      var c = 0
+      while (c < ks) {
+        val w = books(sub)(c)
+        var d = 0.0; var n2 = 0.0; var j = 0
+        while (j < dsub) {
+          d += qv(sub * dsub + j) * w(j)
+          n2 += w(j) * w(j)
+          j += 1
+        }
+        dots(sub)(c) = d; norms2(sub)(c) = n2
+        c += 1
+      }
+      sub += 1
+    }
+    (dots, norms2)
+  }
+
+  private[graft] def adcCosine(code: Array[Byte], qNorm: Double,
+                               dots: Array[Array[Double]],
+                               norms2: Array[Array[Double]]): Double = {
+    var d = 0.0; var n2 = 0.0; var sub = 0
+    while (sub < code.length) {
+      val c = code(sub) & 0xff
+      d += dots(sub)(c); n2 += norms2(sub)(c)
+      sub += 1
+    }
+    val denom = qNorm * math.sqrt(n2)
+    if (denom == 0.0) 0.0 else d / denom
+  }
+
+  /** PQ-compressed corpus: `(id, code binary)` + broadcast codebooks —
+    * ONE stateless full-corpus pass, no shuffle. The sample/training
+    * discipline is [[trainBroadcast]]'s, so codes are deterministic at
+    * any parallelism.
+    */
+  def pqEncode(df: DataFrame, idCol: String, vecCol: String,
+               m: Int = 8, ksub: Int = 16, iters: Int = 5,
+               sampleN: Int = 2048, seed: Long = 42L)
+      : (DataFrame, org.apache.spark.broadcast.Broadcast[Array[Array[Array[Double]]]]) = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val typed = df
+      .select(col(idCol).cast("long"), transform(col(vecCol), x => x.cast("double")))
+      .as[(Long, Array[Double])]
+    val sample = typed.toDF("id", "vec")
+      .orderBy(xxhash64(col("id"), lit(seed)), col("id")).limit(sampleN)
+      .as[(Long, Array[Double])].collect()
+    require(sample.nonEmpty, "empty input")
+    val books = trainPq(sample.map(_._2), m, ksub, iters)
+    val bc = spark.sparkContext.broadcast(books)
+    val codes = typed.mapPartitions { rows =>
+      val b = bc.value
+      rows.map { case (id, v) => (id, pqEncodeOne(v, b)) }
+    }.toDF("id", "code")
+    (codes, bc)
+  }
+
+  /** PQ top-k with exact refinement: ADC-scan the 8–16-byte codes for
+    * `refine × k` candidates (table lookups only — at scale this pass
+    * touches code bytes, never float vectors), then re-rank JUST those
+    * candidates against their true vectors for exact cos6 scores. The
+    * candidate cut is the only approximation; recall is pinned in
+    * PqSpec against [[bruteForceTopK]].
+    */
+  def pqTopK(df: DataFrame, idCol: String, vecCol: String,
+             queryId: Long, k: Int,
+             m: Int = 8, ksub: Int = 16, iters: Int = 5, refine: Int = 4,
+             sampleN: Int = 2048, seed: Long = 42L): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val (codes, bc) = pqEncode(df, idCol, vecCol, m, ksub, iters, sampleN, seed)
+    val typed = df
+      .select(col(idCol).cast("long").as("id"),
+        transform(col(vecCol), x => x.cast("double")).as("vec"))
+    val qv = typed.where(col("id") === queryId)
+      .as[(Long, Array[Double])].head()._2
+    val (dots, norms2) = adcTables(qv, bc.value)
+    var qn = 0.0; qv.foreach(x => qn += x * x)
+    val qNorm = math.sqrt(qn)
+    val bcT = spark.sparkContext.broadcast((dots, norms2))
+    val approx = codes.as[(Long, Array[Byte])].mapPartitions { rows =>
+      val (d, n2) = bcT.value
+      rows.map { case (id, code) => (id, adcCosine(code, qNorm, d, n2)) }
+    }.toDF("id", "approx")
+      .orderBy(desc("approx"), asc("id"))
+      .limit(refine * k)
+    approx.join(typed, Seq("id"))
+      .crossJoin(broadcast(typed.where(col("id") === queryId).select(col("vec").as("qv"))))
+      .select(col("id"), round(cosine(col("vec"), col("qv")), 6).as("sim"))
+      .orderBy(desc("sim"), asc("id"))
+      .limit(k)
+  }
+
+  /** PQ index AT REST: `{dir}/codes` = (id, code) parquet — m bytes per
+    * vector, the artifact small enough to hold a trillion-vector corpus
+    * — and `{dir}/books` = flattened codebooks. Probes never read raw
+    * vectors.
+    */
+  def pqBuildIndex(df: DataFrame, idCol: String, vecCol: String, dir: String,
+                   m: Int = 8, ksub: Int = 16, iters: Int = 5,
+                   sampleN: Int = 2048, seed: Long = 42L): Unit = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val (codes, bc) = pqEncode(df, idCol, vecCol, m, ksub, iters, sampleN, seed)
+    codes.write.mode("overwrite").parquet(s"$dir/codes")
+    val books = bc.value
+    books.zipWithIndex.flatMap { case (sub, s2) =>
+      sub.zipWithIndex.map { case (w, c) => (s2, c, w.toSeq) }
+    }.toSeq.toDF("sub", "code", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/books")
+  }
+
+  /** Probe a [[pqBuildIndex]] index: ADC scan of the code table only —
+    * approximate scores (no raw vectors exist in the index to refine
+    * against; PqSpec pins recall of the true top-1).
+    */
+  def pqProbeIndex(spark: SparkSession, dir: String, queryVec: Array[Double],
+                   k: Int): DataFrame = {
+    import spark.implicits._
+    val books: Array[Array[Array[Double]]] = {
+      val rows = spark.read.parquet(s"$dir/books")
+        .select(col("sub"), col("code"), col("centroid"))
+        .as[(Int, Int, Seq[Double])].collect()
+      val m = rows.map(_._1).max + 1
+      Array.tabulate(m) { s2 =>
+        val subRows = rows.filter(_._1 == s2).sortBy(_._2)
+        subRows.map(_._3.toArray)
+      }
+    }
+    val (dots, norms2) = adcTables(queryVec, books)
+    var qn = 0.0; queryVec.foreach(x => qn += x * x)
+    val qNorm = math.sqrt(qn)
+    val bcT = spark.sparkContext.broadcast((dots, norms2))
+    spark.read.parquet(s"$dir/codes").as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        val (d, n2) = bcT.value
+        rows.map { case (id, code) =>
+          (id, math.rint(adcCosine(code, qNorm, d, n2) * 1e6) / 1e6)
+        }
+      }.toDF("id", "approx_sim")
+      .orderBy(desc("approx_sim"), asc("id"))
+      .limit(k)
+  }
+
   /** ANN top-k via L independent hyperplane-LSH tables: a candidate is any
     * row sharing the query's bucket in ≥1 table; candidates are scored
     * exactly and cut to k. Collision probability per table for angle θ is
