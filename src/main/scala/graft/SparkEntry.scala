@@ -233,6 +233,38 @@ object SparkEntry {
         .selectExpr("doc_id", "sha2(strip_invisible(wire), 256) AS clean_hash",
           "length(wire) - length(strip_invisible(wire)) AS removed_chars")
     }),
+    // explicit GROUPING SETS with grouping_id — the reporting shape
+    // between q16's rollup and q37's cube: exactly the named subtotal
+    // combinations, nothing else
+    "q73_grouping_sets" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+        .select(col("event_type"), (col("user_id") % 4).as("bucket"), col("value"))
+      e.groupingSets(
+          Seq(Seq(col("event_type"), col("bucket")), Seq(col("event_type")), Seq()),
+          col("event_type"), col("bucket"))
+        .agg(grouping_id().as("gid"), count(lit(1)).as("cnt"),
+          round(sum(col("value")), 2).as("value_sum"))
+    }),
+    // frame-bounded window aggregation: per-user trailing-4-row moving
+    // sum/avg in event order — the sessionless activity-smoothing shape
+    "q74_moving_agg" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-3, Window.currentRow)
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          round(sum(col("value")).over(w), 2).as("mov_sum"),
+          round(avg(col("value")).over(w), 4).as("mov_avg"))
+    }),
+    // ordered string aggregation: deterministic comma-joined distinct
+    // event types per user (listagg/string_agg semantics)
+    "q75_string_agg" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(array_join(array_sort(collect_set(col("event_type"))), ",").as("types"),
+          countDistinct(col("event_type")).as("n_types"))
+    }),
     // ------------------------------------------- C6: TTL predicate
     "q10_ttl_filter" -> ((s, dir) => {
       t(s, dir, "events")
@@ -1841,6 +1873,18 @@ object SparkEntry {
         SELECT doc_id, lang, row_number() OVER (
           PARTITION BY lang ORDER BY sha256(CAST(doc_id AS VARCHAR)), doc_id) AS rn
         FROM documents) WHERE rn <= 30"""),
+    "q73_grouping_sets" -> ("SELECT event_type, user_id % 4 AS bucket, " +
+      "GROUPING(event_type, user_id % 4) AS gid, count(*) AS cnt, " +
+      "round(sum(value), 2) AS value_sum FROM events " +
+      "GROUP BY GROUPING SETS ((event_type, user_id % 4), (event_type), ())"),
+    "q74_moving_agg" -> ("SELECT user_id, event_id, " +
+      "round(sum(value) OVER w, 2) AS mov_sum, " +
+      "round(avg(value) OVER w, 4) AS mov_avg FROM events " +
+      "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id " +
+      "ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)"),
+    "q75_string_agg" -> ("SELECT user_id, " +
+      "string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS types, " +
+      "count(DISTINCT event_type) AS n_types FROM events GROUP BY user_id"),
     "q72_strip_invisible" -> ("""WITH w AS (SELECT doc_id,
         (CASE WHEN doc_id % 3 = 0 THEN 'x' || chr(8203) || 'y' || chr(8238) || 'z ' ELSE '' END)
         || text
