@@ -1521,6 +1521,37 @@ object SparkEntry {
     // §2-I + B5: streaming exact dedup with keyed custom state
     // (flatMapGroupsWithState) — the memoization cache as a continuous
     // operator; fresh dirs per invocation, deterministic survivors
+    // §2-I: streaming NEAR-dup dedup — two AvailableNow drains; the
+    // second wave's near-dups of wave-1 documents are dropped via the
+    // at-rest signature index the first drain grew (no state-store key
+    // can express a MinHash bucket join; foreachBatch + index is the
+    // idiomatic shape). Counts are gate-checked in-query.
+    "pipe55_streaming_neardup" -> ((s, _) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-pipe55").toString
+      val pagesDir = s"$tmp/pages"
+      val ts = java.sql.Timestamp.valueOf("2024-01-05 00:00:00")
+      def doc(url: String, words: Seq[String]) =
+        graft.pipeline.Page(url, ts, Array[Byte](1), words.mkString(" "), "en")
+      def vocab(tag: String) = (0 until 24).map(w => s"w${tag}_$w")
+      import s.implicits._
+      val wave1 = (0 until 30).map(i => doc(s"https://sn.example/d$i", vocab(s"d$i"))) ++
+        (0 until 6).map(i => doc(s"https://sn.example/d$i-copy", vocab(s"d$i").dropRight(1)))
+      Checkpoint.writePages(s.createDataset(wave1).toDF(), pagesDir)
+      val n1 = graft.streaming.StreamingRun.nearDupStreamAvailableNow(
+        s, pagesDir, s"$tmp/kept", s"$tmp/ckpt", s"$tmp/idx",
+        threshold = 0.7, maxFilesPerBatch = 32)
+      require(n1 == 30, s"wave 1 kept $n1 of 30 expected")
+      val wave2 = (0 until 8).map(i => doc(s"https://sn.example/d$i-late", vocab(s"d$i").drop(1))) ++
+        (0 until 5).map(i => doc(s"https://sn.example/e$i", vocab(s"e$i")))
+      Checkpoint.withPartitionCols(s.createDataset(wave2).toDF())
+        .repartition(2)
+        .write.mode("append").partitionBy("ts_day", "url_bucket").parquet(pagesDir)
+      val n2 = graft.streaming.StreamingRun.nearDupStreamAvailableNow(
+        s, pagesDir, s"$tmp/kept", s"$tmp/ckpt", s"$tmp/idx",
+        threshold = 0.7, maxFilesPerBatch = 32)
+      require(n2 == 5, s"wave 2 kept $n2: index must drop all 8 cross-drain near-dups")
+      s.read.parquet(s"$tmp/kept").select(col("url"), col("doc_key"), col("batch_id"))
+    }),
     "pipe18_streaming_dedup" -> ((s, _) => {
       val tmp = java.nio.file.Files.createTempDirectory("graft-pipe18").toString
       val pagesDir = s"$tmp/pages"

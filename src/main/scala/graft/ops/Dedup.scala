@@ -374,6 +374,43 @@ object Dedup {
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
   }
 
+  /** GROW a signature index by one batch — the streaming/incremental
+    * writer: `{dir}/sigs` gains this batch's rows under a
+    * `batch_id=N` partition via DYNAMIC overwrite, so a replayed batch
+    * rewrites exactly its own partition (idempotent under at-least-once
+    * delivery — the property [[graft.streaming.StreamingRun]]'s
+    * near-dup stream leans on). The first append also pins the meta row;
+    * later appends REQUIRE matching parameters instead of silently
+    * band-mismatching the existing signatures.
+    */
+  def appendMinhashSigs(df: DataFrame, idCol: String, textCol: String,
+                        dir: String, batchId: Long,
+                        shingleK: Int = 3, numHashes: Int = 32,
+                        numBands: Int = 8): Unit = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val metaPath = new org.apache.hadoop.fs.Path(s"$dir/meta")
+    if (fs.exists(metaPath)) {
+      val meta = spark.read.parquet(s"$dir/meta")
+        .select(col("shingle_k"), col("num_hashes"), col("num_bands")).head()
+      require(meta.getInt(0) == shingleK && meta.getInt(1) == numHashes &&
+        meta.getInt(2) == numBands,
+        s"index $dir pins (k=${meta.getInt(0)}, hashes=${meta.getInt(1)}, " +
+          s"bands=${meta.getInt(2)}); refusing mismatched append")
+    } else {
+      Seq((shingleK, numHashes, numBands))
+        .toDF("shingle_k", "num_hashes", "num_bands")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+    }
+    sigRows(df, idCol, textCol, shingleK, numHashes)
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite").partitionBy("batch_id")
+      .option("partitionOverwriteMode", "dynamic")
+      .parquet(s"$dir/sigs")
+  }
+
   /** Exact-verified near-dup pairs of a NEW batch against a
     * [[writeMinhashIndex]] index: `(new_id, ref_id, jac)`. Signature
     * parameters come from the index's own meta row — a probe cannot

@@ -213,6 +213,77 @@ object StreamingRun {
     * directory instead (the same idempotent-sink shape as
     * [[runAvailableNow]]). Returns the number of novel rows committed.
     */
+  /** Streaming NEAR-dup corpus dedup — the continuous rendition of the
+    * incremental cross-corpus MinHash dedup: every micro-batch
+    * (a) self-dedups ([[graft.ops.Dedup.nearDupFilter]] — in-batch
+    * near-dup clusters keep one canonical doc), (b) drops documents
+    * near-duplicating the AT-REST signature index under `indexDir`
+    * ([[graft.ops.Dedup.dedupAgainstIndex]] — earlier batches' text is
+    * never re-read, only their 8-byte-per-hash signatures), (c) commits
+    * survivors `batch_id`-partitioned with dynamic overwrite (replay
+    * rewrites its own partition — exactly-once table state), and
+    * (d) appends the SURVIVORS' signatures
+    * ([[graft.ops.Dedup.appendMinhashSigs]], batch_id-partitioned, also
+    * replay-idempotent) so the index grows batch over batch.
+    *
+    * The exact-dedup stream ([[dedupStreamAvailableNow]]) keys custom
+    * state by content hash inside the state store; near-dup can't —
+    * a MinHash match needs bucket joins across the whole corpus, which
+    * is a shuffle, not a keyed lookup. foreachBatch + an at-rest index
+    * IS the idiomatic Structured-Streaming shape for that: the stream
+    * provides incremental file discovery and replay bookkeeping, the
+    * batch engine provides the joins, and both sinks are idempotent.
+    *
+    * Returns the number of surviving documents committed by this drain.
+    */
+  def nearDupStreamAvailableNow(spark: SparkSession, pagesDir: String,
+                                outDir: String, checkpointDir: String,
+                                indexDir: String,
+                                threshold: Double = 0.8,
+                                shingleK: Int = 3, numHashes: Int = 32,
+                                numBands: Int = 8,
+                                maxFilesPerBatch: Int = 1000): Long = {
+    val schema = spark.read.parquet(pagesDir).schema
+    val stream = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerBatch)
+      .parquet(pagesDir)
+    var emitted = 0L
+    val q = stream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // deterministic numeric doc key (cluster canonicals are min-key)
+        val docs = batch.select(xxhash64(col("url")).as("doc_key"),
+          col("url"), col("text"))
+        val self = graft.ops.Dedup.nearDupFilter(docs, "doc_key", "text",
+          shingleK, numHashes, numBands, threshold)
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          spark.sparkContext.hadoopConfiguration)
+        val sigsPath = new org.apache.hadoop.fs.Path(s"$indexDir/sigs")
+        val hasIndex = fs.exists(sigsPath) && fs.listStatus(sigsPath)
+          .exists(st => st.isDirectory || st.getPath.getName.endsWith(".parquet"))
+        val survivors =
+          (if (hasIndex)
+            graft.ops.Dedup.dedupAgainstIndex(self, "doc_key", "text",
+              indexDir, threshold)
+          else self).persist()
+        val n = survivors.count()
+        survivors.withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite").partitionBy("batch_id")
+          .option("partitionOverwriteMode", "dynamic")
+          .parquet(outDir)
+        graft.ops.Dedup.appendMinhashSigs(survivors, "doc_key", "text",
+          indexDir, batchId, shingleK, numHashes, numBands)
+        survivors.unpersist()
+        emitted += n
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    emitted
+  }
+
   private def commitNovel(spark: SparkSession, novel: DataFrame,
                           outDir: String, checkpointDir: String): Long = {
     var emitted = 0L

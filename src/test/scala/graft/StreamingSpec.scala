@@ -199,4 +199,49 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
       .toJSON.collect().sorted.toSeq
     assert(s === b)
   }
+
+  test("streaming near-dup dedup: in-batch, cross-drain via the growing index, replay-idempotent") {
+    val tmp = Files.createTempDirectory("graft-snear").toString
+    val (pagesDir, outDir, ckptDir, idxDir) =
+      (s"$tmp/pages", s"$tmp/kept", s"$tmp/ckpt", s"$tmp/idx")
+    val ts = java.sql.Timestamp.valueOf("2024-01-05 00:00:00")
+    def doc(url: String, words: Seq[String]) =
+      graft.pipeline.Page(url, ts, Array[Byte](1), words.mkString(" "), "en")
+    // disjoint per-doc vocab → cross-doc Jaccard 0; near-dup = drop 1 word
+    def vocab(tag: String) = (0 until 30).map(w => s"w${tag}_$w")
+
+    val wave1 = (0 until 10).map(i => doc(s"https://s.example/d$i", vocab(s"d$i"))) :+
+      doc("https://s.example/d0-copy", vocab("d0").dropRight(1))
+    Checkpoint.writePages(spark.createDataset(wave1).toDF(), pagesDir)
+    val n1 = StreamingRun.nearDupStreamAvailableNow(spark, pagesDir, outDir,
+      ckptDir, idxDir, threshold = 0.7, maxFilesPerBatch = 4)
+    assert(n1 === 10L, "wave 1: in-batch near-dup must collapse d0/d0-copy")
+    assert(spark.read.parquet(outDir).count() === 10L)
+
+    // wave 2: a near-dup of wave-1's d1 (caught only via the INDEX),
+    // two fresh docs, and an in-wave near-dup of the first fresh doc
+    val wave2 = Seq(
+      doc("https://s.example/d1-late", vocab("d1").dropRight(1)),
+      doc("https://s.example/e0", vocab("e0")),
+      doc("https://s.example/e1", vocab("e1")),
+      doc("https://s.example/e0-copy", vocab("e0").dropRight(1)))
+    Checkpoint.withPartitionCols(spark.createDataset(wave2).toDF())
+      .repartition(2)
+      .write.mode("append").partitionBy("ts_day", "url_bucket").parquet(pagesDir)
+    val n2 = StreamingRun.nearDupStreamAvailableNow(spark, pagesDir, outDir,
+      ckptDir, idxDir, threshold = 0.7, maxFilesPerBatch = 4)
+    assert(n2 === 2L, s"wave 2 must keep exactly {e-family canonical, e1}, got $n2")
+    val kept = spark.read.parquet(outDir).select($"url").as[String].collect().toSet
+    assert(kept.size === 12)
+    assert(!kept.contains("https://s.example/d1-late"),
+      "cross-drain near-dup must be dropped via the at-rest index")
+    assert(kept.contains("https://s.example/e1"))
+    assert(kept.count(u => u.contains("/e0")) === 1, "e0 family keeps exactly one")
+
+    // nothing new → zero emitted, output unchanged (exactly-once)
+    val n3 = StreamingRun.nearDupStreamAvailableNow(spark, pagesDir, outDir,
+      ckptDir, idxDir, threshold = 0.7, maxFilesPerBatch = 4)
+    assert(n3 === 0L)
+    assert(spark.read.parquet(outDir).count() === 12L)
+  }
 }
