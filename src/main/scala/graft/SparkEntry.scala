@@ -1318,6 +1318,29 @@ object SparkEntry {
       graft.ops.Multimodal.featureStats(
         graft.ops.Multimodal.extractFeatures(media).toDF())
     }),
+    "pipe56_zone_map" -> ((s, dir) => {
+      import s.implicits._
+      // file-level min/max data skipping (the Iceberg manifest-stats
+      // mechanism on plain parquet): clustered write + footer-harvested
+      // sidecar; a range probe must touch only intersecting files and
+      // return exactly the filter's rows
+      val tmp = java.nio.file.Files.createTempDirectory("graft-pipe56").toString
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("source"), col("text"))
+      graft.pipeline.ZoneMap.write(docs, s"$tmp/tbl", "doc_id", files = 16)
+      val ids = docs.agg(min(col("doc_id")), max(col("doc_id"))).head()
+      val (lo0, hi0) = (ids.getLong(0), ids.getLong(1))
+      val lo = lo0 + (hi0 - lo0) / 4
+      val hi = lo0 + (hi0 - lo0) / 2
+      val probe = graft.pipeline.ZoneMap.readRange(s, s"$tmp/tbl", "doc_id", lo, hi)
+      val total = s.read.parquet(s"$tmp/tbl").inputFiles.length
+      require(probe.inputFiles.length < total,
+        s"zone map skipped nothing: ${probe.inputFiles.length}/$total files")
+      val want = docs.where(col("doc_id") >= lo && col("doc_id") <= hi).count()
+      val gotN = probe.count()
+      require(gotN == want, s"pruned read returned $gotN rows, filter says $want")
+      probe.groupBy(col("source")).agg(count(lit(1)).as("docs"),
+        sum(length(col("text"))).as("chars"))
+    }),
     "pipe53_cid_font_pdf" -> ((s, _) => {
       import s.implicits._
       // Type0/CID-font PDFs (embedded-subset fonts): Tj bytes are 2-byte
