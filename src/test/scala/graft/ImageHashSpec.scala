@@ -114,6 +114,15 @@ class ImageHashSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("hammingPairs64 plan: equi-join shuffle shape, never a similarity/cartesian join") {
+    import spark.implicits._
+    val df = (0 until 50).map(i => (i.toLong, i.toLong * 0x9E3779B97F4A7C15L)).toDF("id", "h")
+    val plan = Dedup.hammingPairs64(df, "id", "h", 8)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"pair join must be (block_idx, block_val) equi-join shaped:\n$plan")
+  }
+
   test("hammingClusters: identical hashes collapse, transitive chains join, singletons survive") {
     import spark.implicits._
     // ids 1,2,3 share hash A; 4 is 2 bits from A; 5 is 2 bits from 4

@@ -82,6 +82,15 @@ class PqSpec extends AnyFunSuite with SparkSuite {
     assert(got.map(_._1).contains(qid), "query itself missing from its own top-k")
   }
 
+  test("pqEncode plan: one stateless pass, no shuffle") {
+    import spark.implicits._
+    val df = corpus(4, 8, 9).toDF("vec_id", "embedding")
+    val (codes, _) = Similarity.pqEncode(df, "vec_id", "embedding", m = 8, ksub = 16)
+    val plan = codes.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"encoding must be a map-only pass (broadcast codebooks):\n$plan")
+  }
+
   test("pq index at rest: probe finds the planted duplicate, recall holds") {
     import spark.implicits._
     val data = corpus(8, 10, 4)
