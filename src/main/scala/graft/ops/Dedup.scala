@@ -404,6 +404,15 @@ object Dedup {
         .toDF("shingle_k", "num_hashes", "num_bands")
         .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
     }
+    // a writeMinhashIndex layout has data files at the sigs root; adding
+    // batch_id=N dirs next to them breaks partition discovery — refuse
+    // loudly instead of corrupting the index
+    val sigsPath = new org.apache.hadoop.fs.Path(s"$dir/sigs")
+    if (fs.exists(sigsPath))
+      require(!fs.listStatus(sigsPath).exists(st =>
+        st.isFile && st.getPath.getName.endsWith(".parquet")),
+        s"$dir/sigs is an unpartitioned writeMinhashIndex layout; " +
+          "appendMinhashSigs needs a batch-partitioned index dir")
     sigRows(df, idCol, textCol, shingleK, numHashes)
       .withColumn("batch_id", lit(batchId))
       .write.mode("overwrite").partitionBy("batch_id")

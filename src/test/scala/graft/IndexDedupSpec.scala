@@ -99,4 +99,27 @@ class IndexDedupSpec extends AnyFunSuite with SparkSuite {
     val empty = Seq.empty[(Long, String)].toDF("id", "text")
     assert(Dedup.minhashPairsAgainstIndex(empty, "id", "text", dir).count() === 0)
   }
+
+  test("appendMinhashSigs: refuses an unpartitioned index, refuses mismatched params") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mh-idx6").toString
+    Dedup.writeMinhashIndex(refDocs.toDF("id", "text"), "id", "text", dir)
+    val more = Seq((500L, "fresh doc words entirely new")).toDF("id", "text")
+    val e1 = intercept[IllegalArgumentException] {
+      Dedup.appendMinhashSigs(more, "id", "text", dir, batchId = 0L)
+    }
+    assert(e1.getMessage.contains("unpartitioned"), e1.getMessage)
+
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-mh-idx7").toString
+    Dedup.appendMinhashSigs(more, "id", "text", dir2, batchId = 0L, shingleK = 3)
+    val e2 = intercept[IllegalArgumentException] {
+      Dedup.appendMinhashSigs(more, "id", "text", dir2, batchId = 1L, shingleK = 5)
+    }
+    assert(e2.getMessage.contains("pins"), e2.getMessage)
+    // matched params append fine and the grown index probes correctly
+    Dedup.appendMinhashSigs(
+      Seq((501L, refDocs.head._2)).toDF("id", "text"), "id", "text", dir2, batchId = 1L)
+    val probe = Dedup.dedupAgainstIndex(
+      Seq((900L, refDocs.head._2)).toDF("id", "text"), "id", "text", dir2, threshold = 0.7)
+    assert(probe.count() === 0, "copy of an indexed doc must be dropped")
+  }
 }
