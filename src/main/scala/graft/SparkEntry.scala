@@ -1318,6 +1318,34 @@ object SparkEntry {
       graft.ops.Multimodal.featureStats(
         graft.ops.Multimodal.extractFeatures(media).toDF())
     }),
+    "pipe57_warc_cdx" -> ((s, _) => {
+      import s.implicits._
+      // CDX random-access index over WET archives: one row per record
+      // with (surt, file, offset, length); a ranged read of exactly that
+      // span must return the byte-identical record — the lookup path
+      // that makes a 100 TB archive pile randomly addressable
+      val tmp = java.nio.file.Files.createTempDirectory("graft-pipe57").toString
+      val pagesDf = fixturePages(s)
+      val docs = Extraction.extractAll(pagesDf)
+        .join(pagesDf.select(col("url"), col("warc_ts")), Seq("url"))
+        .select(col("url"), col("warc_ts"), col("extracted_text")).repartition(3)
+      val nDocs = docs.count()
+      graft.sources.Warc.writeConversions(docs, tmp)
+      val cdx = graft.sources.Warc.buildCdx(s, s"$tmp/*.warc.gz").cache()
+      require(cdx.count() == nDocs, s"cdx rows ${cdx.count()} != $nDocs docs")
+      // spot-check ranged reads on a deterministic sample
+      val sample = cdx.orderBy(col("surt")).limit(7).collect()
+      val wantText = docs.select(col("url"), col("extracted_text"))
+        .as[(String, String)].collect().toMap
+      sample.foreach { r =>
+        val rec = graft.sources.Warc.readRecordAt(s, r.getAs[String]("file"),
+          r.getAs[Long]("offset"), r.getAs[Long]("length"))
+        require(new String(rec.body, "UTF-8") == wantText(rec.url),
+          s"ranged read of ${rec.url} diverged from the written text")
+      }
+      cdx.select(col("surt"), col("url"), col("warc_type"),
+        col("length"), col("digest")).orderBy(col("surt"))
+    }),
     "pipe56_zone_map" -> ((s, dir) => {
       import s.implicits._
       // file-level min/max data skipping (the Iceberg manifest-stats

@@ -140,4 +140,38 @@ object UrlNorm {
     if (!stripFragment && frag0 != null) sb.append('#').append(normalizeEscapes(frag0))
     sb.toString
   }
+
+  /** Classic SURT key (Sort-friendly URI Reordering Transform — the
+    * Common Crawl / Wayback index sort key): scheme and userinfo drop,
+    * host labels reverse comma-joined, then `)` + path + sorted query.
+    * `https://www.example.com/a?b=1` → `com,example,www)/a?b=1`.
+    * Built on [[normalize]]; total on crawl junk (a non-URL input comes
+    * back lowercased rather than throwing).
+    */
+  def surt(url0: String): String = {
+    val n = normalize(url0, stripFragment = true, sortQuery = true)
+    if (n == null) return null
+    val ss = n.indexOf("://")
+    if (ss <= 0) return n.toLowerCase
+    val rest = n.substring(ss + 3)
+    var authEnd = rest.length
+    var i = 0
+    while (i < rest.length && authEnd == rest.length) {
+      val c = rest.charAt(i)
+      if (c == '/' || c == '?') authEnd = i
+      i += 1
+    }
+    val auth = rest.substring(0, authEnd)
+    val tail = rest.substring(authEnd)
+    val at = auth.lastIndexOf('@')
+    val hostPort = if (at >= 0) auth.substring(at + 1) else auth
+    val colon = hostPort.lastIndexOf(':')
+    val (host, port) =
+      if (colon >= 0 && colon + 1 < hostPort.length &&
+          hostPort.substring(colon + 1).forall(_.isDigit))
+        (hostPort.substring(0, colon), hostPort.substring(colon))
+      else (hostPort, "")
+    val rev = host.split('.').reverse.mkString(",")
+    rev + port + ")" + (if (tail.isEmpty) "/" else tail)
+  }
 }

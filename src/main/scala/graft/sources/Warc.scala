@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 /** WARC (ISO 28500) source — the container real Common-Crawl-style
   * corpora actually arrive in, so a user can point the engine at crawl
@@ -330,6 +331,99 @@ object Warc {
         }
       }
     counts.collect().sum
+  }
+
+  // ------------------------------------------ CDX random-access index
+  /** Byte spans of the gzip MEMBERS of a multi-member archive:
+    * `(offset, length)` per member. Headers parsed per RFC 1952
+    * (FEXTRA / FNAME / FCOMMENT / FHCRC all handled); each member's
+    * compressed extent is measured by the raw `Inflater`'s
+    * bytes-consumed plus the 8-byte CRC/ISIZE trailer — the exact spans
+    * a ranged read needs, with no reliance on magic-byte scanning
+    * (`1f 8b` can occur INSIDE compressed data).
+    */
+  def gzipMemberOffsets(bytes: Array[Byte]): Vector[(Long, Long)] = {
+    val out = Vector.newBuilder[(Long, Long)]
+    var pos = 0
+    val buf = new Array[Byte](64 * 1024)
+    while (pos < bytes.length) {
+      val start = pos
+      if (pos + 10 > bytes.length || (bytes(pos) & 0xff) != 0x1f ||
+          (bytes(pos + 1) & 0xff) != 0x8b || (bytes(pos + 2) & 0xff) != 8)
+        throw new IllegalArgumentException(s"not a gzip member at offset $pos")
+      val flg = bytes(pos + 3) & 0xff
+      var p = pos + 10
+      if ((flg & 4) != 0) { // FEXTRA
+        val xlen = (bytes(p) & 0xff) | ((bytes(p + 1) & 0xff) << 8)
+        p += 2 + xlen
+      }
+      if ((flg & 8) != 0) { while (bytes(p) != 0) p += 1; p += 1 } // FNAME
+      if ((flg & 16) != 0) { while (bytes(p) != 0) p += 1; p += 1 } // FCOMMENT
+      if ((flg & 2) != 0) p += 2 // FHCRC
+      val inf = new java.util.zip.Inflater(true)
+      try {
+        inf.setInput(bytes, p, bytes.length - p)
+        while (!inf.finished()) {
+          if (inf.inflate(buf) == 0 && inf.needsInput())
+            throw new IllegalArgumentException(s"truncated deflate stream at member $start")
+        }
+        val end = p + inf.getBytesRead.toInt + 8 // CRC32 + ISIZE
+        if (end > bytes.length)
+          throw new IllegalArgumentException(s"member at $start overruns the archive")
+        out += ((start.toLong, (end - start).toLong))
+        pos = end
+      } finally inf.end()
+    }
+    out.result()
+  }
+
+  /** Build a CDX-style index over `.warc.gz` archives: ONE row per
+    * record — `(surt, url, warc_ts, warc_type, file, offset, length,
+    * digest)` — the Common-Crawl-index shape that turns a 100 TB pile
+    * of sequential archives into a randomly addressable corpus: look up
+    * a url's row (SURT-sorted, zone-map-able), then fetch exactly
+    * `[offset, offset+length)` of one file ([[readRecordAt]]) instead of
+    * scanning the archive. Digest is sha-256 hex of the record body.
+    */
+  def buildCdx(spark: SparkSession, pathGlob: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(pathGlob)
+      .select(col("path"), col("content")).as[(String, Array[Byte])]
+      .flatMap { case (path, bytes) =>
+        gzipMemberOffsets(bytes).iterator.flatMap { case (off, len) =>
+          val member = java.util.Arrays.copyOfRange(
+            bytes, off.toInt, (off + len).toInt)
+          val in = open(member)
+          val recs = try parseStream(in).toVector finally in.close()
+          recs.map { r =>
+            val digest = java.security.MessageDigest.getInstance("SHA-256")
+              .digest(r.body).map(b => f"$b%02x").mkString
+            (graft.kernel.UrlNorm.surt(r.url), r.url,
+              new java.sql.Timestamp(r.warcTsMs), r.warcType,
+              path, off, len, digest)
+          }
+        }
+      }
+      .toDF("surt", "url", "warc_ts", "warc_type", "file", "offset", "length", "digest")
+  }
+
+  /** Ranged random access: read ONLY `[offset, offset+length)` of one
+    * archive (Hadoop `FSDataInputStream.readFully` — a positioned read,
+    * not a scan) and parse the single member there. The fetch path a
+    * [[buildCdx]] lookup enables.
+    */
+  def readRecordAt(spark: SparkSession, file: String, offset: Long,
+                   length: Long): WarcRecord = {
+    val path = new org.apache.hadoop.fs.Path(
+      if (file.startsWith("file:") || file.contains("://")) file else s"file:$file")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val buf = new Array[Byte](length.toInt)
+    val in = fs.open(path)
+    try in.readFully(offset, buf, 0, length.toInt) finally in.close()
+    val stream = open(buf)
+    val recs = try parseStream(stream).toVector finally stream.close()
+    recs.headOption.getOrElse(
+      throw new IllegalArgumentException(s"no record at $file@$offset+$length"))
   }
 
   /** Read WET-style archives back as `(url, warc_ts, text)` — the

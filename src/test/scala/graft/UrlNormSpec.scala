@@ -55,4 +55,18 @@ class UrlNormSpec extends AnyFunSuite {
       assert(UrlNorm.normalize(once) === once, s"not idempotent for '$s'")
     }
   }
+
+  test("surt: reversed host key, port kept, query sorted, junk total") {
+    assert(UrlNorm.surt("https://www.example.com/a?b=1") === "com,example,www)/a?b=1")
+    assert(UrlNorm.surt("HTTP://Sub.Host.ORG") === "org,host,sub)/")
+    assert(UrlNorm.surt("https://example.com:8443/p") === "com,example:8443)/p")
+    assert(UrlNorm.surt("http://u:pw@example.com/x") === "com,example)/x")
+    // query params sort so spelling variants share a key
+    assert(UrlNorm.surt("http://e.com/p?z=1&a=2") === UrlNorm.surt("http://e.com/p?a=2&z=1"))
+    // fragment drops; default port drops
+    assert(UrlNorm.surt("http://e.com:80/p#frag") === "com,e)/p")
+    // junk comes back lowercased, never throws
+    assert(UrlNorm.surt("not a url AT ALL") === "not a url at all")
+    assert(UrlNorm.surt(null) === null)
+  }
 }

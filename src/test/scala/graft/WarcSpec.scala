@@ -103,4 +103,81 @@ class WarcSpec extends AnyFunSuite with SparkSuite {
     }
     assert(mismatches === 0, s"$mismatches of ${truth.size} docs diverged")
   }
+
+  test("gzipMemberOffsets: exact member spans, all RFC 1952 header flags") {
+    // three members, the middle one carrying FNAME + FCOMMENT + FEXTRA
+    def plainMember(payload: Array[Byte]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val gz = new java.util.zip.GZIPOutputStream(bos)
+      gz.write(payload); gz.close()
+      bos.toByteArray
+    }
+    def flaggedMember(payload: Array[Byte]): Array[Byte] = {
+      val d = new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+      d.setInput(payload); d.finish()
+      val comp = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](256)
+      while (!d.finished()) comp.write(buf, 0, d.deflate(buf))
+      d.end()
+      val crc = new java.util.zip.CRC32(); crc.update(payload)
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(Array[Byte](0x1f, 0x8b.toByte, 8, (4 | 8 | 16).toByte, 0, 0, 0, 0, 0, 0))
+      out.write(Array[Byte](3, 0)); out.write(Array[Byte](1, 2, 3)) // FEXTRA len 3
+      out.write("name.txt".getBytes("ISO-8859-1")); out.write(0) // FNAME
+      out.write("a comment".getBytes("ISO-8859-1")); out.write(0) // FCOMMENT
+      out.write(comp.toByteArray)
+      val cv = crc.getValue
+      out.write(Array[Byte](cv.toByte, (cv >> 8).toByte, (cv >> 16).toByte, (cv >> 24).toByte))
+      val n = payload.length
+      out.write(Array[Byte](n.toByte, (n >> 8).toByte, (n >> 16).toByte, (n >> 24).toByte))
+      out.toByteArray
+    }
+    val m1 = plainMember("first record body".getBytes("UTF-8"))
+    val m2 = flaggedMember("second, with header extras".getBytes("UTF-8"))
+    val m3 = plainMember("third".getBytes("UTF-8"))
+    val archive = m1 ++ m2 ++ m3
+    val spans = Warc.gzipMemberOffsets(archive)
+    assert(spans === Vector((0L, m1.length.toLong),
+      (m1.length.toLong, m2.length.toLong),
+      ((m1.length + m2.length).toLong, m3.length.toLong)))
+    intercept[IllegalArgumentException](
+      Warc.gzipMemberOffsets(archive.dropRight(5))) // truncated trailer
+  }
+
+  test("cdx: index rows address every record; ranged reads return byte-identical bodies") {
+    val pages = PageGen.pages(40, seed = 81L)
+    val dir = java.nio.file.Files.createTempDirectory("graft-cdx").toString
+    val pagesDf = spark.createDataset(pages).toDF()
+    val docs = graft.pipeline.Extraction.extractAll(pagesDf)
+      .join(pagesDf.select($"url", $"warc_ts"), Seq("url"))
+      .select($"url", $"warc_ts", $"extracted_text").repartition(2)
+    Warc.writeConversions(docs, dir)
+    val cdx = Warc.buildCdx(spark, s"$dir/*.warc.gz").collect()
+    assert(cdx.length === pages.length)
+    val wantText = docs.select($"url", $"extracted_text")
+      .as[(String, String)].collect().toMap
+    // spans tile each file exactly (no gaps, no overlap)
+    cdx.groupBy(_.getAs[String]("file")).foreach { case (file, rows) =>
+      val spans = rows.map(r => (r.getAs[Long]("offset"), r.getAs[Long]("length")))
+        .sortBy(_._1)
+      val fileLen = new java.io.File(new java.net.URI(file).getPath).length()
+      assert(spans.head._1 === 0L)
+      assert(spans.map(_._2).sum === fileLen, s"$file spans don't tile")
+      spans.sliding(2).foreach {
+        case Array(a, b) => assert(a._1 + a._2 === b._1, s"gap/overlap in $file")
+        case _ =>
+      }
+    }
+    // every row: ranged read → record with the exact written text + digest
+    cdx.foreach { r =>
+      val rec = Warc.readRecordAt(spark, r.getAs[String]("file"),
+        r.getAs[Long]("offset"), r.getAs[Long]("length"))
+      assert(rec.url === r.getAs[String]("url"))
+      assert(new String(rec.body, "UTF-8") === wantText(rec.url))
+      val digest = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(rec.body).map(b => f"$b%02x").mkString
+      assert(digest === r.getAs[String]("digest"))
+      assert(r.getAs[String]("surt") === graft.kernel.UrlNorm.surt(rec.url))
+    }
+  }
 }
