@@ -1318,6 +1318,42 @@ object SparkEntry {
       graft.ops.Multimodal.featureStats(
         graft.ops.Multimodal.extractFeatures(media).toDF())
     }),
+    "pipe58_video_decode" -> ((s, _) => {
+      import s.implicits._
+      // full VP8 video decode (keyframe + P-frame tail): every frame of
+      // every fixture WebM decodes to real pixels; gate checks frame
+      // counts, keyframe placement, and ZERO-MV copy semantics
+      val vids = (0 until 6).map { i =>
+        val w = 48 + (i % 3) * 16; val h = 32 + (i % 2) * 16
+        val r = new scala.util.Random(900 + i)
+        val tw = (w + 7) / 8
+        val tiles = Array.fill(tw * ((h + 7) / 8))(40 + r.nextInt(160))
+        val lum = Array.tabulate(w * h) { p =>
+          val x = p % w; val y = p / w
+          math.min(255, math.max(0, tiles((y / 8) * tw + x / 8) + r.nextInt(9) - 4))
+        }
+        val moves = Seq(
+          graft.fixtures.MediaGen.Vp8Move(16, 0),
+          graft.fixtures.MediaGen.Vp8Move(0, 0),
+          graft.fixtures.MediaGen.Vp8Move(-8, 8),
+          graft.fixtures.MediaGen.Vp8Move(4, 12))
+        val frames = graft.fixtures.MediaGen.vp8Sequence(lum, w, h, moves)
+        graft.ops.Multimodal.Media(i.toLong, s"vid$i", "video",
+          graft.fixtures.MediaGen.webm(frames, w, h, fps = 10))
+      }
+      val rows = graft.ops.Multimodal.videoFrames(s.createDataset(vids)).cache()
+      require(rows.where(!col("ok")).count() == 0, "video decode failures")
+      require(rows.count() == 6L * 5, s"expected 30 frame rows, got ${rows.count()}")
+      val kf = rows.where(col("key_frame")).select(col("frame_idx")).distinct().collect()
+      require(kf.length == 1 && kf(0).getInt(0) == 0, "keyframes must be exactly frame 0")
+      // frame 2 is ZERO-MV: identical pixels → identical mean
+      val zeroCopyBad = rows.as("a").where(col("a.frame_idx") === 2)
+        .join(rows.as("b").where(col("b.frame_idx") === 1),
+          col("a.media_id") === col("b.media_id"))
+        .where(col("a.mean_luma") =!= col("b.mean_luma")).count()
+      require(zeroCopyBad == 0, s"$zeroCopyBad ZERO-MV frames diverged from their reference")
+      rows.orderBy(col("media_id"), col("frame_idx"))
+    }),
     "pipe57_warc_cdx" -> ((s, _) => {
       import s.implicits._
       // CDX random-access index over WET archives: one row per record

@@ -2387,6 +2387,353 @@ object MediaGen {
 
   private def probsDefault: Array[Int] = graft.kernel.Vp8Tables.coeffProbs
 
+  // ------------------------------------------- VP8 P-frame sequences
+  /** One interframe's content: a whole-frame motion vector in EIGHTH-pel
+    * units (components must be even — all legal VP8 MVs are, being coded
+    * in quarter-pel), plus an optional residual target: when set, each
+    * macroblock carries AC-only luma residuals steering the frame toward
+    * `target` (DC forced to zero so the Y2 block stays empty — the
+    * decoder round-trips the ENCODER's reconstruction, which is what the
+    * tests compare against).
+    */
+  final case class Vp8Move(dx8: Int, dy8: Int, target: Option[Array[Int]] = None,
+                           mvOf: Option[(Int, Int) => (Int, Int)] = None)
+
+  /** Encode a raw VP8 frame SEQUENCE: a keyframe from `luma0`, then one
+    * interframe per [[Vp8Move]] — every MB inter/LAST with the move's
+    * MV (ZERO/NEAREST/NEAR/NEW chosen against the same `find_near_mvs`
+    * contexts the decoder computes, via the SHARED
+    * [[graft.kernel.Vp8Video.findNearMvs]] so the two can never drift),
+    * skip-coded when residual-free. Chroma is flat 128 throughout (MC of
+    * a constant plane is exact for every sub-pel phase: the six-tap
+    * kernels sum to 128). Frames are WebM SimpleBlock payloads —
+    * [[webm]] muxes them, `Vp8Video.decodeSequence` decodes them.
+    */
+  def vp8Sequence(luma0: Array[Int], w: Int, h: Int, moves: Seq[Vp8Move],
+                  qi: Int = 12): Vector[Array[Byte]] = {
+    import graft.kernel.{Vp8, Vp8Video}
+    import graft.kernel.Vp8Tables._
+    require(luma0.length == w * h && w > 0 && h > 0)
+    val mbW = (w + 15) >> 4
+    val mbH = (h + 15) >> 4
+    val w16 = mbW * 16; val h16 = mbH * 16
+    val acq = acQLookup(qi)
+
+    val out = Vector.newBuilder[Array[Byte]]
+    val kfRaw = vp8RawFrame(luma0, w, h, qi)
+    out += kfRaw
+    // rolling reference = the DECODER's reconstruction of what was sent
+    var ref = Vp8Video.toRef(Vp8.decodeFrame(kfRaw))
+
+    def fdct(in: Array[Int], o: Array[Int]): Unit = {
+      val tmp = new Array[Int](16)
+      var r = 0
+      while (r < 4) {
+        val off = r * 4
+        val a1 = (in(off) + in(off + 3)) * 8; val b1 = (in(off + 1) + in(off + 2)) * 8
+        val c1 = (in(off + 1) - in(off + 2)) * 8; val d1 = (in(off) - in(off + 3)) * 8
+        tmp(off) = a1 + b1; tmp(off + 2) = a1 - b1
+        tmp(off + 1) = (c1 * 2217 + d1 * 5352 + 14500) >> 12
+        tmp(off + 3) = (d1 * 2217 - c1 * 5352 + 7500) >> 12
+        r += 1
+      }
+      r = 0
+      while (r < 4) {
+        val a1 = tmp(r) + tmp(r + 12); val b1 = tmp(r + 4) + tmp(r + 8)
+        val c1 = tmp(r + 4) - tmp(r + 8); val d1 = tmp(r) - tmp(r + 12)
+        o(r) = (a1 + b1 + 7) >> 4
+        o(r + 8) = (a1 - b1 + 7) >> 4
+        o(r + 4) = ((c1 * 2217 + d1 * 5352 + 12000) >> 16) + (if (d1 != 0) 1 else 0)
+        o(r + 12) = (d1 * 2217 - c1 * 5352 + 51000) >> 16
+        r += 1
+      }
+    }
+
+    def putMvComponent(e: Vp8BoolEnc, p: Array[Int], v8: Int): Unit = {
+      require((v8 & 1) == 0, s"mv component $v8 not even (quarter-pel)")
+      val x0 = v8 / 2
+      val a = math.abs(x0)
+      require(a <= 1023, s"mv component $v8 out of range")
+      if (a < 8) {
+        e.put(p(0), 0)
+        e.tree(Vp8Video.smallMvTree, p, 2, a)
+        if (a != 0) e.put(p(1), if (x0 < 0) 1 else 0)
+      } else {
+        e.put(p(0), 1)
+        var i = 0
+        while (i < 3) { e.put(p(9 + i), (a >> i) & 1); i += 1 }
+        i = 9
+        while (i > 3) { e.put(p(9 + i), (a >> i) & 1); i -= 1 }
+        if ((a & 0xfff0) != 0) e.put(p(9 + 3), (a >> 3) & 1)
+        e.put(p(1), if (x0 < 0) 1 else 0)
+      }
+    }
+
+    moves.foreach { mv =>
+      require((mv.dx8 & 1) == 0 && (mv.dy8 & 1) == 0, "MV must be even (quarter-pel)")
+      // ---- per-MB plan: prediction, residual levels, skip flags
+      val predY = new Array[Int](w16 * h16)
+      val curY = new Array[Int](w16 * h16)
+      val mcBuf = new Array[Int](256)
+      def mvAt(mbX: Int, mbY: Int): (Int, Int) =
+        mv.mvOf.map(f => f(mbX, mbY)).getOrElse((mv.dx8, mv.dy8))
+      var mbY = 0
+      while (mbY < mbH) {
+        var mbX = 0
+        while (mbX < mbW) {
+          val (dx8, dy8) = mvAt(mbX, mbY)
+          require((dx8 & 1) == 0 && (dy8 & 1) == 0, "MV must be even (quarter-pel)")
+          Vp8Video.mcBlock(ref.y, w16, h16,
+            mbX * 16 + (dx8 >> 3), mbY * 16 + (dy8 >> 3),
+            dx8 & 7, dy8 & 7, mcBuf, 0, 16, 16, 16)
+          var r = 0
+          while (r < 16) {
+            System.arraycopy(mcBuf, r * 16, predY, (mbY * 16 + r) * w16 + mbX * 16, 16)
+            r += 1
+          }
+          mbX += 1
+        }
+        mbY += 1
+      }
+      val levels = Array.ofDim[Int](mbH * mbW * 16, 16)
+      val skips = new Array[Boolean](mbW * mbH)
+      java.util.Arrays.fill(skips, true)
+      mv.target match {
+        case None =>
+          System.arraycopy(predY, 0, curY, 0, predY.length)
+        case Some(target) =>
+          require(target.length == w * h, "target plane size mismatch")
+          def tAt(px: Int, py: Int): Int =
+            target(math.min(h - 1, py) * w + math.min(w - 1, px))
+          val res = new Array[Int](16)
+          val freq = new Array[Int](16)
+          val rec = new Array[Int](16)
+          var my = 0
+          while (my < mbH) {
+            var mx = 0
+            while (mx < mbW) {
+              var anyNz = false
+              var sb = 0
+              while (sb < 16) {
+                val bx = mx * 16 + (sb & 3) * 4
+                val by = my * 16 + (sb >> 2) * 4
+                var i = 0
+                while (i < 16) {
+                  res(i) = tAt(bx + (i & 3), by + (i >> 2)) -
+                    predY((by + (i >> 2)) * w16 + bx + (i & 3))
+                  i += 1
+                }
+                fdct(res, freq)
+                freq(0) = 0 // AC-only: Y2 stays empty, no forward WHT
+                val lv = levels((my * mbW + mx) * 16 + sb)
+                i = 1
+                while (i < 16) {
+                  val a = math.abs(freq(i))
+                  val l = math.min(2047, a / acq)
+                  lv(i) = if (freq(i) < 0) -l else l
+                  if (l != 0) anyNz = true
+                  freq(i) = lv(i) * acq
+                  i += 1
+                }
+                graft.kernel.Vp8.idct4x4(freq, rec)
+                i = 0
+                while (i < 16) {
+                  val o = (by + (i >> 2)) * w16 + bx + (i & 3)
+                  val v = predY(o) + rec(i)
+                  curY(o) = if (v < 0) 0 else if (v > 255) 255 else v
+                  i += 1
+                }
+                sb += 1
+              }
+              skips(my * mbW + mx) = !anyNz
+              if (!anyNz) { // skipped MB reconstructs as pure prediction
+                var r2 = 0
+                while (r2 < 16) {
+                  System.arraycopy(predY, (my * 16 + r2) * w16 + mx * 16,
+                    curY, (my * 16 + r2) * w16 + mx * 16, 16)
+                  r2 += 1
+                }
+              }
+              mx += 1
+            }
+            my += 1
+          }
+      }
+
+      // ---- part 0: interframe header + modes
+      val e0 = new Vp8BoolEnc
+      e0.put(128, 0) // segmentation disabled
+      e0.put(128, 0) // filter type
+      e0.literal(6, 0) // filter level 0
+      e0.literal(3, 0) // sharpness
+      e0.put(128, 0) // lf deltas disabled
+      e0.literal(2, 0) // one token partition
+      e0.literal(7, qi)
+      var k5 = 0
+      while (k5 < 5) { e0.put(128, 0); k5 += 1 } // no quant deltas
+      e0.put(128, 0) // refresh_golden = 0
+      e0.put(128, 0) // refresh_altref = 0
+      e0.literal(2, 0) // copy_to_golden: none
+      e0.literal(2, 0) // copy_to_altref: none
+      e0.put(128, 0) // sign_bias_golden
+      e0.put(128, 0) // sign_bias_altref
+      e0.put(128, 1) // refresh_entropy_probs (no updates follow → defaults persist)
+      e0.put(128, 1) // refresh_last
+      var pi = 0
+      while (pi < 4 * 8 * 3 * 11) { e0.put(coeffUpdateProbs(pi), 0); pi += 1 }
+      e0.put(128, 1) // mb_no_coeff_skip
+      e0.literal(8, 128) // prob_skip_false
+      e0.literal(8, 128) // prob_intra
+      e0.literal(8, 128) // prob_last
+      e0.literal(8, 128) // prob_gf
+      e0.put(128, 0) // y mode probs: no update
+      e0.put(128, 0) // uv mode probs: no update
+      var c2 = 0
+      while (c2 < 2) {
+        var i = 0
+        while (i < 19) { e0.put(Vp8Video.mvUpdateProbs(c2)(i), 0); i += 1 }
+        c2 += 1
+      }
+      val grid = Array.fill(mbW * mbH)(Vp8Video.OutsideMb)
+      mbY = 0
+      while (mbY < mbH) {
+        var mbX = 0
+        while (mbX < mbW) {
+          val (dx8, dy8) = mvAt(mbX, mbY)
+          e0.put(128, if (skips(mbY * mbW + mbX)) 1 else 0) // skip
+          e0.put(128, 1) // is_inter
+          e0.put(128, 0) // ref = LAST
+          val (bestX0, bestY0, nearestX0, nearestY0, nearX0, nearY0, cnt) =
+            Vp8Video.findNearMvs(grid, mbW, mbX, mbY, curBias = false, _ => false)
+          val (bestX, bestY) = Vp8Video.clampMv(bestX0, bestY0, mbX, mbY, mbW, mbH)
+          val (nearestX, nearestY) = Vp8Video.clampMv(nearestX0, nearestY0, mbX, mbY, mbW, mbH)
+          val (nearX, nearY) = Vp8Video.clampMv(nearX0, nearY0, mbX, mbY, mbW, mbH)
+          val mp = Array(
+            Vp8Video.modeContexts(cnt(0))(0), Vp8Video.modeContexts(cnt(1))(1),
+            Vp8Video.modeContexts(cnt(2))(2), Vp8Video.modeContexts(cnt(3))(3))
+          if (dx8 == 0 && dy8 == 0)
+            e0.tree(Vp8Video.mvRefTree, mp, 0, 0) // ZERO
+          else if (dx8 == nearestX && dy8 == nearestY)
+            e0.tree(Vp8Video.mvRefTree, mp, 0, 1) // NEAREST
+          else if (dx8 == nearX && dy8 == nearY)
+            e0.tree(Vp8Video.mvRefTree, mp, 0, 2) // NEAR
+          else {
+            e0.tree(Vp8Video.mvRefTree, mp, 0, 3) // NEW
+            putMvComponent(e0, graft.kernel.Vp8Video.mvDefaultProbs(0), dy8 - bestY)
+            putMvComponent(e0, graft.kernel.Vp8Video.mvDefaultProbs(1), dx8 - bestX)
+          }
+          grid(mbY * mbW + mbX) = Vp8Video.MbInfo(0, dx8, dy8, split = false)
+          mbX += 1
+        }
+        mbY += 1
+      }
+      val part0 = e0.result()
+
+      // ---- part 1: tokens (Y2 empty + AC-only Y + empty chroma for
+      // non-skipped MBs; nothing for skipped ones)
+      val e1 = new Vp8BoolEnc
+      val aboveNz = new Array[Int](mbW * 9)
+      val leftNz = new Array[Int](9)
+      val yNz = new Array[Int](16)
+      def putBlock(lv: Array[Int], typ: Int, first: Int, ctx0: Int): Int = {
+        var last = -1
+        var i = first
+        while (i < 16) { if (lv(zigzag(i)) != 0) last = i; i += 1 }
+        var n = first
+        var ctx = ctx0
+        var from = 0
+        while (n <= last) {
+          val off = ((typ * 8 + bands(n)) * 3 + ctx) * 11
+          val lvl = lv(zigzag(n))
+          val a = math.abs(lvl)
+          if (a == 0) { e1.tree(tokenTree, probsDefault, off, 1, from); ctx = 0; from = 2 }
+          else {
+            if (a == 1) { e1.tree(tokenTree, probsDefault, off, 2, from); ctx = 1 }
+            else if (a <= 4) { e1.tree(tokenTree, probsDefault, off, a + 1, from); ctx = 2 }
+            else {
+              var cat = 5
+              while (cat > 0 && a < catBase(cat)) cat -= 1
+              e1.tree(tokenTree, probsDefault, off, 6 + cat, from); ctx = 2
+              val cp = cats(cat)
+              val extra = a - catBase(cat)
+              var k = cp.length - 1
+              var bi = 0
+              while (k >= 0) { e1.put(cp(bi), (extra >> k) & 1); k -= 1; bi += 1 }
+            }
+            e1.put(128, if (lvl < 0) 1 else 0)
+            from = 0
+          }
+          n += 1
+        }
+        if (last < 15) {
+          val off = ((typ * 8 + bands(last + 1)) * 3 + ctx) * 11
+          e1.tree(tokenTree, probsDefault, off, 0, from)
+        }
+        if (last >= first) 1 else 0
+      }
+      val zeroLv = new Array[Int](16)
+      mbY = 0
+      while (mbY < mbH) {
+        java.util.Arrays.fill(leftNz, 0)
+        var mbX = 0
+        while (mbX < mbW) {
+          if (skips(mbY * mbW + mbX)) {
+            var k = 0
+            while (k < 9) { leftNz(k) = 0; aboveNz(mbX * 9 + k) = 0; k += 1 }
+          } else {
+            // Y2: present (whole-MB inter mode) but all-zero
+            val y2Ctx = leftNz(8) + aboveNz(mbX * 9 + 8)
+            putBlock(zeroLv, 1, 0, y2Ctx)
+            leftNz(8) = 0; aboveNz(mbX * 9 + 8) = 0
+            var sb = 0
+            while (sb < 16) {
+              val sx = sb & 3; val sy = sb >> 2
+              val ctx = (if (sx == 0) leftNz(sy) else yNz(sb - 1)) +
+                (if (sy == 0) aboveNz(mbX * 9 + sx) else yNz(sb - 4))
+              val nz = putBlock(levels((mbY * mbW + mbX) * 16 + sb), 0, 1, ctx)
+              yNz(sb) = nz
+              if (sx == 3) leftNz(sy) = nz
+              if (sy == 3) aboveNz(mbX * 9 + sx) = nz
+              sb += 1
+            }
+            var pl = 0
+            while (pl < 2) {
+              val base = 4 + pl * 2
+              var cb = 0
+              while (cb < 4) {
+                val sx = cb & 1; val sy = cb >> 1
+                val ctx = (if (sx == 0) leftNz(base + sy) else 0) +
+                  (if (sy == 0) aboveNz(mbX * 9 + base + sx) else 0)
+                putBlock(zeroLv, 2, 0, ctx)
+                if (sx == 1) leftNz(base + sy) = 0
+                if (sy == 1) aboveNz(mbX * 9 + base + sx) = 0
+                cb += 1
+              }
+              pl += 1
+            }
+          }
+          mbX += 1
+        }
+        mbY += 1
+      }
+      val part1 = e1.result()
+
+      val part0Len = part0.length
+      require(part0Len < (1 << 19), "first partition too large")
+      val tag = (part0Len << 5) | (1 << 4) | 1 // show_frame, interframe
+      val frame = new java.io.ByteArrayOutputStream()
+      frame.write(tag & 0xff); frame.write((tag >> 8) & 0xff); frame.write((tag >> 16) & 0xff)
+      frame.write(part0, 0, part0.length)
+      frame.write(part1, 0, part1.length)
+      out += frame.toByteArray
+
+      // roll the reference forward (chroma stays flat 128)
+      ref = graft.kernel.Vp8Video.RefFrame(w, h, curY,
+        Array.fill(mbW * 8 * mbH * 8)(128), Array.fill(mbW * 8 * mbH * 8)(128))
+    }
+    out.result()
+  }
+
   // ============================================================== WebM
 
   /** The raw VP8 keyframe inside [[vp8]]'s RIFF/WEBP container —

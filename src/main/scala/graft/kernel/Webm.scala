@@ -193,6 +193,37 @@ object Webm {
     * type 1) — for `V_VP8` this is a raw keyframe [[Vp8.decodeFrame]]
     * accepts. `None` when there is no video track or no cluster.
     */
+  /** ALL of the video track's SimpleBlock payloads in stream order —
+    * the full frame sequence [[Vp8Video.decodeSequence]] consumes
+    * (keyframe + interframes), where [[firstVideoFrame]] stops at the
+    * first.
+    */
+  def videoFrames(p: Array[Byte]): Vector[Array[Byte]] = {
+    require(isWebm(p), "not EBML/WebM")
+    val top = children(p, 0, p.length)
+    val (segB, segE) = find(top, IdSegment)
+      .getOrElse(throw new IllegalArgumentException("no Segment"))
+    val seg = children(p, segB, segE)
+    val videoTrack = find(seg, IdTracks).flatMap { case (b, e) =>
+      children(p, b, e).collectFirst {
+        case (IdTrackEntry, tb, te)
+          if find(children(p, tb, te), IdTrackType)
+            .exists { case (x, y) => uint(p, x, y) == 1L } =>
+          find(children(p, tb, te), IdTrackNumber)
+            .map { case (x, y) => uint(p, x, y) }.getOrElse(0L)
+      }
+    }.getOrElse(return Vector.empty)
+    seg.iterator.collect { case (IdCluster, cb, ce) => (cb, ce) }
+      .flatMap { case (cb, ce) =>
+        children(p, cb, ce).iterator.collect { case (IdSimpleBlock, bb, be) => (bb, be) }
+      }
+      .map { case (bb, be) => (blockTrack(p, bb, be), be) }
+      .collect { case ((tn, payloadStart), be) if tn == videoTrack =>
+        java.util.Arrays.copyOfRange(p, payloadStart, be)
+      }
+      .toVector
+  }
+
   def firstVideoFrame(p: Array[Byte]): Option[Array[Byte]] = {
     require(isWebm(p), "not EBML/WebM")
     val top = children(p, 0, p.length)

@@ -285,6 +285,44 @@ object Multimodal {
     media.mapPartitions(_.map(decodeOne))
   }
 
+  // ---------------------------------------------- full video decoding
+  final case class VideoFrameRow(media_id: Long, frame_idx: Int,
+                                 key_frame: Boolean, width: Int, height: Int,
+                                 mean_luma: Double, ok: Boolean, error: String)
+
+  /** Decode EVERY frame of a WebM/VP8 video payload — keyframe plus the
+    * motion-compensated interframe tail ([[graft.kernel.Vp8Video]]) —
+    * emitting one row per frame with real pixel statistics. This is the
+    * video column's analog of the per-image decode: frame sampling,
+    * per-frame quality stats and frame-level perceptual hashing all
+    * start from this row shape. Non-WebM / non-VP8 payloads come back
+    * as a single `ok=false` row (C5).
+    */
+  def videoFrameOne(m: Media): Seq[VideoFrameRow] = try {
+    require(graft.kernel.Webm.isWebm(m.payload), "not a WebM container")
+    val frames = graft.kernel.Webm.videoFrames(m.payload)
+    require(frames.nonEmpty, "no video track blocks")
+    val decoded = graft.kernel.Vp8Video.decodeSequence(frames)
+    decoded.zipWithIndex.map { case (f, i) =>
+      var sum = 0L
+      var k = 0
+      while (k < f.y.length) { sum += f.y(k); k += 1 }
+      val mean = math.rint(sum.toDouble / math.max(1, f.y.length) * 10000) / 10000
+      VideoFrameRow(m.media_id, i, (frames(i)(0) & 1) == 0,
+        f.width, f.height, mean, ok = true, error = "")
+    }
+  } catch {
+    case e: Exception =>
+      Seq(VideoFrameRow(m.media_id, -1, key_frame = false, 0, 0, 0.0,
+        ok = false, error = String.valueOf(e.getMessage)))
+  }
+
+  /** Typed batch stage: media rows in, one row per decoded frame out. */
+  def videoFrames(media: Dataset[Media]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap(videoFrameOne)).toDF()
+  }
+
   // ------------------------------------------- perceptual image dedup
   final case class ImageHashRow(media_id: Long, codec: String, width: Int,
                                 height: Int, dhash: Long, phash: Long,
