@@ -128,7 +128,7 @@ object ImageHash {
     }
     val ac = java.util.Arrays.copyOfRange(coef, 1, 64)
     java.util.Arrays.sort(ac)
-    val median = (ac(30) + ac(31)) / 2.0
+    val median = ac(31) // the median of 63 values is the 32nd in order
     var bits = 0L
     var i = 1
     while (i < 64) {

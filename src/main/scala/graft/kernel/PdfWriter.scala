@@ -207,12 +207,17 @@ object PdfWriter {
     sb.append("1 begincodespacerange\n")
     sb.append(if (twoByte) "<0000> <FFFF>\n" else "<00> <FF>\n")
     sb.append("endcodespacerange\n")
-    val w = if (twoByte) 4 else 2
     m.toSeq.sortBy(_._1).grouped(100).foreach { grp =>
       sb.append(s"${grp.size} beginbfchar\n")
       grp.foreach { case (code, str) =>
         val dst = str.getBytes(java.nio.charset.StandardCharsets.UTF_16BE)
           .map(b => f"${b & 0xff}%02X").mkString
+        // hex width follows the CODE, not just the font type: a 1-byte
+        // font may still map codes > 0xFF (arbitrary-width bfchar src),
+        // and an odd-length hex string would parse back as a DIFFERENT
+        // code after the lexer pads the trailing nibble
+        val w =
+          if (code > 0xffff) 6 else if (twoByte || code > 0xff) 4 else 2
         sb.append(s"<${("%0" + w + "X").format(code)}> <$dst>\n")
       }
       sb.append("endbfchar\n")

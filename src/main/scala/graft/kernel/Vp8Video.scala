@@ -80,6 +80,16 @@ object Vp8Video {
   // --------------------------------------------------- reference planes
   /** MB-aligned reference planes (no prediction borders; MC uses
     * clamped addressing = edge replication for out-of-frame taps).
+    *
+    * Padding-envelope note: a KEYFRAME reference is rebuilt from the
+    * cropped output by edge replication ([[toRef]]), while an INTERFRAME
+    * reference keeps its real reconstructed padding pixels. For
+    * non-multiple-of-16 dimensions those can differ in the pad columns
+    * a reference decoder would carry from the keyframe's own
+    * reconstruction. The fixture encoder shares [[toRef]] for its
+    * keyframe reference, so encoder and decoder agree at every step and
+    * round-trips stay exact; only interop with external encoders at
+    * unaligned dimensions AND pad-reaching MVs is affected.
     */
   final case class RefFrame(w: Int, h: Int, y: Array[Int],
                             u: Array[Int], v: Array[Int])
@@ -298,16 +308,23 @@ object Vp8Video {
     }
   }
 
+  final case class SeqFrame(frame: Frame, keyFrame: Boolean)
+
   /** Decode a raw-VP8 frame sequence (WebM SimpleBlock payloads, first
-    * frame a keyframe) to output frames in order.
+    * frame a keyframe) to its SHOWN frames in display order. A hidden
+    * frame (`show_frame = 0` in the tag — the libvpx altref-construction
+    * pattern) updates reference state but emits no output frame, so
+    * frame counts and indices match what a player would display.
     */
-  def decodeSequence(frames: Seq[Array[Byte]]): Vector[Frame] = {
+  def decodeSequenceFrames(frames: Seq[Array[Byte]]): Vector[SeqFrame] = {
     require(frames.nonEmpty, "empty sequence")
     val st = new State
-    val out = Vector.newBuilder[Frame]
+    val out = Vector.newBuilder[SeqFrame]
     frames.zipWithIndex.foreach { case (d, i) =>
       if (d.length < 3) throw new Vp8Error(s"truncated frame $i")
-      val keyFrame = (d(0) & 1) == 0
+      val tag = (d(0) & 0xff) | ((d(1) & 0xff) << 8) | ((d(2) & 0xff) << 16)
+      val keyFrame = (tag & 1) == 0
+      val shown = ((tag >>> 4) & 1) == 1
       if (i == 0 && !keyFrame) throw new Vp8Error("sequence must start with a keyframe")
       val f =
         if (keyFrame) {
@@ -322,10 +339,14 @@ object Vp8Video {
           st.goldenBias = false; st.altrefBias = false
           kf
         } else decodeInter(d, st, i)
-      out += f
+      if (shown) out += SeqFrame(f, keyFrame)
     }
     out.result()
   }
+
+  /** [[decodeSequenceFrames]] without the per-frame metadata. */
+  def decodeSequence(frames: Seq[Array[Byte]]): Vector[Frame] =
+    decodeSequenceFrames(frames).map(_.frame)
 
   // ------------------------------------------------- interframe decode
   private def decodeInter(d: Array[Byte], st: State, frameIdx: Int): Frame = {
@@ -344,30 +365,13 @@ object Vp8Video {
     if (part0End > d.length) throw new Vp8Error("truncated first partition")
     val br = new Bool(d, 3, part0End.toInt)
 
-    // ---- segmentation (9.3) — same wire layout as keyframes
-    val segPerMb = new Array[Int](4)
-    var segAbs = false
-    var segEnabled = false
-    var segUpdateMap = false
-    val segTreeProbs = Array(255, 255, 255)
-    if (br.bit(128) == 1) {
-      segEnabled = true
-      segUpdateMap = br.bit(128) == 1
-      if (br.bit(128) == 1) {
-        segAbs = br.bit(128) == 1
-        var i = 0
-        while (i < 4) { segPerMb(i) = br.maybeSigned(7); i += 1 }
-        i = 0
-        while (i < 4) { br.maybeSigned(6); i += 1 } // lf deltas (filter unused below)
-      }
-      if (segUpdateMap) {
-        var i = 0
-        while (i < 3) {
-          segTreeProbs(i) = if (br.bit(128) == 1) br.literal(8) else 255
-          i += 1
-        }
-      }
-    }
+    // ---- segmentation (9.3): interframe segmentation state (the MB
+    // map AND the per-segment quantizer/filter data) PERSISTS across
+    // frames per the spec; that cross-frame state is outside this
+    // envelope — refuse loudly rather than dequantize every MB with
+    // silently-wrong segment-0 parameters
+    if (br.bit(128) == 1)
+      throw new Vp8Error("interframe segmentation unsupported (fixture envelope)")
 
     // ---- loop filter header (9.4)
     br.bit(128) // filter type
@@ -412,9 +416,8 @@ object Vp8Video {
     val uvdcDelta = br.maybeSigned(4)
     val uvacDelta = br.maybeSigned(4)
     def clampQ(v: Int) = if (v < 0) 0 else if (v > 127) 127 else v
-    val segQuants = Array.tabulate(4) { s =>
-      val base = if (segEnabled) { if (segAbs) segPerMb(s) else yacQi + segPerMb(s) } else yacQi
-      val q = clampQ(base)
+    val quants = {
+      val q = clampQ(yacQi)
       Array(dcQLookup(clampQ(q + ydcDelta)), acQLookup(q),
         dcQLookup(clampQ(q + y2dcDelta)) * 2,
         math.max(8, acQLookup(clampQ(q + y2acDelta)) * 155 / 100),
@@ -616,13 +619,7 @@ object Vp8Video {
       val bd = parts(mbY % nParts)
       var mbX = 0
       while (mbX < mbW) {
-        val segId =
-          if (segEnabled && segUpdateMap) {
-            val b0 = br.bit(segTreeProbs(0))
-            val b1 = if (b0 == 0) br.bit(segTreeProbs(1)) else br.bit(segTreeProbs(2))
-            b0 * 2 + b1
-          } else 0
-        val segQ = segQuants(segId)
+        val segQ = quants
         val skip = skipEnabled && br.bit(probSkipFalse) == 1
         val isInter = br.bit(probIntra) == 1
 

@@ -389,9 +389,10 @@ object Dedup {
                         numBands: Int = 8): Unit = {
     val spark = df.sparkSession
     import spark.implicits._
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
     val metaPath = new org.apache.hadoop.fs.Path(s"$dir/meta")
+    // the PATH's filesystem, not the default one — an s3a:// index on an
+    // hdfs-default cluster must not throw Wrong FS
+    val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(metaPath)) {
       val meta = spark.read.parquet(s"$dir/meta")
         .select(col("shingle_k"), col("num_hashes"), col("num_bands")).head()

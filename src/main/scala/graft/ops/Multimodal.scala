@@ -302,13 +302,14 @@ object Multimodal {
     require(graft.kernel.Webm.isWebm(m.payload), "not a WebM container")
     val frames = graft.kernel.Webm.videoFrames(m.payload)
     require(frames.nonEmpty, "no video track blocks")
-    val decoded = graft.kernel.Vp8Video.decodeSequence(frames)
-    decoded.zipWithIndex.map { case (f, i) =>
+    val decoded = graft.kernel.Vp8Video.decodeSequenceFrames(frames)
+    decoded.zipWithIndex.map { case (sf, i) =>
+      val f = sf.frame
       var sum = 0L
       var k = 0
       while (k < f.y.length) { sum += f.y(k); k += 1 }
       val mean = math.rint(sum.toDouble / math.max(1, f.y.length) * 10000) / 10000
-      VideoFrameRow(m.media_id, i, (frames(i)(0) & 1) == 0,
+      VideoFrameRow(m.media_id, i, sf.keyFrame,
         f.width, f.height, mean, ok = true, error = "")
     }
   } catch {

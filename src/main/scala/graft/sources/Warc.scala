@@ -390,30 +390,45 @@ object Warc {
     spark.read.format("binaryFile").load(pathGlob)
       .select(col("path"), col("content")).as[(String, Array[Byte])]
       .flatMap { case (path, bytes) =>
-        gzipMemberOffsets(bytes).iterator.flatMap { case (off, len) =>
+        // C5 isolation, matching read(): a corrupt / non-gzip archive
+        // contributes zero rows instead of failing the job, and a
+        // corrupt record stops only its own member's tail
+        val members =
+          try gzipMemberOffsets(bytes)
+          catch { case _: Exception => Vector.empty[(Long, Long)] }
+        members.iterator.flatMap { case (off, len) =>
           val member = java.util.Arrays.copyOfRange(
             bytes, off.toInt, (off + len).toInt)
-          val in = open(member)
-          val recs = try parseStream(in).toVector finally in.close()
-          recs.map { r =>
+          val recs =
+            try {
+              val in = open(member)
+              try parseStream(in).toVector finally in.close()
+            } catch { case _: Exception => Vector.empty[WarcRecord] }
+          // rec_idx disambiguates MULTI-record members (whole-file-gzip
+          // archives): gzip offers no mid-member random access, so the
+          // span names the member and rec_idx the record within it
+          recs.zipWithIndex.map { case (r, ri) =>
             val digest = java.security.MessageDigest.getInstance("SHA-256")
               .digest(r.body).map(b => f"$b%02x").mkString
             (graft.kernel.UrlNorm.surt(r.url), r.url,
               new java.sql.Timestamp(r.warcTsMs), r.warcType,
-              path, off, len, digest)
+              path, off, len, ri, digest)
           }
         }
       }
-      .toDF("surt", "url", "warc_ts", "warc_type", "file", "offset", "length", "digest")
+      .toDF("surt", "url", "warc_ts", "warc_type", "file", "offset", "length",
+        "rec_idx", "digest")
   }
 
   /** Ranged random access: read ONLY `[offset, offset+length)` of one
     * archive (Hadoop `FSDataInputStream.readFully` — a positioned read,
-    * not a scan) and parse the single member there. The fetch path a
-    * [[buildCdx]] lookup enables.
+    * not a scan), decompress that member and return its `recIdx`-th
+    * record (0 for the crawl convention of one record per member;
+    * `buildCdx`'s `rec_idx` column for whole-file-gzip archives, whose
+    * single member is the unavoidable decompression unit).
     */
   def readRecordAt(spark: SparkSession, file: String, offset: Long,
-                   length: Long): WarcRecord = {
+                   length: Long, recIdx: Int = 0): WarcRecord = {
     val path = new org.apache.hadoop.fs.Path(
       if (file.startsWith("file:") || file.contains("://")) file else s"file:$file")
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -422,8 +437,10 @@ object Warc {
     try in.readFully(offset, buf, 0, length.toInt) finally in.close()
     val stream = open(buf)
     val recs = try parseStream(stream).toVector finally stream.close()
-    recs.headOption.getOrElse(
-      throw new IllegalArgumentException(s"no record at $file@$offset+$length"))
+    if (recIdx < 0 || recIdx >= recs.length)
+      throw new IllegalArgumentException(
+        s"no record $recIdx at $file@$offset+$length (${recs.length} present)")
+    recs(recIdx)
   }
 
   /** Read WET-style archives back as `(url, warc_ts, text)` — the

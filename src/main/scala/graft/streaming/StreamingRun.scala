@@ -258,9 +258,8 @@ object StreamingRun {
           col("url"), col("text"))
         val self = graft.ops.Dedup.nearDupFilter(docs, "doc_key", "text",
           shingleK, numHashes, numBands, threshold)
-        val fs = org.apache.hadoop.fs.FileSystem.get(
-          spark.sparkContext.hadoopConfiguration)
         val sigsPath = new org.apache.hadoop.fs.Path(s"$indexDir/sigs")
+        val fs = sigsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
         val hasIndex = fs.exists(sigsPath) && fs.listStatus(sigsPath)
           .exists(st => st.isDirectory || st.getPath.getName.endsWith(".parquet"))
         val survivors =

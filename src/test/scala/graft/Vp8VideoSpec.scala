@@ -160,6 +160,23 @@ class Vp8VideoSpec extends AnyFunSuite {
     assert(decoded(2).y.toSeq === decoded(1).y.toSeq)
   }
 
+  test("hidden frames (show_frame=0) update references but emit no output") {
+    val w = 48; val h = 32
+    val frames = MediaGen.vp8Sequence(textured(w, h, 10), w, h,
+      Seq(Vp8Move(16, 0), Vp8Move(0, 0))).map(_.clone())
+    // hide the motion frame: clear the tag's show bit
+    frames(1)(0) = (frames(1)(0) & ~0x10).toByte
+    val shown = Vp8Video.decodeSequenceFrames(frames)
+    assert(shown.length === 2, "keyframe + the final ZERO-MV frame")
+    assert(shown(0).keyFrame && !shown(1).keyFrame)
+    // the ZERO-MV frame copies the HIDDEN frame's reconstruction — the
+    // translated keyframe — proving the hidden frame updated LAST
+    val visible = MediaGen.vp8Sequence(textured(w, h, 10), w, h,
+      Seq(Vp8Move(16, 0), Vp8Move(0, 0)))
+    val full = Vp8Video.decodeSequence(visible)
+    assert(shown(1).frame.y.toSeq === full(2).y.toSeq)
+  }
+
   test("error discipline: interframe-first refused, truncated frames refused") {
     val w = 32; val h = 32
     val frames = MediaGen.vp8Sequence(textured(w, h, 9), w, h, Seq(Vp8Move(8, 0)))

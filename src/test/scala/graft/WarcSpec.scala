@@ -171,13 +171,40 @@ class WarcSpec extends AnyFunSuite with SparkSuite {
     // every row: ranged read → record with the exact written text + digest
     cdx.foreach { r =>
       val rec = Warc.readRecordAt(spark, r.getAs[String]("file"),
-        r.getAs[Long]("offset"), r.getAs[Long]("length"))
+        r.getAs[Long]("offset"), r.getAs[Long]("length"), r.getAs[Int]("rec_idx"))
       assert(rec.url === r.getAs[String]("url"))
       assert(new String(rec.body, "UTF-8") === wantText(rec.url))
       val digest = java.security.MessageDigest.getInstance("SHA-256")
         .digest(rec.body).map(b => f"$b%02x").mkString
       assert(digest === r.getAs[String]("digest"))
       assert(r.getAs[String]("surt") === graft.kernel.UrlNorm.surt(rec.url))
+    }
+  }
+
+  test("cdx: whole-file-gzip archives address records via rec_idx; corrupt files isolate") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cdx2").toString
+    // one gzip MEMBER holding 5 records (the wild non-convention layout)
+    val recs = (0 until 5).map(i =>
+      (s"https://m.example/doc$i", 1700000000000L + i * 1000, s"body text $i"))
+    val bos = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    recs.foreach { case (u, ts, t) => gz.write(Warc.conversionRecord(u, ts, t)) }
+    gz.close()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/whole.warc.gz"), bos.toByteArray)
+    // plus a corrupt archive that must contribute zero rows, not fail
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/junk.warc.gz"), Array.fill[Byte](300)(0x55))
+    val cdx = Warc.buildCdx(spark, s"$dir/*.warc.gz").collect()
+    assert(cdx.length === 5, "5 rows from the whole-file member, 0 from junk")
+    assert(cdx.map(_.getAs[Int]("rec_idx")).sorted.toSeq === (0 until 5))
+    assert(cdx.map(r => (r.getAs[Long]("offset"), r.getAs[Long]("length"))).distinct.length === 1,
+      "one member → one shared span")
+    cdx.foreach { r =>
+      val rec = Warc.readRecordAt(spark, r.getAs[String]("file"),
+        r.getAs[Long]("offset"), r.getAs[Long]("length"), r.getAs[Int]("rec_idx"))
+      assert(rec.url === r.getAs[String]("url"),
+        s"rec_idx ${r.getAs[Int]("rec_idx")} returned the wrong record")
     }
   }
 }
