@@ -1405,6 +1405,41 @@ object SparkEntry {
       probe.groupBy(col("source")).agg(count(lit(1)).as("docs"),
         sum(length(col("text"))).as("chars"))
     }),
+    "pipe59_pdf_filters" -> ((s, _) => {
+      import s.implicits._
+      // the non-Flate stream-filter family old crawl PDFs use (LZW, RLE,
+      // ASCIIHex, ASCII85, chained) through the full split → extract →
+      // merge branch: text must be identical to the plain twin
+      val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+      val chains = Seq(
+        Seq("LZWDecode"), Seq("RunLengthDecode"), Seq("ASCIIHexDecode"),
+        Seq("ASCII85Decode"), Seq("ASCII85Decode", "FlateDecode"),
+        Seq("ASCIIHexDecode", "LZWDecode"))
+      val docs = chains.zipWithIndex.map { case (fs, i) =>
+        val nPages = 3 + (i * 7) % 13
+        val pages = (1 to nPages).map(p => Seq(s"filter doc $i page $p", s"via ${fs.mkString("+")}"))
+        (s"https://filt.example/doc$i.pdf", pages, fs)
+      }
+      val filtered = docs.map { case (url, pages, fs) =>
+        graft.pipeline.Page(url, ts,
+          graft.kernel.PdfWriter.buildWithFilters(pages, fs), "", "en")
+      }
+      val plain = docs.map { case (url, pages, _) =>
+        graft.pipeline.Page(url, ts,
+          graft.kernel.PdfWriter.build(pages, compress = true), "", "en")
+      }
+      def branch(rows: Seq[graft.pipeline.Page]) =
+        Extraction.mergePdfDocs(Extraction.extractChunks(
+            Extraction.pdfChunks(s.createDataset(rows))))
+          .select(col("url"), col("extracted_text"), col("total_chunks"), col("ok"))
+      val f = branch(filtered).cache()
+      val diff = f.as("a").join(branch(plain).as("b"), Seq("url"))
+        .where(col("a.extracted_text") =!= col("b.extracted_text") ||
+          !col("a.ok") || !col("b.ok")).count()
+      require(diff == 0, s"$diff filtered docs extracted differently from plain twins")
+      f.select(col("url"), length(col("extracted_text")).as("text_len"),
+        col("total_chunks"), col("ok"))
+    }),
     "pipe53_cid_font_pdf" -> ((s, _) => {
       import s.implicits._
       // Type0/CID-font PDFs (embedded-subset fonts): Tj bytes are 2-byte

@@ -264,27 +264,192 @@ object Pdf {
   private def numOf(doc: PdfDoc, o: PObj, dflt: Int): Int =
     doc.resolve(o) match { case PNum(v) => v.toInt; case _ => dflt }
 
-  /** Decoded bytes of a stream: `/Filter` (none or FlateDecode, bare or
-    * one-element array) then `/DecodeParms` predictors (PNG 10–15; TIFF
-    * predictor 2 unsupported — raised, not silently misdecoded).
+  /** PDF LZW (§7.4.4 — the TIFF variant): 9→12-bit codes MSB-first,
+    * Clear=256, EOD=257, `EarlyChange` widens one code early (the
+    * default). Table bombs bounded by output scaling with input.
+    */
+  def lzwDecode(data: Array[Byte], earlyChange: Boolean = true): Array[Byte] = {
+    val out = new ByteArrayOutputStream(data.length * 3 + 64)
+    val dict = new Array[Array[Byte]](4096)
+    var dictSize = 258
+    var width = 9
+    var bitBuf = 0
+    var bitCnt = 0
+    var prev: Array[Byte] = null
+    val early = if (earlyChange) 1 else 0
+    var i = 0
+    var done = false
+    while (!done && (i < data.length || bitCnt >= width)) {
+      while (bitCnt < width && i < data.length) {
+        bitBuf = (bitBuf << 8) | (data(i) & 0xff)
+        bitCnt += 8
+        i += 1
+      }
+      if (bitCnt < width) done = true
+      else {
+        val code = (bitBuf >>> (bitCnt - width)) & ((1 << width) - 1)
+        bitCnt -= width
+        if (code == 256) { dictSize = 258; width = 9; prev = null }
+        else if (code == 257) done = true
+        else {
+          val entry: Array[Byte] =
+            if (code < 256) Array(code.toByte)
+            else if (code < dictSize && dict(code) != null) dict(code)
+            else if (code == dictSize && prev != null) prev :+ prev(0)
+            else throw new ParseError(s"LZW code $code out of table ($dictSize)")
+          out.write(entry, 0, entry.length)
+          if (prev != null && dictSize < 4096) {
+            dict(dictSize) = prev :+ entry(0)
+            dictSize += 1
+          }
+          if (dictSize + early >= (1 << width) && width < 12) width += 1
+          prev = entry
+          if (out.size() > data.length.toLong * 512 + (1 << 16))
+            throw new ParseError("LZW expansion bomb")
+        }
+      }
+    }
+    out.toByteArray
+  }
+
+  /** RunLengthDecode (§7.4.5): length byte 0–127 = copy n+1 literals,
+    * 129–255 = repeat next byte 257−n times, 128 = EOD.
+    */
+  def rleDecode(data: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream(data.length * 2 + 16)
+    var i = 0
+    var done = false
+    while (!done && i < data.length) {
+      val n = data(i) & 0xff
+      i += 1
+      if (n == 128) done = true
+      else if (n < 128) {
+        if (i + n + 1 > data.length) throw new ParseError("RLE literal overruns")
+        out.write(data, i, n + 1)
+        i += n + 1
+      } else {
+        if (i >= data.length) throw new ParseError("RLE repeat overruns")
+        val b = data(i); i += 1
+        var k = 0
+        while (k < 257 - n) { out.write(b); k += 1 }
+      }
+    }
+    out.toByteArray
+  }
+
+  /** ASCIIHexDecode (§7.4.2): hex pairs, whitespace ignored, `>` EOD,
+    * odd trailing digit padded with 0.
+    */
+  def ahxDecode(data: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream(data.length / 2 + 8)
+    var hi = -1
+    var i = 0
+    var done = false
+    while (!done && i < data.length) {
+      val c = (data(i) & 0xff).toChar
+      i += 1
+      if (c == '>') done = true
+      else if (!c.isWhitespace) {
+        val v =
+          if (c >= '0' && c <= '9') c - '0'
+          else if (c >= 'a' && c <= 'f') c - 'a' + 10
+          else if (c >= 'A' && c <= 'F') c - 'A' + 10
+          else throw new ParseError(s"bad hex char '$c' in ASCIIHex stream")
+        if (hi < 0) hi = v else { out.write(hi * 16 + v); hi = -1 }
+      }
+    }
+    if (hi >= 0) out.write(hi * 16)
+    out.toByteArray
+  }
+
+  /** ASCII85Decode (§7.4.3): 5 chars `!`..`u` → 4 bytes base-85, `z` =
+    * four zero bytes, `~>` EOD, partial final group truncates.
+    */
+  def a85Decode(data: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream(data.length * 4 / 5 + 8)
+    val grp = new Array[Int](5)
+    var n = 0
+    var i = 0
+    var done = false
+    while (!done && i < data.length) {
+      val c = (data(i) & 0xff).toChar
+      i += 1
+      if (c == '~') done = true
+      else if (c == 'z' && n == 0) { out.write(0); out.write(0); out.write(0); out.write(0) }
+      else if (!c.isWhitespace) {
+        if (c < '!' || c > 'u') throw new ParseError(s"bad base85 char '$c'")
+        grp(n) = c - '!'
+        n += 1
+        if (n == 5) {
+          var v = 0L
+          var k = 0
+          while (k < 5) { v = v * 85 + grp(k); k += 1 }
+          out.write(((v >> 24) & 0xff).toInt); out.write(((v >> 16) & 0xff).toInt)
+          out.write(((v >> 8) & 0xff).toInt); out.write((v & 0xff).toInt)
+          n = 0
+        }
+      }
+    }
+    if (n == 1) throw new ParseError("base85 group of one char")
+    if (n > 1) {
+      var v = 0L
+      var k = 0
+      while (k < 5) { v = v * 85 + (if (k < n) grp(k) else 84); k += 1 }
+      var k2 = 0
+      while (k2 < n - 1) { out.write(((v >> (24 - 8 * k2)) & 0xff).toInt); k2 += 1 }
+    }
+    out.toByteArray
+  }
+
+  /** Decoded bytes of a stream: the `/Filter` CHAIN (none, a bare name,
+    * or an array applied in order — FlateDecode, LZWDecode,
+    * RunLengthDecode, ASCIIHexDecode, ASCII85Decode) with per-filter
+    * `/DecodeParms` (PNG predictors 10–15 for Flate/LZW; TIFF predictor
+    * 2 unsupported — raised, not silently misdecoded).
     */
   def decodeStream(doc: PdfDoc, st: PStream): Array[Byte] = {
     val d = st.dict.m
-    val data = doc.resolve(d.getOrElse("Filter", PNull)) match {
-      case PName("FlateDecode")               => inflate(st.raw)
-      case PArr(Vector(PName("FlateDecode"))) => inflate(st.raw)
-      case PNull                              => st.raw
-      case other => throw new ParseError(s"unsupported filter $other")
+    val filters: Vector[PObj] = doc.resolve(d.getOrElse("Filter", PNull)) match {
+      case PNull       => Vector.empty
+      case PArr(items) => items.map(doc.resolve)
+      case one         => Vector(one)
     }
-    val parms = doc.dictOf(d.getOrElse("DecodeParms", PNull)).m
-    numOf(doc, parms.getOrElse("Predictor", PNum(1)), 1) match {
-      case 1 => data
-      case p if p >= 10 =>
-        val cols = numOf(doc, parms.getOrElse("Columns", PNum(1)), 1)
-        val colors = numOf(doc, parms.getOrElse("Colors", PNum(1)), 1)
-        val bpc = numOf(doc, parms.getOrElse("BitsPerComponent", PNum(8)), 8)
-        unPredictPng(data, cols, math.max(1, colors * bpc / 8))
-      case p => throw new ParseError(s"unsupported predictor $p")
+    val parmsList: Vector[Map[String, PObj]] =
+      doc.resolve(d.getOrElse("DecodeParms", PNull)) match {
+        case PArr(items) => items.map(o => doc.dictOf(o).m)
+        case PNull       => Vector.empty
+        case one         => Vector(doc.dictOf(one).m)
+      }
+    def unpredict(data: Array[Byte], parms: Map[String, PObj]): Array[Byte] =
+      numOf(doc, parms.getOrElse("Predictor", PNum(1)), 1) match {
+        case 1 => data
+        case p if p >= 10 =>
+          val cols = numOf(doc, parms.getOrElse("Columns", PNum(1)), 1)
+          val colors = numOf(doc, parms.getOrElse("Colors", PNum(1)), 1)
+          val bpc = numOf(doc, parms.getOrElse("BitsPerComponent", PNum(8)), 8)
+          unPredictPng(data, cols, math.max(1, colors * bpc / 8))
+        case p => throw new ParseError(s"unsupported predictor $p")
+      }
+    if (filters.isEmpty)
+      unpredict(st.raw, parmsList.headOption.getOrElse(Map.empty))
+    else {
+      var data = st.raw
+      var i = 0
+      while (i < filters.length) {
+        val parms = if (i < parmsList.length) parmsList(i) else Map.empty[String, PObj]
+        data = filters(i) match {
+          case PName("FlateDecode") => unpredict(inflate(data), parms)
+          case PName("LZWDecode") =>
+            val early = numOf(doc, parms.getOrElse("EarlyChange", PNum(1)), 1) == 1
+            unpredict(lzwDecode(data, early), parms)
+          case PName("RunLengthDecode") => rleDecode(data)
+          case PName("ASCIIHexDecode")  => ahxDecode(data)
+          case PName("ASCII85Decode")   => a85Decode(data)
+          case other => throw new ParseError(s"unsupported filter $other")
+        }
+        i += 1
+      }
+      data
     }
   }
 

@@ -113,6 +113,173 @@ object PdfWriter {
   private def hexStr(b: Array[Byte]): String =
     "<" + b.map(x => f"${x & 0xff}%02X").mkString + ">"
 
+  // ---------------------------------------- filter encoders (fixtures)
+  /** PDF LZW encoder (TIFF variant, EarlyChange=1) — width schedule
+    * mirrors the DECODER's table size (one behind the encoder's `next`),
+    * Clear emitted at table saturation.
+    */
+  def lzwEncode(data: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream(data.length + 64)
+    var bitBuf = 0L
+    var bitCnt = 0
+    var width = 9
+    def emit(code: Int): Unit = {
+      bitBuf = (bitBuf << width) | code
+      bitCnt += width
+      while (bitCnt >= 8) {
+        out.write(((bitBuf >> (bitCnt - 8)) & 0xff).toInt)
+        bitCnt -= 8
+      }
+    }
+    var table = scala.collection.mutable.HashMap.empty[Seq[Byte], Int]
+    var next = 258
+    emit(256) // Clear
+    if (data.nonEmpty) {
+      var w = Vector(data(0))
+      var i = 1
+      def codeOf(s: Seq[Byte]): Int =
+        if (s.length == 1) s.head & 0xff else table(s)
+      def postEmit(): Unit = {
+        // decoder's table is one entry behind the encoder's `next`
+        if ((next - 1) + 1 >= (1 << width) && width < 12) width += 1
+      }
+      while (i < data.length) {
+        val c = data(i)
+        val wc = w :+ c
+        if (wc.length > 1 && (table.contains(wc))) w = wc
+        else if (wc.length == 1) w = wc
+        else {
+          emit(codeOf(w))
+          table(wc) = next
+          next += 1
+          postEmit()
+          if (next == 4095) { // reset before the table pins at 4096
+            emit(256)
+            table = scala.collection.mutable.HashMap.empty
+            next = 258
+            width = 9
+          }
+          w = Vector(c)
+        }
+        i += 1
+      }
+      emit(codeOf(w))
+      next += 1 // the decoder adds an entry for this code too
+      postEmit()
+    }
+    emit(257) // EOD
+    if (bitCnt > 0) out.write(((bitBuf << (8 - bitCnt)) & 0xff).toInt)
+    out.toByteArray
+  }
+
+  def rleEncode(data: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream(data.length + data.length / 128 + 8)
+    var i = 0
+    while (i < data.length) {
+      var run = 1
+      while (i + run < data.length && run < 128 && data(i + run) == data(i)) run += 1
+      if (run >= 2) {
+        out.write(257 - run); out.write(data(i))
+        i += run
+      } else {
+        var lit = 1
+        while (i + lit < data.length && lit < 128 &&
+          (i + lit + 1 >= data.length || data(i + lit) != data(i + lit + 1))) lit += 1
+        out.write(lit - 1)
+        out.write(data, i, lit)
+        i += lit
+      }
+    }
+    out.write(128) // EOD
+    out.toByteArray
+  }
+
+  def ahxEncode(data: Array[Byte]): Array[Byte] =
+    (data.map(b => f"${b & 0xff}%02X").mkString + ">").getBytes(ISO_8859_1)
+
+  def a85Encode(data: Array[Byte]): Array[Byte] = {
+    val sb = new StringBuilder(data.length * 5 / 4 + 8)
+    var i = 0
+    while (i + 4 <= data.length) {
+      var v = 0L
+      var k = 0
+      while (k < 4) { v = (v << 8) | (data(i + k) & 0xff); k += 1 }
+      val g = new Array[Char](5)
+      var j = 4
+      while (j >= 0) { g(j) = ('!' + (v % 85)).toChar; v /= 85; j -= 1 }
+      sb.appendAll(g)
+      i += 4
+    }
+    val rem = data.length - i
+    if (rem > 0) {
+      var v = 0L
+      var k = 0
+      while (k < 4) { v = (v << 8) | (if (k < rem) data(i + k) & 0xff else 0); k += 1 }
+      val g = new Array[Char](5)
+      var j = 4
+      while (j >= 0) { g(j) = ('!' + (v % 85)).toChar; v /= 85; j -= 1 }
+      sb.appendAll(g.take(rem + 1))
+    }
+    sb.append("~>")
+    sb.toString.getBytes(ISO_8859_1)
+  }
+
+  private def encodeFilter(name: String, data: Array[Byte]): Array[Byte] = name match {
+    case "FlateDecode"     => deflate(data)
+    case "LZWDecode"       => lzwEncode(data)
+    case "RunLengthDecode" => rleEncode(data)
+    case "ASCIIHexDecode"  => ahxEncode(data)
+    case "ASCII85Decode"   => a85Encode(data)
+    case other             => throw new IllegalArgumentException(s"no encoder for $other")
+  }
+
+  /** Classic build whose content streams ride the given `/Filter` chain
+    * (decode order, per spec; encoding applies the chain reversed) —
+    * the fixture domain for the non-Flate filters old crawl PDFs use.
+    */
+  def buildWithFilters(pages: Seq[Seq[String]], filters: Seq[String],
+                       mediaBox: (Double, Double) = (612.0, 792.0)): Array[Byte] = {
+    require(pages.nonEmpty && filters.nonEmpty)
+    val n = pages.size
+    val contents = pages.map(pageContent)
+    val out = new ByteArrayOutputStream(4096)
+    def w(s: String): Unit = out.write(s.getBytes(ISO_8859_1))
+    def fmtNum(d: Double): String =
+      if (d == d.floor && !d.isInfinite) d.toLong.toString else d.toString
+    val offsets = new Array[Long](n * 2 + 4)
+    val filterEntry =
+      if (filters.size == 1) s" /Filter /${filters.head}"
+      else s" /Filter [ ${filters.map("/" + _).mkString(" ")} ]"
+    w("%PDF-1.4\n%âãÏÓ\n")
+    offsets(1) = out.size(); w("1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+    offsets(2) = out.size()
+    val kids = (0 until n).map(i => s"${3 + 2 * i} 0 R").mkString(" ")
+    w(s"2 0 obj\n<< /Type /Pages /Kids [ $kids ] /Count $n >>\nendobj\n")
+    val fontObj = 3 + 2 * n
+    (0 until n).foreach { i =>
+      val pageObj = 3 + 2 * i
+      val contObj = pageObj + 1
+      val (mw, mh) = mediaBox
+      offsets(pageObj) = out.size()
+      w(s"$pageObj 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [ 0 0 ${fmtNum(mw)} ${fmtNum(mh)} ] " +
+        s"/Resources << /Font << /F1 $fontObj 0 R >> >> /Contents $contObj 0 R >>\nendobj\n")
+      offsets(contObj) = out.size()
+      val body = filters.reverse.foldLeft(contents(i))((acc, f) => encodeFilter(f, acc))
+      w(s"$contObj 0 obj\n<< /Length ${body.length}$filterEntry >>\nstream\n")
+      out.write(body)
+      w("\nendstream\nendobj\n")
+    }
+    offsets(fontObj) = out.size()
+    w(s"$fontObj 0 obj\n<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>\nendobj\n")
+    val xrefPos = out.size()
+    val total = fontObj + 1
+    w(s"xref\n0 $total\n")
+    w("0000000000 65535 f \n")
+    (1 until total).foreach { i => w(f"${offsets(i)}%010d 00000 n \n") }
+    w(s"trailer\n<< /Size $total /Root 1 0 R >>\nstartxref\n$xrefPos\n%%EOF\n")
+    out.toByteArray
+  }
+
   /** Encrypted build (standard security handler): same page/text
     * semantics as [[build]], classic xref layout, but every content
     * stream and the /Info title string are encrypted under per-object

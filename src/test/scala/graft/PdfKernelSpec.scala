@@ -235,6 +235,52 @@ class PdfKernelSpec extends AnyFunSuite {
       "type-2 xref entry must select the compressed (updated) page dict")
   }
 
+  // ------------------------------------------------- stream filters
+
+  test("filters: LZW/RLE/ASCIIHex/ASCII85 round-trip, including the LZW width boundaries") {
+    val r = new scala.util.Random(31)
+    for (n <- Seq(0, 1, 5, 300, 5000, 40000)) {
+      // low-entropy data grows the LZW table through 511/1023/2047 and
+      // (at 40k) past the 4095 reset
+      val data = Array.tabulate[Byte](n)(i => ((i / 7 + r.nextInt(3)) % 17).toByte)
+      assert(Pdf.lzwDecode(PdfWriter.lzwEncode(data)).toSeq === data.toSeq, s"lzw n=$n")
+      assert(Pdf.rleDecode(PdfWriter.rleEncode(data)).toSeq === data.toSeq, s"rle n=$n")
+      assert(Pdf.ahxDecode(PdfWriter.ahxEncode(data)).toSeq === data.toSeq, s"ahx n=$n")
+      assert(Pdf.a85Decode(PdfWriter.a85Encode(data)).toSeq === data.toSeq, s"a85 n=$n")
+    }
+    // random (high-entropy) payloads too
+    for (seed <- 1 to 10) {
+      val rr = new scala.util.Random(seed)
+      val data = new Array[Byte](rr.nextInt(3000) + 1)
+      rr.nextBytes(data)
+      assert(Pdf.lzwDecode(PdfWriter.lzwEncode(data)).toSeq === data.toSeq, s"lzw seed=$seed")
+      assert(Pdf.a85Decode(PdfWriter.a85Encode(data)).toSeq === data.toSeq, s"a85 seed=$seed")
+    }
+    // a85 'z' shortcut and hostile inputs
+    assert(Pdf.a85Decode("z~>".getBytes(ISO_8859_1)).toSeq === Seq[Byte](0, 0, 0, 0))
+    intercept[Pdf.ParseError](Pdf.ahxDecode("4G>".getBytes(ISO_8859_1)))
+    intercept[Pdf.ParseError](Pdf.a85Decode("~>".getBytes(ISO_8859_1)))
+    intercept[Pdf.ParseError](Pdf.lzwDecode(Array.fill[Byte](40)(-1)))
+  }
+
+  test("filtered pdfs: every filter and a chained [ASCII85 Flate] extract identically") {
+    val pages = Seq(Seq("filter page one", "line two"), Seq("page deux"))
+    val want = Pdf.pages(Pdf.parseDoc(PdfWriter.build(pages, compress = false)))
+      .map(p => Pdf.pageText(p.content))
+    for (fs <- Seq(Seq("LZWDecode"), Seq("RunLengthDecode"),
+        Seq("ASCIIHexDecode"), Seq("ASCII85Decode"),
+        Seq("ASCII85Decode", "FlateDecode"),
+        Seq("ASCIIHexDecode", "LZWDecode"))) {
+      val bytes = PdfWriter.buildWithFilters(pages, fs)
+      val got = Pdf.pages(Pdf.parseDoc(bytes)).map(p => Pdf.pageText(p.content))
+      assert(got === want, s"filters $fs")
+      // chunker handles filtered sources (re-serializes uncompressed)
+      val viaChunks = Pdf.chunkBytes(bytes).flatMap(c =>
+        Pdf.pages(Pdf.parseDoc(c)).map(p => Pdf.pageText(p.content)))
+      assert(viaChunks === want, s"chunker under $fs")
+    }
+  }
+
   // ---------------------------------------- standard security handler
 
   test("rc4 matches the published test vectors") {
