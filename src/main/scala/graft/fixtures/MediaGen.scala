@@ -2396,8 +2396,15 @@ object MediaGen {
     * decoder round-trips the ENCODER's reconstruction, which is what the
     * tests compare against).
     */
+  /** `splitOf`: per MB, `Some((partitionId, perPartitionMVs))` encodes a
+    * SPLITMV macroblock (partition ids 0=16x8 1=8x16 2=8x8 3=4x4, one
+    * MV per partition, eighth-pel even components); `None` falls back
+    * to the whole-MB `mvOf`/`(dx8, dy8)` path. Split MBs are
+    * motion-only (no residual support in the fixture).
+    */
   final case class Vp8Move(dx8: Int, dy8: Int, target: Option[Array[Int]] = None,
-                           mvOf: Option[(Int, Int) => (Int, Int)] = None)
+                           mvOf: Option[(Int, Int) => (Int, Int)] = None,
+                           splitOf: Option[(Int, Int) => Option[(Int, Seq[(Int, Int)])]] = None)
 
   /** Encode a raw VP8 frame SEQUENCE: a keyframe from `luma0`, then one
     * interframe per [[Vp8Move]] — every MB inter/LAST with the move's
@@ -2477,19 +2484,63 @@ object MediaGen {
       val mcBuf = new Array[Int](256)
       def mvAt(mbX: Int, mbY: Int): (Int, Int) =
         mv.mvOf.map(f => f(mbX, mbY)).getOrElse((mv.dx8, mv.dy8))
+      def splitAt(mbX: Int, mbY: Int): Option[(Int, Seq[(Int, Int)])] =
+        mv.splitOf.flatMap(f => f(mbX, mbY))
+      require(mv.target.isEmpty || mv.splitOf.isEmpty,
+        "fixture does not combine residuals with SPLITMV")
+      /** Per-subblock MVs of an MB (all 16 equal for whole-MB modes). */
+      def subMvsOf(mbX: Int, mbY: Int): (Array[Int], Array[Int]) =
+        splitAt(mbX, mbY) match {
+          case Some((part, mvs)) =>
+            require(mvs.length == Vp8Video.splitCounts(part),
+              s"partition $part needs ${Vp8Video.splitCounts(part)} MVs")
+            val fill = Vp8Video.splitFills(part)
+            val xs = new Array[Int](16); val ys = new Array[Int](16)
+            var b = 0
+            while (b < 16) {
+              val (vx, vy) = mvs(fill(b))
+              require((vx & 1) == 0 && (vy & 1) == 0, "sub-MV must be even")
+              xs(b) = vx; ys(b) = vy
+              b += 1
+            }
+            (xs, ys)
+          case None =>
+            val (dx8, dy8) = mvAt(mbX, mbY)
+            require((dx8 & 1) == 0 && (dy8 & 1) == 0, "MV must be even (quarter-pel)")
+            (Array.fill(16)(dx8), Array.fill(16)(dy8))
+        }
       var mbY = 0
       while (mbY < mbH) {
         var mbX = 0
         while (mbX < mbW) {
-          val (dx8, dy8) = mvAt(mbX, mbY)
-          require((dx8 & 1) == 0 && (dy8 & 1) == 0, "MV must be even (quarter-pel)")
-          Vp8Video.mcBlock(ref.y, w16, h16,
-            mbX * 16 + (dx8 >> 3), mbY * 16 + (dy8 >> 3),
-            dx8 & 7, dy8 & 7, mcBuf, 0, 16, 16, 16)
-          var r = 0
-          while (r < 16) {
-            System.arraycopy(mcBuf, r * 16, predY, (mbY * 16 + r) * w16 + mbX * 16, 16)
-            r += 1
+          if (splitAt(mbX, mbY).isEmpty) {
+            val (dx8, dy8) = mvAt(mbX, mbY)
+            require((dx8 & 1) == 0 && (dy8 & 1) == 0, "MV must be even (quarter-pel)")
+            Vp8Video.mcBlock(ref.y, w16, h16,
+              mbX * 16 + (dx8 >> 3), mbY * 16 + (dy8 >> 3),
+              dx8 & 7, dy8 & 7, mcBuf, 0, 16, 16, 16)
+            var r = 0
+            while (r < 16) {
+              System.arraycopy(mcBuf, r * 16, predY, (mbY * 16 + r) * w16 + mbX * 16, 16)
+              r += 1
+            }
+          } else {
+            // split: per-4x4 MC, mirroring the decoder exactly
+            val (xs, ys) = subMvsOf(mbX, mbY)
+            var b = 0
+            while (b < 16) {
+              val sx = b & 3; val sy = b >> 2
+              Vp8Video.mcBlock(ref.y, w16, h16,
+                mbX * 16 + sx * 4 + (xs(b) >> 3), mbY * 16 + sy * 4 + (ys(b) >> 3),
+                xs(b) & 7, ys(b) & 7, mcBuf, 0, 4, 4, 4)
+              var r = 0
+              while (r < 4) {
+                System.arraycopy(mcBuf, r * 4, predY,
+                  (mbY * 16 + sy * 4 + r) * w16 + mbX * 16 + sx * 4, 4)
+                r += 1
+              }
+              b += 1
+            }
           }
           mbX += 1
         }
@@ -2595,11 +2646,16 @@ object MediaGen {
         c2 += 1
       }
       val grid = Array.fill(mbW * mbH)(Vp8Video.OutsideMb)
+      val aboveMvX = new Array[Int](mbW * 4)
+      val aboveMvY = new Array[Int](mbW * 4)
+      val leftMvX = new Array[Int](4)
+      val leftMvY = new Array[Int](4)
       mbY = 0
       while (mbY < mbH) {
+        java.util.Arrays.fill(leftMvX, 0)
+        java.util.Arrays.fill(leftMvY, 0)
         var mbX = 0
         while (mbX < mbW) {
-          val (dx8, dy8) = mvAt(mbX, mbY)
           e0.put(128, if (skips(mbY * mbW + mbX)) 1 else 0) // skip
           e0.put(128, 1) // is_inter
           e0.put(128, 0) // ref = LAST
@@ -2611,18 +2667,65 @@ object MediaGen {
           val mp = Array(
             Vp8Video.modeContexts(cnt(0))(0), Vp8Video.modeContexts(cnt(1))(1),
             Vp8Video.modeContexts(cnt(2))(2), Vp8Video.modeContexts(cnt(3))(3))
-          if (dx8 == 0 && dy8 == 0)
-            e0.tree(Vp8Video.mvRefTree, mp, 0, 0) // ZERO
-          else if (dx8 == nearestX && dy8 == nearestY)
-            e0.tree(Vp8Video.mvRefTree, mp, 0, 1) // NEAREST
-          else if (dx8 == nearX && dy8 == nearY)
-            e0.tree(Vp8Video.mvRefTree, mp, 0, 2) // NEAR
-          else {
-            e0.tree(Vp8Video.mvRefTree, mp, 0, 3) // NEW
-            putMvComponent(e0, graft.kernel.Vp8Video.mvDefaultProbs(0), dy8 - bestY)
-            putMvComponent(e0, graft.kernel.Vp8Video.mvDefaultProbs(1), dx8 - bestX)
+          val (smX, smY) = subMvsOf(mbX, mbY)
+          splitAt(mbX, mbY) match {
+            case Some((part, mvs)) =>
+              e0.tree(Vp8Video.mvRefTree, mp, 0, 4) // SPLIT
+              e0.tree(Vp8Video.splitPartTree, Vp8Video.splitPartProbs, 0, part)
+              val fill = Vp8Video.splitFills(part)
+              var k = 0
+              while (k < Vp8Video.splitCounts(part)) {
+                var fi = 0
+                while (fill(fi) != k) fi += 1
+                val sx = fi & 3; val sy = fi >> 2
+                val lX = if (sx == 0) leftMvX(sy) else smX(fi - 1)
+                val lY = if (sx == 0) leftMvY(sy) else smY(fi - 1)
+                val aX = if (sy == 0) aboveMvX(mbX * 4 + sx) else smX(fi - 4)
+                val aY = if (sy == 0) aboveMvY(mbX * 4 + sx) else smY(fi - 4)
+                val lez = lX == 0 && lY == 0
+                val aez = aX == 0 && aY == 0
+                val lea = lX == aX && lY == aY
+                val ctx =
+                  if (lea && lez) 4 else if (lea) 3
+                  else if (aez) 2 else if (lez) 1 else 0
+                val (vx, vy) = mvs(k)
+                val probs = Vp8Video.subMvRefProbs(ctx)
+                if (vx == lX && vy == lY)
+                  e0.tree(Vp8Video.subMvRefTree, probs, 0, 0) // LEFT
+                else if (vx == aX && vy == aY)
+                  e0.tree(Vp8Video.subMvRefTree, probs, 0, 1) // ABOVE
+                else if (vx == 0 && vy == 0)
+                  e0.tree(Vp8Video.subMvRefTree, probs, 0, 2) // ZERO
+                else {
+                  e0.tree(Vp8Video.subMvRefTree, probs, 0, 3) // NEW
+                  putMvComponent(e0, Vp8Video.mvDefaultProbs(0), vy - bestY)
+                  putMvComponent(e0, Vp8Video.mvDefaultProbs(1), vx - bestX)
+                }
+                k += 1
+              }
+              grid(mbY * mbW + mbX) = Vp8Video.MbInfo(0, smX(15), smY(15), split = true)
+            case None =>
+              val dx8 = smX(0); val dy8 = smY(0)
+              if (dx8 == 0 && dy8 == 0)
+                e0.tree(Vp8Video.mvRefTree, mp, 0, 0) // ZERO
+              else if (dx8 == nearestX && dy8 == nearestY)
+                e0.tree(Vp8Video.mvRefTree, mp, 0, 1) // NEAREST
+              else if (dx8 == nearX && dy8 == nearY)
+                e0.tree(Vp8Video.mvRefTree, mp, 0, 2) // NEAR
+              else {
+                e0.tree(Vp8Video.mvRefTree, mp, 0, 3) // NEW
+                putMvComponent(e0, Vp8Video.mvDefaultProbs(0), dy8 - bestY)
+                putMvComponent(e0, Vp8Video.mvDefaultProbs(1), dx8 - bestX)
+              }
+              grid(mbY * mbW + mbX) = Vp8Video.MbInfo(0, dx8, dy8, split = false)
           }
-          grid(mbY * mbW + mbX) = Vp8Video.MbInfo(0, dx8, dy8, split = false)
+          var sb2 = 0
+          while (sb2 < 4) {
+            leftMvX(sb2) = smX(sb2 * 4 + 3); leftMvY(sb2) = smY(sb2 * 4 + 3)
+            aboveMvX(mbX * 4 + sb2) = smX(12 + sb2)
+            aboveMvY(mbX * 4 + sb2) = smY(12 + sb2)
+            sb2 += 1
+          }
           mbX += 1
         }
         mbY += 1

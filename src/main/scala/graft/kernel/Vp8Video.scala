@@ -52,6 +52,21 @@ object Vp8Video {
     Array(60, 56, 128, 65),
     Array(234, 160, 1, 1),
     Array(257 & 0xff, 336 & 0xff, 1, 2))
+  // SPLITMV partitioning (§16.3.5): ids 0=16x8 1=8x16 2=8x8 3=4x4
+  private[graft] val splitPartTree = Array(-4, 2, -3, 4, -1, -2)
+  private[graft] val splitPartProbs = Array(110, 111, 150)
+  private[graft] val splitFills: Array[Array[Int]] = Array(
+    Array(0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 1, 1, 1, 1),
+    Array(0, 0, 1, 1, 0, 0, 1, 1, 0, 0, 1, 1, 0, 0, 1, 1),
+    Array(0, 0, 1, 1, 0, 0, 1, 1, 2, 2, 3, 3, 2, 2, 3, 3),
+    Array.tabulate(16)(identity))
+  private[graft] val splitCounts = Array(2, 2, 4, 16)
+  // sub-MV modes: 0=LEFT 1=ABOVE 2=ZERO 3=NEW, probs by neighbor context
+  private[graft] val subMvRefTree = Array(-1, 2, -2, 4, -3, -4)
+  private[graft] val subMvRefProbs: Array[Array[Int]] = Array(
+    Array(147, 136, 18), Array(106, 145, 1), Array(179, 121, 1),
+    Array(223, 1, 34), Array(208, 1, 1))
+
   // short-vector tree, values 0..7 (§17.2)
   private[graft] val smallMvTree = Array(2, 8, 4, 6, -1, -2, -3, -4, 10, 12,
     -5, -6, -7, -8)
@@ -612,10 +627,21 @@ object Vp8Video {
     val y2 = new Array[Int](16)
     val grid = Array.fill(mbW * mbH)(OutsideMb)
     val mcBuf = new Array[Int](16 * 16)
+    // per-4x4 MV context rows for SPLITMV sub-mode decoding: the bottom
+    // row of each MB column (above) and the right column of the last MB
+    // (left); intra and out-of-frame neighbors contribute zero MVs
+    val aboveMvX = new Array[Int](mbW * 4)
+    val aboveMvY = new Array[Int](mbW * 4)
+    val leftMvX = new Array[Int](4)
+    val leftMvY = new Array[Int](4)
+    val smX = new Array[Int](16)
+    val smY = new Array[Int](16)
 
     var mbY = 0
     while (mbY < mbH) {
       java.util.Arrays.fill(leftNz, 0)
+      java.util.Arrays.fill(leftMvX, 0)
+      java.util.Arrays.fill(leftMvY, 0)
       val bd = parts(mbY % nParts)
       var mbX = 0
       while (mbX < mbW) {
@@ -635,6 +661,12 @@ object Vp8Video {
           predIntra(U, cw, mbX * 8, mbY * 8, 8, uvMode, mbY > 0, mbX > 0)
           predIntra(V, cw, mbX * 8, mbY * 8, 8, uvMode, mbY > 0, mbX > 0)
           info = MbInfo(-1, 0, 0, split = false)
+          var sb2 = 0
+          while (sb2 < 4) {
+            leftMvX(sb2) = 0; leftMvY(sb2) = 0
+            aboveMvX(mbX * 4 + sb2) = 0; aboveMvY(mbX * 4 + sb2) = 0
+            sb2 += 1
+          }
         } else {
           val ref =
             if (br.bit(probLast) == 0) 0
@@ -650,58 +682,161 @@ object Vp8Video {
             modeContexts(cnt(0))(0), modeContexts(cnt(1))(1),
             modeContexts(cnt(2))(2), modeContexts(cnt(3))(3))
           val mode = br.tree(mvRefTree, mp)
-          val (mvX, mvY) = mode match {
-            case 0 => (0, 0)
-            case 1 => (nearestX, nearestY)
-            case 2 => (nearX, nearY)
-            case 3 =>
-              val dy = readMvComponent(br, st.mvP(0))
-              val dx = readMvComponent(br, st.mvP(1))
-              (bestX + dx, bestY + dy)
-            case _ =>
-              throw new Vp8Error("SPLITMV unsupported (fixture envelope)")
-          }
           val rf = refPlanes(ref)
-          // luma: one 16x16 MC
-          mcBlock(rf.y, w16, h16, xBase + (mvX >> 3), yBase + (mvY >> 3),
-            mvX & 7, mvY & 7, mcBuf, 0, 16, 16, 16)
-          var r = 0
-          while (r < 16) {
-            System.arraycopy(mcBuf, r * 16, Y, (yBase + r) * w16 + xBase, 16)
-            r += 1
+          if (mode == 4) {
+            // ---- SPLITMV (§16.3.5): per-partition sub-MVs
+            val part = br.tree(splitPartTree, splitPartProbs)
+            val fill = splitFills(part)
+            var k = 0
+            while (k < splitCounts(part)) {
+              var fi = 0
+              while (fill(fi) != k) fi += 1
+              val sx = fi & 3; val sy = fi >> 2
+              val lX = if (sx == 0) leftMvX(sy) else smX(fi - 1)
+              val lY = if (sx == 0) leftMvY(sy) else smY(fi - 1)
+              val aX = if (sy == 0) aboveMvX(mbX * 4 + sx) else smX(fi - 4)
+              val aY = if (sy == 0) aboveMvY(mbX * 4 + sx) else smY(fi - 4)
+              val lez = lX == 0 && lY == 0
+              val aez = aX == 0 && aY == 0
+              val lea = lX == aX && lY == aY
+              val ctx =
+                if (lea && lez) 4 else if (lea) 3
+                else if (aez) 2 else if (lez) 1 else 0
+              val (vx, vy) = br.tree(subMvRefTree, subMvRefProbs(ctx)) match {
+                case 0 => (lX, lY)
+                case 1 => (aX, aY)
+                case 2 => (0, 0)
+                case _ =>
+                  val dy = readMvComponent(br, st.mvP(0))
+                  val dx = readMvComponent(br, st.mvP(1))
+                  (bestX + dx, bestY + dy)
+              }
+              var b = 0
+              while (b < 16) {
+                if (fill(b) == k) { smX(b) = vx; smY(b) = vy }
+                b += 1
+              }
+              k += 1
+            }
+            // luma: one 4x4 MC per subblock with its own MV
+            var b = 0
+            while (b < 16) {
+              val sx = b & 3; val sy = b >> 2
+              mcBlock(rf.y, w16, h16,
+                xBase + sx * 4 + (smX(b) >> 3), yBase + sy * 4 + (smY(b) >> 3),
+                smX(b) & 7, smY(b) & 7, mcBuf, 0, 4, 4, 4)
+              var r = 0
+              while (r < 4) {
+                System.arraycopy(mcBuf, r * 4, Y,
+                  (yBase + sy * 4 + r) * w16 + xBase + sx * 4, 4)
+                r += 1
+              }
+              b += 1
+            }
+            // chroma 4x4 blocks: average of the 4 covering luma sub-MVs,
+            // round-away-from-zero /8 (the averaged value lands in
+            // 1/8-CHROMA-pel units — §18.2)
+            var cb = 0
+            while (cb < 4) {
+              val csx = cb & 1; val csy = cb >> 1
+              var sumX = 0; var sumY = 0
+              var dr = 0
+              while (dr < 2) {
+                var dc = 0
+                while (dc < 2) {
+                  val li = (2 * csy + dr) * 4 + (2 * csx + dc)
+                  sumX += smX(li); sumY += smY(li)
+                  dc += 1
+                }
+                dr += 1
+              }
+              val cmx = (if (sumX >= 0) sumX + 4 else sumX - 4) / 8
+              val cmy = (if (sumY >= 0) sumY + 4 else sumY - 4) / 8
+              var pl2 = 0
+              while (pl2 < 2) {
+                val plane = if (pl2 == 0) rf.u else rf.v
+                val outP = if (pl2 == 0) U else V
+                mcBlock(plane, cw, ch,
+                  mbX * 8 + csx * 4 + (cmx >> 3), mbY * 8 + csy * 4 + (cmy >> 3),
+                  cmx & 7, cmy & 7, mcBuf, 0, 4, 4, 4)
+                var r = 0
+                while (r < 4) {
+                  System.arraycopy(mcBuf, r * 4, outP,
+                    (mbY * 8 + csy * 4 + r) * cw + mbX * 8 + csx * 4, 4)
+                  r += 1
+                }
+                pl2 += 1
+              }
+              cb += 1
+            }
+            info = MbInfo(ref, smX(15), smY(15), split = true)
+            useY2 = false
+          } else {
+            val (mvX, mvY) = mode match {
+              case 0 => (0, 0)
+              case 1 => (nearestX, nearestY)
+              case 2 => (nearX, nearY)
+              case _ =>
+                val dy = readMvComponent(br, st.mvP(0))
+                val dx = readMvComponent(br, st.mvP(1))
+                (bestX + dx, bestY + dy)
+            }
+            java.util.Arrays.fill(smX, mvX)
+            java.util.Arrays.fill(smY, mvY)
+            // luma: one 16x16 MC
+            mcBlock(rf.y, w16, h16, xBase + (mvX >> 3), yBase + (mvY >> 3),
+              mvX & 7, mvY & 7, mcBuf, 0, 16, 16, 16)
+            var r = 0
+            while (r < 16) {
+              System.arraycopy(mcBuf, r * 16, Y, (yBase + r) * w16 + xBase, 16)
+              r += 1
+            }
+            // chroma: components halve exactly (MVs are even — read ×2;
+            // identical to the §18.2 averaged form when all four agree)
+            val cmx = mvX >> 1; val cmy = mvY >> 1
+            mcBlock(rf.u, cw, ch, mbX * 8 + (cmx >> 3), mbY * 8 + (cmy >> 3),
+              cmx & 7, cmy & 7, mcBuf, 0, 8, 8, 8)
+            r = 0
+            while (r < 8) {
+              System.arraycopy(mcBuf, r * 8, U, (mbY * 8 + r) * cw + mbX * 8, 8)
+              r += 1
+            }
+            mcBlock(rf.v, cw, ch, mbX * 8 + (cmx >> 3), mbY * 8 + (cmy >> 3),
+              cmx & 7, cmy & 7, mcBuf, 0, 8, 8, 8)
+            r = 0
+            while (r < 8) {
+              System.arraycopy(mcBuf, r * 8, V, (mbY * 8 + r) * cw + mbX * 8, 8)
+              r += 1
+            }
+            info = MbInfo(ref, mvX, mvY, split = false)
+            useY2 = true
           }
-          // chroma: components halve exactly (MVs are even — read ×2)
-          val cmx = mvX >> 1; val cmy = mvY >> 1
-          mcBlock(rf.u, cw, ch, mbX * 8 + (cmx >> 3), mbY * 8 + (cmy >> 3),
-            cmx & 7, cmy & 7, mcBuf, 0, 8, 8, 8)
-          r = 0
-          while (r < 8) {
-            System.arraycopy(mcBuf, r * 8, U, (mbY * 8 + r) * cw + mbX * 8, 8)
-            r += 1
+          // per-4x4 MV context rows for the NEXT MBs
+          var sb2 = 0
+          while (sb2 < 4) {
+            leftMvX(sb2) = smX(sb2 * 4 + 3); leftMvY(sb2) = smY(sb2 * 4 + 3)
+            aboveMvX(mbX * 4 + sb2) = smX(12 + sb2)
+            aboveMvY(mbX * 4 + sb2) = smY(12 + sb2)
+            sb2 += 1
           }
-          mcBlock(rf.v, cw, ch, mbX * 8 + (cmx >> 3), mbY * 8 + (cmy >> 3),
-            cmx & 7, cmy & 7, mcBuf, 0, 8, 8, 8)
-          r = 0
-          while (r < 8) {
-            System.arraycopy(mcBuf, r * 8, V, (mbY * 8 + r) * cw + mbX * 8, 8)
-            r += 1
-          }
-          info = MbInfo(ref, mvX, mvY, split = false)
         }
-        useY2 = true // every supported MB type here carries Y2
 
         // ---- residuals (token partition), identical context discipline
+        // (SPLITMV carries no Y2, like the keyframe B_PRED case — its
+        // Y2 neighbor context is left untouched)
         var y2Nz = 0
-        if (!skip) {
+        if (!skip && useY2) {
           val ctx = leftNz(8) + aboveNz(mbX * 9 + 8)
           y2Nz = readCoeffs(bd, 1, 0, ctx, segQ(2), segQ(3))
           System.arraycopy(coeffs, 0, y2, 0, 16)
           iwht4x4(y2, dcBuf)
           leftNz(8) = y2Nz; aboveNz(mbX * 9 + 8) = y2Nz
-        } else {
+        } else if (useY2) {
           java.util.Arrays.fill(dcBuf, 0)
           leftNz(8) = 0; aboveNz(mbX * 9 + 8) = 0
         }
+        val typY = if (useY2) 0 else 3
+        val firstY = if (useY2) 1 else 0
         var sb = 0
         while (sb < 16) {
           val sx = sb & 3; val sy = sb >> 2
@@ -710,9 +845,9 @@ object Vp8Video {
           if (!skip) {
             val ctx = (if (sx == 0) leftNz(sy) else yNz(sb - 1)) +
               (if (sy == 0) aboveNz(mbX * 9 + sx) else yNz(sb - 4))
-            nz = readCoeffs(bd, 0, 1, ctx, segQ(0), segQ(1))
-            coeffs(0) = dcBuf(sb)
-            if (nz != 0 || dcBuf(sb) != 0) addResidual(Y, bo, w16)
+            nz = readCoeffs(bd, typY, firstY, ctx, segQ(0), segQ(1))
+            if (useY2) coeffs(0) = dcBuf(sb)
+            if (nz != 0 || (useY2 && dcBuf(sb) != 0)) addResidual(Y, bo, w16)
           }
           yNz(sb) = nz
           if (sx == 3) leftNz(sy) = nz

@@ -160,6 +160,64 @@ class Vp8VideoSpec extends AnyFunSuite {
     assert(decoded(2).y.toSeq === decoded(1).y.toSeq)
   }
 
+  test("SPLITMV: all four partition kinds reconstruct exact per-region translations") {
+    val w = 64; val h = 64 // 4x4 MBs
+    val lum = textured(w, h, 20)
+    // MB (0,0): 4x4 split (16 distinct-ish MVs), MB (1,0): 8x8 quads,
+    // MB (2,0): 16x8 halves, MB (3,0): 8x16 halves; row 1+: whole-MB zero
+    val splits: (Int, Int) => Option[(Int, Seq[(Int, Int)])] = (mbX, mbY) =>
+      if (mbY != 0) None
+      else mbX match {
+        case 0 => Some((3, (0 until 16).map(i => ((i % 3) * 8 - 8, (i % 2) * 8))))
+        case 1 => Some((2, Seq((8, 0), (0, 8), (-8, 0), (0, -8))))
+        case 2 => Some((0, Seq((16, 0), (0, 16))))
+        case 3 => Some((1, Seq((-16, 0), (0, -16))))
+        case _ => None
+      }
+    val frames = MediaGen.vp8Sequence(lum, w, h,
+      Seq(Vp8Move(0, 0, splitOf = Some(splits))))
+    val decoded = Vp8Video.decodeSequence(frames)
+    val ref = Vp8Video.toRef(decoded(0))
+    val w16 = ((w + 15) >> 4) * 16; val h16 = ((h + 15) >> 4) * 16
+    // every luma pixel must equal its OWN subblock's translation
+    var bad = 0
+    for (y <- 0 until h; x <- 0 until w) {
+      val mbX = x / 16; val mbY = y / 16
+      val (dx, dy) = splits(mbX, mbY) match {
+        case None => (0, 0)
+        case Some((part, mvs)) =>
+          val sb = ((y % 16) / 4) * 4 + (x % 16) / 4
+          mvs(Vp8Video.splitFills(part)(sb))
+      }
+      val sx = math.max(0, math.min(w16 - 1, x + (dx >> 3)))
+      val sy = math.max(0, math.min(h16 - 1, y + (dy >> 3)))
+      if (decoded(1).y(y * w + x) != ref.y(sy * w16 + sx)) bad += 1
+    }
+    assert(bad === 0, s"$bad of ${w * h} pixels diverged under SPLITMV")
+  }
+
+  test("SPLITMV context chain: neighboring split MBs with shared MVs still round-trip") {
+    val w = 48; val h = 32
+    val lum = textured(w, h, 21)
+    // adjacent 4x4-split MBs whose sub-MVs repeat left/above values —
+    // exercising the LEFT/ABOVE/ZERO sub-modes and their contexts
+    val splits: (Int, Int) => Option[(Int, Seq[(Int, Int)])] = (mbX, _) =>
+      Some((3, (0 until 16).map { i =>
+        if ((i + mbX) % 4 == 0) (0, 0)
+        else if (i % 2 == 0) (8, 0) else (8, 0) // runs of equal MVs
+      }))
+    val frames = MediaGen.vp8Sequence(lum, w, h,
+      Seq(Vp8Move(0, 0, splitOf = Some(splits)), Vp8Move(8, 8)))
+    val decoded = Vp8Video.decodeSequence(frames)
+    assert(decoded.length === 3)
+    // frame 2's whole-MB motion rides on a split-built reference; the
+    // sequence decoding itself (no thrown error, exact length) plus a
+    // re-decode determinism check pin the chain
+    val again = Vp8Video.decodeSequence(frames)
+    assert(again(2).y.toSeq === decoded(2).y.toSeq)
+    assert(again(1).y.toSeq === decoded(1).y.toSeq)
+  }
+
   test("hidden frames (show_frame=0) update references but emit no output") {
     val w = 48; val h = 32
     val frames = MediaGen.vp8Sequence(textured(w, h, 10), w, h,
