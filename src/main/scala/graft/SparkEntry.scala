@@ -265,6 +265,25 @@ object SparkEntry {
         .agg(array_join(array_sort(collect_set(col("event_type"))), ",").as("types"),
           countDistinct(col("event_type")).as("n_types"))
     }),
+    // regexp_extract_all census: every long alphabetic token in the
+    // corpus, exploded and counted — the regex-sweep shape PII/keyword
+    // audits run
+    "q76_regex_census" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(explode(expr("regexp_extract_all(text, '[A-Za-z]{4,}', 0)")).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("n"))
+        .where(col("n") >= 10)
+    }),
+    // conditional aggregation (the SQL FILTER clause shape): per-type
+    // counts and averages over predicated slices in one pass
+    "q77_conditional_agg" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          count(when(col("value") > 0.5, 1)).as("n_hi"),
+          round(sum(when(col("user_id") % 2 === 0, col("value"))), 2).as("even_sum"),
+          round(avg(when(col("value") <= 0.5, col("value"))), 4).as("lo_avg"))
+    }),
     // ------------------------------------------- C6: TTL predicate
     "q10_ttl_filter" -> ((s, dir) => {
       t(s, dir, "events")
@@ -1739,6 +1758,27 @@ object SparkEntry {
       graft.pipeline.CorpusJob.run(s, fixturePages(s), s"$tmp/wet",
         maxBucket = 64)
     }),
+    // the FULL curation funnel: pipe33's pipeline extended with the
+    // blocklist gate, eval-set decontamination, PII redaction and the
+    // per-domain cap — one call, per-stage survivor counts gate-checked
+    "pipe60_full_funnel" -> ((s, _) => {
+      import s.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("graft-pipe60").toString
+      val pages = fixturePages(s)
+      // eval set: two fixture ground-truth texts → decontamination must bite
+      val evalDf = pages.limit(2).select(col("url").as("id"), col("text"))
+      val bl = Seq.empty[String].toDF("blocked")
+      val funnel = graft.pipeline.CorpusJob.runFull(s, pages, s"$tmp/wet",
+        evalDf, bl, domainCap = 50, maxBucket = 64).cache()
+      val m = funnel.collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+      require(m("unblocked") == m("extracted"), "empty blocklist must block nothing")
+      require(m("decontaminated") < m("quality_kept"),
+        "planted eval twins must be decontaminated away")
+      require(m("wet_records_written") == m("domain_capped"),
+        "every capped survivor must reach the WET sink")
+      require(m("domain_capped") > 0, "funnel collapsed to zero")
+      funnel
+    }),
     // WET-style sidecar sink: extracted text written back out as WARC
     // conversion-record archives (per-record gzip members) and parsed
     // back — crawl-in/crawl-out symmetry; WarcSpec proves byte identity
@@ -2026,6 +2066,14 @@ object SparkEntry {
         SELECT doc_id, lang, row_number() OVER (
           PARTITION BY lang ORDER BY sha256(CAST(doc_id AS VARCHAR)), doc_id) AS rn
         FROM documents) WHERE rn <= 30"""),
+    "q76_regex_census" -> ("SELECT token, count(*) AS n FROM (" +
+      "SELECT unnest(regexp_extract_all(text, '[A-Za-z]{4,}')) AS token FROM documents" +
+      ") GROUP BY token HAVING count(*) >= 10"),
+    "q77_conditional_agg" -> ("SELECT event_type, count(*) AS n, " +
+      "count(*) FILTER (WHERE value > 0.5) AS n_hi, " +
+      "round(sum(value) FILTER (WHERE user_id % 2 = 0), 2) AS even_sum, " +
+      "round(avg(value) FILTER (WHERE value <= 0.5), 4) AS lo_avg " +
+      "FROM events GROUP BY event_type"),
     "q73_grouping_sets" -> ("SELECT event_type, user_id % 4 AS bucket, " +
       "GROUPING(event_type, user_id % 4) AS gid, count(*) AS cnt, " +
       "round(sum(value), 2) AS value_sum FROM events " +

@@ -20,7 +20,12 @@ object Robots {
   final case class Group(agents: Vector[String],
                          rules: Vector[(Boolean, String)], // (isAllow, pattern)
                          crawlDelay: Option[Double])
-  final case class RobotsFile(groups: Vector[Group])
+  /** `sitemaps`: the file-level `Sitemap:` URLs (RFC 9309 §2.3 allows
+    * them anywhere; they are NOT group-scoped) — the discovery seed a
+    * crawler follows before fetching anything else on the host.
+    */
+  final case class RobotsFile(groups: Vector[Group],
+                              sitemaps: Vector[String] = Vector.empty)
 
   /** Parse robots.txt content. Unknown directives are ignored; a rule
     * line before any user-agent line is ignored (RFC: rules belong to
@@ -32,6 +37,7 @@ object Robots {
     var agents = Vector.empty[String]
     var rules = Vector.empty[(Boolean, String)]
     var delay: Option[Double] = None
+    var sitemaps = Vector.empty[String]
     var collectingAgents = false
     var inGroup = false
     def flush(): Unit = {
@@ -61,13 +67,16 @@ object Robots {
           case "crawl-delay" =>
             collectingAgents = false
             if (inGroup) delay = value.toDoubleOption.orElse(delay)
+          case "sitemap" =>
+            collectingAgents = false // file-level; the group continues
+            if (value.nonEmpty) sitemaps :+= value
           case _ =>
-            collectingAgents = false // sitemap etc.: group continues
+            collectingAgents = false // unknown directive: group continues
         }
       }
     }
     flush()
-    RobotsFile(groups.result())
+    RobotsFile(groups.result(), sitemaps)
   }
 
   /** §2.2.1 group selection: the group whose user-agent token is the

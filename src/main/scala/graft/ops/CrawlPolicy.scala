@@ -109,6 +109,23 @@ object CrawlPolicy {
       }).toDF("host", "crawl_delay")
   }
 
+  /** Per-host `Sitemap:` URLs declared in robots.txt (RFC 9309 §2.3 —
+    * file-level, not group-scoped): `(host, sitemap_url)`, one row per
+    * declaration. The discovery-funnel seed that precedes fetching the
+    * sitemaps themselves ([[sitemapEntries]] expands their payloads).
+    */
+  def sitemapUrlsFromRobots(robots: DataFrame, hostCol: String,
+                            txtCol: String): DataFrame = {
+    val spark = robots.sparkSession
+    import spark.implicits._
+    robots.select(col(hostCol).cast("string"), col(txtCol).cast("string"))
+      .as[(String, String)]
+      .mapPartitions(_.flatMap { case (host, txt) =>
+        if (txt == null) Iterator.empty
+        else Robots.parse(txt).sitemaps.iterator.map(u => (host, u))
+      }).toDF("host", "sitemap_url")
+  }
+
   /** Domain-suffix blocklist gate — the UT1/adult-ads-malware domain
     * filter every web corpus applies before extraction: a host is
     * blocked when ANY of its dot-suffixes ("a.ads.example.com" →

@@ -383,6 +383,39 @@ class PipelineSpec extends AnyFunSuite with SparkSuite {
     back.foreach { case (url, text) => assert(text === truth(url), url) }
   }
 
+  test("full funnel: blocklist, decontamination, redaction and domain cap compose") {
+    val tmp = Files.createTempDirectory("graft-fullfunnel").toString
+    // eval set = verbatim copies of two fixture docs' truth text → the
+    // decontamination stage must drop exactly their extracted twins
+    val evalTexts = fixture.take(2).map(_.text)
+    val evalDf = evalTexts.zipWithIndex.map { case (t, i) => (s"eval$i", t) }
+      .toDF("id", "text")
+    val emptyBl = Seq.empty[String].toDF("blocked")
+    val funnel = CorpusJob.runFull(spark, pagesDs.toDF(), s"$tmp/wet",
+        evalDf, emptyBl, domainCap = 3, maxBucket = 64)
+      .orderBy($"ord").as[(Int, String, Long)].collect()
+    assert(funnel.map(_._2).toSeq === Seq("extracted", "unblocked",
+      "quality_kept", "decontaminated", "exact_unique", "neardup_survivors",
+      "pii_redacted_docs", "domain_capped", "wet_records_written"))
+    val byStage = funnel.map(t => t._2 -> t._3).toMap
+    // empty blocklist: nothing blocked
+    assert(byStage("unblocked") === byStage("extracted"))
+    // decontamination dropped at least the two planted eval twins
+    assert(byStage("decontaminated") < byStage("quality_kept"))
+    // survivor stages are monotone and the cap binds per host
+    assert(byStage("exact_unique") <= byStage("decontaminated"))
+    assert(byStage("neardup_survivors") <= byStage("exact_unique"))
+    assert(byStage("domain_capped") <= byStage("neardup_survivors"))
+    assert(byStage("wet_records_written") === byStage("domain_capped"))
+    assert(byStage("domain_capped") > 0)
+    // per-host cap actually holds on the written corpus
+    val perHost = graft.sources.Warc.readConversions(spark, s"$tmp/wet/*.warc.gz")
+      .select(callUDF("parse_url", $"url", lit("HOST")).as("host"))
+      .groupBy($"host").count().select($"count").as[Long].collect()
+    assert(perHost.forall(_ <= 3), s"cap violated: ${perHost.max}")
+    info(s"full funnel: ${funnel.map(t => s"${t._2}=${t._3}").mkString(", ")}")
+  }
+
   test("manifest listing is newest-first") {
     val mani = Seq(
       (java.sql.Date.valueOf("2024-01-01"), 0, 5L, "r1", new Timestamp(1000), "p1"),

@@ -120,6 +120,28 @@ class RobotsSpec extends AnyFunSuite with SparkSuite {
     assert(kept === Set(4L, 6L))
   }
 
+  test("robots Sitemap: lines are file-level, captured anywhere, fed to the op") {
+    val txt =
+      """Sitemap: https://h1.example/sitemap.xml
+        |User-agent: *
+        |Disallow: /private
+        |Sitemap: https://h1.example/sitemap-news.xml.gz
+        |User-agent: graftbot
+        |Allow: /
+        |""".stripMargin
+    val rf = graft.kernel.Robots.parse(txt)
+    assert(rf.sitemaps === Vector("https://h1.example/sitemap.xml",
+      "https://h1.example/sitemap-news.xml.gz"))
+    // the mid-group Sitemap line must not have split the '*' group
+    assert(graft.kernel.Robots.isAllowed(rf, "other", "/private") === false)
+    val df = Seq(("h1.example", txt), ("h2.example", "User-agent: *\nAllow: /"),
+      ("h3.example", null.asInstanceOf[String])).toDF("host", "robots_txt")
+    val got = CrawlPolicy.sitemapUrlsFromRobots(df, "host", "robots_txt")
+      .as[(String, String)].collect().toSet
+    assert(got === Set(("h1.example", "https://h1.example/sitemap.xml"),
+      ("h1.example", "https://h1.example/sitemap-news.xml.gz")))
+  }
+
   test("domain blocklist: empty blocklist keeps everything; blocklist side is broadcast") {
     val rows = Seq((1L, "x.com"), (2L, "y.org")).toDF("id", "host")
     val none = CrawlPolicy.blockByDomainSuffix(rows,
