@@ -2402,9 +2402,15 @@ object MediaGen {
     * to the whole-MB `mvOf`/`(dx8, dy8)` path. Split MBs are
     * motion-only (no residual support in the fixture).
     */
+  /** `ref` selects the prediction reference (0=LAST 1=GOLDEN 2=ALTREF);
+    * `refreshGolden`/`refreshAltref` update those buffers from this
+    * frame's reconstruction (§9.7) — LAST always refreshes in fixtures.
+    */
   final case class Vp8Move(dx8: Int, dy8: Int, target: Option[Array[Int]] = None,
                            mvOf: Option[(Int, Int) => (Int, Int)] = None,
-                           splitOf: Option[(Int, Int) => Option[(Int, Seq[(Int, Int)])]] = None)
+                           splitOf: Option[(Int, Int) => Option[(Int, Seq[(Int, Int)])]] = None,
+                           ref: Int = 0, refreshGolden: Boolean = false,
+                           refreshAltref: Boolean = false)
 
   /** Encode a raw VP8 frame SEQUENCE: a keyframe from `luma0`, then one
     * interframe per [[Vp8Move]] — every MB inter/LAST with the move's
@@ -2430,7 +2436,11 @@ object MediaGen {
     val kfRaw = vp8RawFrame(luma0, w, h, qi)
     out += kfRaw
     // rolling reference = the DECODER's reconstruction of what was sent
-    var ref = Vp8Video.toRef(Vp8.decodeFrame(kfRaw))
+    val kfRef = Vp8Video.toRef(Vp8.decodeFrame(kfRaw))
+    // reference state mirrors the decoder's: keyframes refresh all three
+    var refLast = kfRef
+    var refGolden = kfRef
+    var refAltref = kfRef
 
     def fdct(in: Array[Int], o: Array[Int]): Unit = {
       val tmp = new Array[Int](16)
@@ -2482,6 +2492,11 @@ object MediaGen {
       val predY = new Array[Int](w16 * h16)
       val curY = new Array[Int](w16 * h16)
       val mcBuf = new Array[Int](256)
+      val ref = mv.ref match {
+        case 0 => refLast
+        case 1 => refGolden
+        case _ => refAltref
+      }
       def mvAt(mbX: Int, mbY: Int): (Int, Int) =
         mv.mvOf.map(f => f(mbX, mbY)).getOrElse((mv.dx8, mv.dy8))
       def splitAt(mbX: Int, mbY: Int): Option[(Int, Seq[(Int, Int)])] =
@@ -2622,10 +2637,10 @@ object MediaGen {
       e0.literal(7, qi)
       var k5 = 0
       while (k5 < 5) { e0.put(128, 0); k5 += 1 } // no quant deltas
-      e0.put(128, 0) // refresh_golden = 0
-      e0.put(128, 0) // refresh_altref = 0
-      e0.literal(2, 0) // copy_to_golden: none
-      e0.literal(2, 0) // copy_to_altref: none
+      e0.put(128, if (mv.refreshGolden) 1 else 0)
+      e0.put(128, if (mv.refreshAltref) 1 else 0)
+      if (!mv.refreshGolden) e0.literal(2, 0) // copy_to_golden: none
+      if (!mv.refreshAltref) e0.literal(2, 0) // copy_to_altref: none
       e0.put(128, 0) // sign_bias_golden
       e0.put(128, 0) // sign_bias_altref
       e0.put(128, 1) // refresh_entropy_probs (no updates follow → defaults persist)
@@ -2658,7 +2673,11 @@ object MediaGen {
         while (mbX < mbW) {
           e0.put(128, if (skips(mbY * mbW + mbX)) 1 else 0) // skip
           e0.put(128, 1) // is_inter
-          e0.put(128, 0) // ref = LAST
+          if (mv.ref == 0) e0.put(128, 0) // LAST
+          else {
+            e0.put(128, 1)
+            e0.put(128, if (mv.ref == 1) 0 else 1) // GOLDEN / ALTREF
+          }
           val (bestX0, bestY0, nearestX0, nearestY0, nearX0, nearY0, cnt) =
             Vp8Video.findNearMvs(grid, mbW, mbX, mbY, curBias = false, _ => false)
           val (bestX, bestY) = Vp8Video.clampMv(bestX0, bestY0, mbX, mbY, mbW, mbH)
@@ -2703,7 +2722,7 @@ object MediaGen {
                 }
                 k += 1
               }
-              grid(mbY * mbW + mbX) = Vp8Video.MbInfo(0, smX(15), smY(15), split = true)
+              grid(mbY * mbW + mbX) = Vp8Video.MbInfo(mv.ref, smX(15), smY(15), split = true)
             case None =>
               val dx8 = smX(0); val dy8 = smY(0)
               if (dx8 == 0 && dy8 == 0)
@@ -2717,7 +2736,7 @@ object MediaGen {
                 putMvComponent(e0, Vp8Video.mvDefaultProbs(0), dy8 - bestY)
                 putMvComponent(e0, Vp8Video.mvDefaultProbs(1), dx8 - bestX)
               }
-              grid(mbY * mbW + mbX) = Vp8Video.MbInfo(0, dx8, dy8, split = false)
+              grid(mbY * mbW + mbX) = Vp8Video.MbInfo(mv.ref, dx8, dy8, split = false)
           }
           var sb2 = 0
           while (sb2 < 4) {
@@ -2830,9 +2849,13 @@ object MediaGen {
       frame.write(part1, 0, part1.length)
       out += frame.toByteArray
 
-      // roll the reference forward (chroma stays flat 128)
-      ref = graft.kernel.Vp8Video.RefFrame(w, h, curY,
+      // roll the reference state forward, mirroring the decoder's §9.7
+      // order (chroma stays flat 128)
+      val recon = graft.kernel.Vp8Video.RefFrame(w, h, curY,
         Array.fill(mbW * 8 * mbH * 8)(128), Array.fill(mbW * 8 * mbH * 8)(128))
+      if (mv.refreshGolden) refGolden = recon
+      if (mv.refreshAltref) refAltref = recon
+      refLast = recon
     }
     out.result()
   }

@@ -235,6 +235,43 @@ class Vp8VideoSpec extends AnyFunSuite {
     assert(shown(1).frame.y.toSeq === full(2).y.toSeq)
   }
 
+  test("GOLDEN/ALTREF references: pinned frames restore exactly after LAST moves on") {
+    val w = 64; val h = 48
+    // keyframe refreshes all three refs; frame1 moves LAST and PINS its
+    // reconstruction into GOLDEN; frames 2-3 keep moving LAST; frame4
+    // predicts ZERO-MV from GOLDEN → must equal frame1, not frame3;
+    // frame5 predicts ZERO-MV from ALTREF (never refreshed since the
+    // keyframe) → must equal frame0.
+    val frames = MediaGen.vp8Sequence(textured(w, h, 30), w, h, Seq(
+      Vp8Move(8, 0, refreshGolden = true),
+      Vp8Move(8, 0),
+      Vp8Move(0, 8),
+      Vp8Move(0, 0, ref = 1),
+      Vp8Move(0, 0, ref = 2)))
+    val decoded = Vp8Video.decodeSequence(frames)
+    assert(decoded.length === 6)
+    assert(decoded(4).y.toSeq === decoded(1).y.toSeq, "GOLDEN must restore frame1")
+    assert(decoded(4).u.toSeq === decoded(1).u.toSeq)
+    assert(decoded(4).y.toSeq !== decoded(3).y.toSeq,
+      "golden-predicted frame must differ from the rolled-on LAST")
+    assert(decoded(5).y.toSeq === decoded(0).y.toSeq, "ALTREF must restore the keyframe")
+    assert(decoded(5).u.toSeq === decoded(0).u.toSeq)
+    // motion ON a golden reference: frame built from GOLDEN shifted
+    val frames2 = MediaGen.vp8Sequence(textured(w, h, 31), w, h, Seq(
+      Vp8Move(16, 0, refreshAltref = true),
+      Vp8Move(0, 16),
+      Vp8Move(16, 0, ref = 2)))
+    val dec2 = Vp8Video.decodeSequence(frames2)
+    val refA = Vp8Video.toRef(dec2(1)) // what ALTREF pinned
+    val w16 = ((w + 15) >> 4) * 16; val h16 = ((h + 15) >> 4) * 16
+    var bad = 0
+    for (y <- 0 until h; x <- 0 until w) {
+      val sx = math.min(w16 - 1, x + 2); val sy = math.min(h16 - 1, y)
+      if (dec2(3).y(y * w + x) != refA.y(sy * w16 + sx)) bad += 1
+    }
+    assert(bad === 0, s"$bad pixels diverged translating the ALTREF reference")
+  }
+
   test("error discipline: interframe-first refused, truncated frames refused") {
     val w = 32; val h = 32
     val frames = MediaGen.vp8Sequence(textured(w, h, 9), w, h, Seq(Vp8Move(8, 0)))
