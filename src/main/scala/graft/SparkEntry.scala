@@ -1750,6 +1750,26 @@ object SparkEntry {
         .select(col("url"), col("source_type"),
           length(col("extracted_text")).as("text_len"), col("ok"))
     }),
+    // .warc.zst ingest (the IIPC zstd crawl shape): per-record zstd
+    // frames behind a shared dictionary in the head skippable frame —
+    // read → extract must produce the same rows as pipe26's gzip twin
+    // over the same fixture pages
+    "pipe61_warc_zst" -> ((s, _) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-pipe61").toString
+      val pages = graft.fixtures.PageGen.pages(FixtureN)
+      val dict = ("WARC/1.1\r\nWARC-Type: response\r\nHTTP/1.1 200 OK\r\n" +
+        "Content-Type: text/html; charset=UTF-8\r\n").getBytes("ISO-8859-1")
+      pages.grouped(100).zipWithIndex.foreach { case (grp, i) =>
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(s"$tmp/crawl-$i.warc.zst"),
+          graft.fixtures.MediaGen.warcZst(grp.map(p => (p.url, p.warc_ts, p.html)),
+            dict = Some(dict), compressDict = true))
+      }
+      val df = graft.sources.Warc.read(s, s"$tmp/*.warc.zst")
+      Extraction.extractAll(df)
+        .select(col("url"), col("source_type"),
+          length(col("extracted_text")).as("text_len"), col("ok"))
+    }),
     // the COMPLETE corpus funnel as one call (pipeline/CorpusJob):
     // extract → Gopher quality → near-dedup → WET archives, returning
     // the per-stage survivor counts a pipeline operator watches

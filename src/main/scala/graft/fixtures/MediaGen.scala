@@ -3109,6 +3109,40 @@ object MediaGen {
         val gz = new java.util.zip.GZIPOutputStream(out)
         gz.write(record); gz.finish()
       } else out.write(record)
+    warcInto(pages, member)
+    out.toByteArray
+  }
+
+  /** `.warc.zst` fixture twin of [[warcGz]] (IIPC zstd-WARC convention):
+    * one zstd frame per record; with `dict`, a leading SKIPPABLE frame
+    * (magic 0x184D2A5D) carries the shared raw-content dictionary —
+    * itself zstd-compressed when `compressDict` — and every record frame
+    * is compressed against it.
+    */
+  def warcZst(pages: Seq[(String, java.sql.Timestamp, Array[Byte])],
+              dict: Option[Array[Byte]] = None,
+              compressDict: Boolean = false): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    dict.foreach { d =>
+      val content = if (compressDict) com.github.luben.zstd.Zstd.compress(d, 3) else d
+      out.write(Array(0x5d, 0x2a, 0x4d, 0x18).map(_.toByte)) // LE 0x184D2A5D
+      val n = content.length
+      out.write(Array(n & 0xff, (n >> 8) & 0xff, (n >> 16) & 0xff, (n >> 24) & 0xff)
+        .map(_.toByte))
+      out.write(content)
+    }
+    def member(record: Array[Byte]): Unit = {
+      val z = new com.github.luben.zstd.ZstdOutputStream(out, 3)
+      dict.foreach(z.setDict)
+      z.write(record)
+      z.close() // ends the frame; ByteArrayOutputStream ignores the close
+    }
+    warcInto(pages, member)
+    out.toByteArray
+  }
+
+  private def warcInto(pages: Seq[(String, java.sql.Timestamp, Array[Byte])],
+                       member: Array[Byte] => Unit): Unit = {
     def crlf(lines: Seq[String]): String = lines.mkString("", "\r\n", "\r\n")
     val info = "software: graft-fixtures\r\nformat: WARC File Format 1.1\r\n"
       .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
@@ -3139,6 +3173,5 @@ object MediaGen {
         ) ++ http ++ "\r\n\r\n".getBytes
       member(rec)
     }
-    out.toByteArray
   }
 }

@@ -17,6 +17,10 @@ import org.apache.spark.sql.functions.col
   *    the members (the member boundaries are what make per-record random
   *    access possible); `java.util.zip.GZIPInputStream` decodes
   *    concatenated members natively;
+  *  - `.warc.zst` archives (the IIPC zstd convention) put each record in
+  *    its own zstd frame, optionally after a skippable frame carrying a
+  *    shared dictionary — both handled transparently by [[read]],
+  *    [[buildCdx]] and [[readRecordAt]];
   *  - `response` records carry an HTTP response as their block: status
   *    line + headers + CRLFCRLF + payload. The page bytes are the
   *    payload; everything else (`warcinfo`, `request`, `metadata`
@@ -52,6 +56,68 @@ object Warc {
   private def isGzip(b: Array[Byte]): Boolean =
     b.length >= 2 && (b(0) & 0xff) == 0x1f && (b(1) & 0xff) == 0x8b
 
+  // -------------------------------------------------- zstd (.warc.zst)
+  // The IIPC zstd-WARC convention (warc-specifications proposal,
+  // implemented by warcio/pywb and used by newer crawl tooling): the
+  // archive is a sequence of zstd frames — one (or more) records per
+  // frame, frames concatenated for per-record random access exactly like
+  // gzip members — optionally preceded by a SKIPPABLE frame (RFC 8878
+  // §3.1.2, magic 0x184D2A50..5F little-endian; the convention uses
+  // 0x184D2A5D) whose content is a shared compression dictionary, either
+  // raw or itself zstd-compressed (sniffed by magic). The zstd codec
+  // comes from zstd-jni on Spark's own classpath — the same native
+  // binding Spark uses for zstd parquet.
+
+  private def isZstdFrame(b: Array[Byte], off: Int): Boolean =
+    b.length >= off + 4 && (b(off) & 0xff) == 0x28 && (b(off + 1) & 0xff) == 0xb5 &&
+      (b(off + 2) & 0xff) == 0x2f && (b(off + 3) & 0xff) == 0xfd
+
+  private def isZstdSkippable(b: Array[Byte], off: Int): Boolean =
+    b.length >= off + 4 && (b(off) & 0xf0) == 0x50 && (b(off + 1) & 0xff) == 0x2a &&
+      (b(off + 2) & 0xff) == 0x4d && (b(off + 3) & 0xff) == 0x18
+
+  private def isZstd(b: Array[Byte]): Boolean =
+    isZstdFrame(b, 0) || isZstdSkippable(b, 0)
+
+  private def le32(b: Array[Byte], off: Int): Long =
+    (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
+      ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
+
+  private def zstdDecompressAll(bytes: Array[Byte]): Array[Byte] = {
+    val in = new com.github.luben.zstd.ZstdInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try in.readAllBytes() finally in.close()
+  }
+
+  /** The archive's shared dictionary, if its head is a skippable frame
+    * (content raw or zstd-compressed — sniffed), plus the offset where
+    * the record frames start.
+    */
+  private def zstdLeadDict(bytes: Array[Byte]): (Option[Array[Byte]], Int) =
+    if (!isZstdSkippable(bytes, 0)) (None, 0)
+    else {
+      if (bytes.length < 8) throw new WarcError("truncated zstd skippable frame header")
+      val size = le32(bytes, 4)
+      if (8 + size > bytes.length)
+        throw new WarcError("zstd dictionary frame overruns the archive")
+      val content = java.util.Arrays.copyOfRange(bytes, 8, 8 + size.toInt)
+      val dict = if (isZstdFrame(content, 0)) zstdDecompressAll(content) else content
+      (Some(dict), 8 + size.toInt)
+    }
+
+  /** Decompressing stream over the record frames of a `.warc.zst`
+    * archive: leading dictionary frame consumed and loaded, concatenated
+    * record frames decoded in sequence (zstd streaming walks
+    * frame-after-frame and skips interior skippable frames natively).
+    */
+  private def openZstd(bytes: Array[Byte]): java.io.InputStream = {
+    val (dict, start) = zstdLeadDict(bytes)
+    val base = new java.io.ByteArrayInputStream(bytes, start, bytes.length - start)
+    val zin = new com.github.luben.zstd.ZstdInputStream(base)
+    dict.foreach(zin.setDict)
+    zin
+  }
+
   /** Parse one WARC file's bytes (gzip'd or clear) into response
     * records, strictly: malformed data raises [[WarcError]]. The Spark
     * path ([[read]]) uses the lazy [[parseStream]] with good-prefix
@@ -67,10 +133,11 @@ object Warc {
     try parseStream(in).toVector finally in.close()
   }
 
-  private def open(bytes: Array[Byte]): java.io.InputStream = {
-    val base = new java.io.ByteArrayInputStream(bytes)
-    if (isGzip(bytes)) new java.util.zip.GZIPInputStream(base, 64 * 1024) else base
-  }
+  private def open(bytes: Array[Byte]): java.io.InputStream =
+    if (isGzip(bytes))
+      new java.util.zip.GZIPInputStream(new java.io.ByteArrayInputStream(bytes), 64 * 1024)
+    else if (isZstd(bytes)) openZstd(bytes)
+    else new java.io.ByteArrayInputStream(bytes)
 
   /** Lazy record iterator over a WARC stream. Throws [[WarcError]] from
     * `hasNext` on structural violations (callers wanting good-prefix
@@ -281,9 +348,14 @@ object Warc {
     * speculative duplicates never interleave bytes in the committed
     * name. Returns records written.
     *
-    * `docs` must carry `url`, `warc_ts`, `extracted_text`.
+    * `docs` must carry `url`, `warc_ts`, `extracted_text`. `codec` picks
+    * the member compression: `"gzip"` (the classic crawl convention) or
+    * `"zstd"` (one zstd frame per record — the IIPC `.warc.zst` shape,
+    * dictionary-less; [[read]] and [[buildCdx]] accept both).
     */
-  def writeConversions(docs: DataFrame, dir: String): Long = {
+  def writeConversions(docs: DataFrame, dir: String, codec: String = "gzip"): Long = {
+    require(codec == "gzip" || codec == "zstd", s"unknown codec '$codec'")
+    val ext = if (codec == "gzip") "warc.gz" else "warc.zst"
     val spark = docs.sparkSession
     import spark.implicits._
     new org.apache.hadoop.fs.Path(dir)
@@ -303,7 +375,7 @@ object Warc {
         else {
           val tc = org.apache.spark.TaskContext.get()
           val pid = tc.partitionId()
-          val fin = new org.apache.hadoop.fs.Path(dir, f"wet-$pid%05d.warc.gz")
+          val fin = new org.apache.hadoop.fs.Path(dir, f"wet-$pid%05d.$ext")
           // attempt-scoped temp + rename-on-success: a speculative or
           // zombie duplicate attempt writes its OWN temp file, so two
           // attempts never interleave bytes in the final name; the
@@ -315,13 +387,19 @@ object Warc {
           var n = 0L
           try {
             it.foreach { case (url, ts, text) =>
-              // close() per member releases the native Deflater (finish()
-              // alone leaves it for finalization — one leaked zlib buffer
-              // per record); the shield keeps the file stream open
-              val gz = new java.util.zip.GZIPOutputStream(
-                new CloseShieldOutputStream(out), 64 * 1024)
-              gz.write(conversionRecord(url, ts.getTime, text))
-              gz.close()
+              // close() per member releases the native Deflater/CCtx
+              // (finish() alone leaves it for finalization — one leaked
+              // native buffer per record); the shield keeps the file
+              // stream open
+              val member: java.io.OutputStream =
+                if (codec == "gzip")
+                  new java.util.zip.GZIPOutputStream(
+                    new CloseShieldOutputStream(out), 64 * 1024)
+                else
+                  new com.github.luben.zstd.ZstdOutputStream(
+                    new CloseShieldOutputStream(out), 3)
+              member.write(conversionRecord(url, ts.getTime, text))
+              member.close()
               n += 1
             }
           } finally out.close()
@@ -377,7 +455,59 @@ object Warc {
     out.result()
   }
 
-  /** Build a CDX-style index over `.warc.gz` archives: ONE row per
+  /** Byte spans of the RECORD frames of a `.warc.zst` archive:
+    * `(offset, length)` per zstd frame, exactly as [[gzipMemberOffsets]]
+    * does for gzip members. A leading skippable (dictionary) frame is
+    * NOT a member — ranged readers fetch it separately via the archive
+    * head ([[readRecordAt]]). Frame extents come from
+    * `ZSTD_findFrameCompressedSize` (zstd-jni), never magic-byte
+    * scanning: `28 B5 2F FD` can occur inside compressed data.
+    */
+  def zstdFrameOffsets(bytes: Array[Byte]): Vector[(Long, Long)] = {
+    val out = Vector.newBuilder[(Long, Long)]
+    var pos = 0
+    while (pos < bytes.length) {
+      if (isZstdSkippable(bytes, pos)) {
+        if (pos + 8 > bytes.length)
+          throw new IllegalArgumentException(s"truncated skippable frame at $pos")
+        val end = pos + 8 + le32(bytes, pos + 4)
+        if (end > bytes.length)
+          throw new IllegalArgumentException(s"skippable frame at $pos overruns the archive")
+        pos = end.toInt
+      } else if (isZstdFrame(bytes, pos)) {
+        val sz =
+          try com.github.luben.zstd.Zstd.findFrameCompressedSize(bytes, pos)
+          catch { case e: Exception =>
+            throw new IllegalArgumentException(s"bad zstd frame at $pos: ${e.getMessage}")
+          }
+        if (sz <= 0 || pos + sz > bytes.length)
+          throw new IllegalArgumentException(s"zstd frame at $pos overruns the archive")
+        out += ((pos.toLong, sz))
+        pos += sz.toInt
+      } else throw new IllegalArgumentException(s"not a zstd frame at offset $pos")
+    }
+    out.result()
+  }
+
+  /** Member spans plus the shared dictionary (zstd archives only) —
+    * the codec-generic half of [[buildCdx]].
+    */
+  private def memberSpans(bytes: Array[Byte]): (Vector[(Long, Long)], Option[Array[Byte]]) =
+    if (isZstd(bytes)) (zstdFrameOffsets(bytes), zstdLeadDict(bytes)._1)
+    else (gzipMemberOffsets(bytes), None)
+
+  /** Decompressing stream over ONE member's bytes, with the archive's
+    * shared dictionary applied for zstd members.
+    */
+  private def openMember(member: Array[Byte], dict: Option[Array[Byte]]): java.io.InputStream =
+    if (isZstdFrame(member, 0)) {
+      val zin = new com.github.luben.zstd.ZstdInputStream(
+        new java.io.ByteArrayInputStream(member))
+      dict.foreach(zin.setDict)
+      zin
+    } else open(member)
+
+  /** Build a CDX-style index over `.warc.gz` / `.warc.zst` archives: ONE row per
     * record — `(surt, url, warc_ts, warc_type, file, offset, length,
     * digest)` — the Common-Crawl-index shape that turns a 100 TB pile
     * of sequential archives into a randomly addressable corpus: look up
@@ -390,18 +520,18 @@ object Warc {
     spark.read.format("binaryFile").load(pathGlob)
       .select(col("path"), col("content")).as[(String, Array[Byte])]
       .flatMap { case (path, bytes) =>
-        // C5 isolation, matching read(): a corrupt / non-gzip archive
+        // C5 isolation, matching read(): a corrupt / unrecognized archive
         // contributes zero rows instead of failing the job, and a
         // corrupt record stops only its own member's tail
-        val members =
-          try gzipMemberOffsets(bytes)
-          catch { case _: Exception => Vector.empty[(Long, Long)] }
+        val (members, dict) =
+          try memberSpans(bytes)
+          catch { case _: Exception => (Vector.empty[(Long, Long)], None) }
         members.iterator.flatMap { case (off, len) =>
           val member = java.util.Arrays.copyOfRange(
             bytes, off.toInt, (off + len).toInt)
           val recs =
             try {
-              val in = open(member)
+              val in = openMember(member, dict)
               try parseStream(in).toVector finally in.close()
             } catch { case _: Exception => Vector.empty[WarcRecord] }
           // rec_idx disambiguates MULTI-record members (whole-file-gzip
@@ -434,8 +564,25 @@ object Warc {
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val buf = new Array[Byte](length.toInt)
     val in = fs.open(path)
-    try in.readFully(offset, buf, 0, length.toInt) finally in.close()
-    val stream = open(buf)
+    // a zstd member may need the archive's shared dictionary — that is
+    // the head skippable frame, fetched with a SECOND positioned read
+    // (8-byte header, then exactly the frame), never a scan
+    val dict: Option[Array[Byte]] =
+      try {
+        in.readFully(offset, buf, 0, length.toInt)
+        if (isZstdFrame(buf, 0)) {
+          val head = new Array[Byte](8)
+          in.readFully(0L, head, 0, 8)
+          if (isZstdSkippable(head, 0)) {
+            val sz = le32(head, 4).toInt
+            val frame = new Array[Byte](sz)
+            in.readFully(8L, frame, 0, sz)
+            val d = if (isZstdFrame(frame, 0)) zstdDecompressAll(frame) else frame
+            Some(d)
+          } else None
+        } else None
+      } finally in.close()
+    val stream = openMember(buf, dict)
     val recs = try parseStream(stream).toVector finally stream.close()
     if (recIdx < 0 || recIdx >= recs.length)
       throw new IllegalArgumentException(

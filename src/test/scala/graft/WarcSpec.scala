@@ -207,4 +207,99 @@ class WarcSpec extends AnyFunSuite with SparkSuite {
         s"rec_idx ${r.getAs[Int]("rec_idx")} returned the wrong record")
     }
   }
+
+  // ------------------------------------------------------- .warc.zst
+
+  private val zstDict: Array[Byte] =
+    (("WARC/1.1\r\nWARC-Type: response\r\nWARC-Target-URI: https://" +
+      "Content-Type: text/html; charset=UTF-8\r\n" +
+      "HTTP/1.1 200 OK\r\nContent-Length: ") * 3).getBytes("ISO-8859-1")
+
+  test("warc: zstd archives round-trip — plain, raw-dict, compressed-dict") {
+    val pages = fixture(12, seed = 83L)
+    val truth = Warc.parse(MediaGen.warcGz(pages))
+    val plain = MediaGen.warcZst(pages)
+    assert((plain(0) & 0xff) === 0x28, "dict-less archive starts with a zstd frame")
+    val recs = Warc.parse(plain)
+    assert(recs.map(_.url) === truth.map(_.url))
+    recs.zip(truth).foreach { case (a, b) => assert(a.body.toSeq === b.body.toSeq) }
+    val dicted = MediaGen.warcZst(pages, dict = Some(zstDict))
+    assert((dicted(0) & 0xff) === 0x5d, "head must be the skippable dictionary frame")
+    assert(Warc.parse(dicted).map(_.url) === truth.map(_.url))
+    val dictedC = MediaGen.warcZst(pages, dict = Some(zstDict), compressDict = true)
+    val recsC = Warc.parse(dictedC)
+    recsC.zip(truth).foreach { case (a, b) =>
+      assert(a.url === b.url)
+      assert(a.warcTsMs === b.warcTsMs)
+      assert(a.body.toSeq === b.body.toSeq)
+    }
+    // stripping the dictionary frame must fail LOUDLY (zstd flags the
+    // missing raw dict as corruption), never decode to wrong bytes
+    val spans = Warc.zstdFrameOffsets(dictedC)
+    val stripped = dictedC.drop(spans.head._1.toInt)
+    intercept[Exception](Warc.parse(stripped))
+  }
+
+  test("zstdFrameOffsets: spans tile the record region exactly; corruption refused") {
+    val pages = fixture(6, seed = 84L)
+    val arch = MediaGen.warcZst(pages, dict = Some(zstDict))
+    val spans = Warc.zstdFrameOffsets(arch)
+    assert(spans.length === pages.length + 1, "warcinfo + one frame per record")
+    assert(spans.head._1 === (8L + zstDict.length), "spans start after the dict frame")
+    spans.sliding(2).foreach {
+      case Vector(a, b) => assert(a._1 + a._2 === b._1, "gap/overlap between frames")
+      case _ =>
+    }
+    assert(spans.last._1 + spans.last._2 === arch.length.toLong, "spans must reach EOF")
+    intercept[IllegalArgumentException](Warc.zstdFrameOffsets(arch.dropRight(3)))
+    intercept[IllegalArgumentException](Warc.zstdFrameOffsets(Array.fill[Byte](64)(0x11)))
+  }
+
+  test("warc: Spark read unions mixed .warc.gz and .warc.zst archives") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-zst").toString
+    val pg = PageGen.pages(30, seed = 85L)
+    val (a, b) = pg.splitAt(15)
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/crawl-0.warc.gz"),
+      MediaGen.warcGz(a.map(p => (p.url, p.warc_ts, p.html))))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/crawl-1.warc.zst"),
+      MediaGen.warcZst(b.map(p => (p.url, p.warc_ts, p.html)),
+        dict = Some(zstDict), compressDict = true))
+    val df = Warc.read(spark, s"$dir/*.warc.*")
+    val got = df.as[(String, java.sql.Timestamp, Array[Byte])].collect()
+      .map(r => r._1 -> r._3).toMap
+    assert(got.size === 30)
+    pg.foreach(p => assert(got(p.url).toSeq === p.html.toSeq, s"html drift for ${p.url}"))
+  }
+
+  test("cdx over .warc.zst: ranged reads recover the shared dictionary; zstd WET sink round-trips") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-zstcdx").toString
+    val pages = fixture(20, seed = 86L)
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/crawl.warc.zst"),
+      MediaGen.warcZst(pages, dict = Some(zstDict), compressDict = true))
+    val cdx = Warc.buildCdx(spark, s"$dir/*.warc.zst").collect()
+    assert(cdx.length === pages.length, "one row per response record")
+    val want = pages.map { case (u, _, html) => u -> html }.toMap
+    cdx.foreach { r =>
+      val rec = Warc.readRecordAt(spark, r.getAs[String]("file"),
+        r.getAs[Long]("offset"), r.getAs[Long]("length"), r.getAs[Int]("rec_idx"))
+      assert(rec.url === r.getAs[String]("url"))
+      assert(rec.body.toSeq === want(rec.url).toSeq,
+        s"ranged zstd read diverged for ${rec.url}")
+    }
+    // WET sink, zstd codec: write → parse back → byte-identical text
+    val wetDir = java.nio.file.Files.createTempDirectory("graft-zstwet").toString
+    val pagesDf = spark.createDataset(PageGen.pages(25, seed = 87L)).toDF()
+    val docs = graft.pipeline.Extraction.extractAll(pagesDf)
+      .join(pagesDf.select($"url", $"warc_ts"), Seq("url"))
+      .select($"url", $"warc_ts", $"extracted_text").repartition(2)
+    val written = Warc.writeConversions(docs, wetDir, codec = "zstd")
+    assert(written === 25)
+    val files = new java.io.File(wetDir).listFiles().filter(_.getName.endsWith(".warc.zst"))
+    assert(files.length === 2, "one .warc.zst archive per partition")
+    val back = Warc.readConversions(spark, s"$wetDir/*.warc.zst")
+      .as[(String, java.sql.Timestamp, String)].collect().map(r => r._1 -> r._3).toMap
+    val wantText = docs.select($"url", $"extracted_text").as[(String, String)]
+      .collect().toMap
+    assert(back === wantText, "zstd WET round-trip text drift")
+  }
 }
