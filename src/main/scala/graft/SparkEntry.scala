@@ -1731,6 +1731,32 @@ object SparkEntry {
         .select(col("user_id"), col("session_start"), col("session_end"),
           col("events"), col("value_sum"))
     }),
+    // §2-I: stream-stream event-time INTERVAL join — two independent
+    // file streams (fetch + render events) correlated on key within a
+    // bounded window; both watermarked so the join state is bounded and
+    // the query can run forever at crawl scale. StreamingSpec proves
+    // batch-join equality and that later drains emit only new matches.
+    "pipe62_stream_join" -> ((s, _) => {
+      import s.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("graft-pipe62").toString
+      val base = java.sql.Timestamp.valueOf("2024-02-01 00:00:00").getTime
+      def ev(id: Long, offMs: Long, user: Long) =
+        (id, new java.sql.Timestamp(base + offMs), user, 1.0)
+      val lefts = for (u <- 0L until 8L; i <- 0 until 5)
+        yield ev(u * 100 + i, u * 7000 + i * 60000L, u)
+      val rights = for (u <- 0L until 8L; i <- 0 until 5; if (u + i) % 3 != 0)
+        yield ev(9000 + u * 100 + i, u * 7000 + i * 60000L + 5000L + (u % 4) * 11000L, u)
+      s.createDataset(lefts.toIndexedSeq).toDF("event_id", "ts", "user_id", "value")
+        .repartition(2).write.parquet(s"$tmp/left")
+      s.createDataset(rights.toIndexedSeq).toDF("event_id", "ts", "user_id", "value")
+        .repartition(2).write.parquet(s"$tmp/right")
+      graft.streaming.StreamingRun.intervalJoinAvailableNow(s, s"$tmp/left",
+        s"$tmp/right", s"$tmp/joined", s"$tmp/ckpt",
+        joinWindowSeconds = 40, watermarkDelaySeconds = 10)
+      s.read.parquet(s"$tmp/joined")
+        .select(col("user_id"), col("l_event"), col("r_event"),
+          col("l_ts"), col("r_ts"))
+    }),
     // §A-source: WARC ingestion — the container Common-Crawl-style
     // corpora actually arrive in. Fixture pages are packed into
     // per-record-gzip-member archives (the crawl convention), read back

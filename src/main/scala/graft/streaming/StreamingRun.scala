@@ -283,6 +283,56 @@ object StreamingRun {
     emitted
   }
 
+  /** Stream-stream event-time INTERVAL join (§2-I): left rows match
+    * right rows with the same `user_id` whose event time falls in
+    * `[l_ts, l_ts + joinWindowSeconds]` — the fetch→render /
+    * request→response correlation shape, both sides arriving as
+    * independent file streams.
+    *
+    * Both sides carry watermarks and the join condition carries the
+    * time bound, so the join STATE IS BOUNDED: Spark evicts left rows
+    * once the right watermark passes `l_ts + window` and right rows
+    * once the left watermark passes them — the requirement that lets a
+    * stream-stream join run forever at crawl scale (without the range
+    * condition state grows without limit and the query is rejected for
+    * append mode). Inner join: matches emit as soon as both sides have
+    * arrived — the watermark governs state EVICTION, not emission — so
+    * an AvailableNow drain yields the complete batch-equal answer with
+    * no fencepost event, and a later drain over newly landed files
+    * emits only the NEW matches (the streaming checkpoint + the
+    * idempotent batch_id-partitioned sink make replays overwrite
+    * themselves). Returns rows emitted by this drain.
+    *
+    * Inputs are event tables `(event_id, ts, user_id, value)`; output is
+    * `(user_id, l_event, r_event, l_ts, r_ts)`.
+    */
+  def intervalJoinAvailableNow(spark: SparkSession, leftDir: String,
+                               rightDir: String, outDir: String,
+                               checkpointDir: String,
+                               joinWindowSeconds: Int,
+                               watermarkDelaySeconds: Int,
+                               maxFilesPerBatch: Int = 1000): Long = {
+    def side(dir: String, p: String): DataFrame = {
+      val schema = spark.read.parquet(dir).schema
+      spark.readStream
+        .schema(schema)
+        .option("maxFilesPerTrigger", maxFilesPerBatch)
+        .parquet(dir)
+        .select(col("user_id").as(s"${p}_user"),
+          col("event_id").as(s"${p}_event"),
+          // event time as an instant, same cast discipline as sessionize
+          col("ts").cast("timestamp_ltz").as(s"${p}_ts"))
+        .withWatermark(s"${p}_ts", s"$watermarkDelaySeconds seconds")
+    }
+    val joined = side(leftDir, "l").join(side(rightDir, "r"),
+      expr(s"""l_user = r_user AND
+               r_ts >= l_ts AND
+               r_ts <= l_ts + interval $joinWindowSeconds seconds"""))
+      .select(col("l_user").as("user_id"), col("l_event"), col("r_event"),
+        col("l_ts"), col("r_ts"))
+    commitNovel(spark, joined, outDir, checkpointDir)
+  }
+
   private def commitNovel(spark: SparkSession, novel: DataFrame,
                           outDir: String, checkpointDir: String): Long = {
     var emitted = 0L

@@ -244,4 +244,61 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     assert(n3 === 0L)
     assert(spark.read.parquet(outDir).count() === 12L)
   }
+
+  test("stream-stream interval join equals the batch join; later drains emit only new matches") {
+    val tmp = Files.createTempDirectory("graft-ssjoin").toString
+    val base = java.sql.Timestamp.valueOf("2024-02-01 00:00:00").getTime
+    def ev(id: Long, offMs: Long, user: Long) =
+      (id, new java.sql.Timestamp(base + offMs), user, 1.0)
+    // left: one "fetch" per user per minute; right: "renders" landing
+    // 5-40 s after some fetches, plus strays outside every window
+    val lefts = for (u <- 0L until 6L; i <- 0 until 4)
+      yield ev(u * 100 + i, u * 7000 + i * 60000L, u)
+    val rights = (for (u <- 0L until 6L; i <- 0 until 4; if (u + i) % 3 != 0)
+      yield ev(9000 + u * 100 + i, u * 7000 + i * 60000L + 5000L + (u % 4) * 11000L, u)) ++
+      Seq(ev(8888, -50000L, 2L), ev(8889, 251000L, 3L)) // strays outside any window
+    spark.createDataset(lefts.toIndexedSeq).toDF("event_id", "ts", "user_id", "value")
+      .repartition(2).write.parquet(s"$tmp/left")
+    spark.createDataset(rights.toIndexedSeq).toDF("event_id", "ts", "user_id", "value")
+      .repartition(2).write.parquet(s"$tmp/right")
+
+    // backfill drains as ONE micro-batch (watermark only advances at
+    // batch boundaries, so nothing in the initial pile can be "late")
+    val n1 = StreamingRun.intervalJoinAvailableNow(spark, s"$tmp/left",
+      s"$tmp/right", s"$tmp/joined", s"$tmp/ckpt",
+      joinWindowSeconds = 40, watermarkDelaySeconds = 10)
+    val got = spark.read.parquet(s"$tmp/joined")
+      .select($"l_event", $"r_event").as[(Long, Long)].collect().toSet
+    // batch truth: plain inner interval join over the same tables
+    val want = spark.read.parquet(s"$tmp/left").as("l")
+      .join(spark.read.parquet(s"$tmp/right").as("r"),
+        expr("l.user_id = r.user_id AND r.ts >= l.ts AND " +
+          "r.ts <= l.ts + interval 40 seconds"))
+      .select($"l.event_id", $"r.event_id").as[(Long, Long)].collect().toSet
+    assert(want.nonEmpty, "fixture produced no matches — test is vacuous")
+    assert(got === want, "streaming inner interval join must equal the batch join")
+    assert(n1.toInt === want.size)
+
+    // late-landing right file: above the post-drain watermark (~205 s:
+    // left max 215 s − 10 s delay under the min-of-streams policy) and
+    // inside left 503's window — the next drain must join it against the
+    // RESTORED left state and emit only that one new match
+    spark.createDataset(Seq(ev(9999, 220000L, 5L)))
+      .toDF("event_id", "ts", "user_id", "value")
+      .write.mode("append").parquet(s"$tmp/right")
+    val n2 = StreamingRun.intervalJoinAvailableNow(spark, s"$tmp/left",
+      s"$tmp/right", s"$tmp/joined", s"$tmp/ckpt",
+      joinWindowSeconds = 40, watermarkDelaySeconds = 10)
+    assert(n2 === 1L, s"exactly the late render joins its fetch, got $n2")
+    val got2 = spark.read.parquet(s"$tmp/joined")
+      .select($"l_event", $"r_event").as[(Long, Long)].collect()
+    assert(got2.length === got2.toSet.size, "replay/duplicate rows in the sink")
+    assert(got2.toSet === want + ((503L, 9999L)))
+
+    // nothing new → zero emitted (checkpoint discipline)
+    val n3 = StreamingRun.intervalJoinAvailableNow(spark, s"$tmp/left",
+      s"$tmp/right", s"$tmp/joined", s"$tmp/ckpt",
+      joinWindowSeconds = 40, watermarkDelaySeconds = 10)
+    assert(n3 === 0L)
+  }
 }
