@@ -284,6 +284,53 @@ object SparkEntry {
           round(sum(when(col("user_id") % 2 === 0, col("value"))), 2).as("even_sum"),
           round(avg(when(col("value") <= 0.5, col("value"))), 4).as("lo_avg"))
     }),
+    // correlated scalar subquery (Catalyst decorrelates it into a join):
+    // customers above their own nation's average balance — the classic
+    // per-group-threshold SQL shape, exercised through the SQL surface
+    "q78_correlated_subquery" -> ((s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("g78_customer")
+      s.sql("""SELECT c_nationkey, count(*) AS n_above,
+                 round(avg(c_acctbal), 2) AS avg_above
+               FROM g78_customer c
+               WHERE c_acctbal > (SELECT avg(c_acctbal) FROM g78_customer c2
+                                  WHERE c2.c_nationkey = c.c_nationkey)
+               GROUP BY c_nationkey""")
+    }),
+    // generator over a computed range: each order explodes into its
+    // 4-day fulfilment window (sequence + explode — the row-multiplying
+    // UDTF shape), then a busy-day census
+    "q79_sequence_days" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .select(explode(sequence(to_date(col("o_orderdate")),
+          date_add(to_date(col("o_orderdate")), 3))).as("d"))
+        .groupBy(col("d")).agg(count(lit(1)).as("n"))
+        .where(col("n") >= 30)
+    }),
+    // bivariate statistical aggregates: correlation / covariance /
+    // dispersion per flag in one pass (all codegen'd built-ins)
+    "q80_stats_suite" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("qty_price_corr"),
+          round(covar_samp(col("l_quantity"), col("l_discount")), 4).as("qty_disc_covar"),
+          round(stddev_samp(col("l_extendedprice")), 2).as("price_sd"),
+          round(var_pop(col("l_quantity")), 4).as("qty_var"))
+    }),
+    // calendar bucketing: ISO weekday census over order dates (weekday()
+    // = 0..6 Monday-based; the oracle maps DuckDB's isodow to the same)
+    "q81_weekday_census" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .select(expr("weekday(o_orderdate)").as("wd"), col("o_totalprice"))
+        .groupBy(col("wd"))
+        .agg(count(lit(1)).as("n"), round(avg(col("o_totalprice")), 2).as("avg_price"))
+    }),
+    // edit-distance census: levenshtein against a probe key (the fuzzy
+    // string-match primitive; both engines implement the classic DP)
+    "q82_edit_distance" -> ((s, dir) => {
+      t(s, dir, "part")
+        .select(levenshtein(col("p_brand"), lit("Brand#33")).as("dist"))
+        .groupBy(col("dist")).agg(count(lit(1)).as("n"))
+    }),
     // ------------------------------------------- C6: TTL predicate
     "q10_ttl_filter" -> ((s, dir) => {
       t(s, dir, "events")
@@ -2120,6 +2167,25 @@ object SparkEntry {
       "round(sum(value) FILTER (WHERE user_id % 2 = 0), 2) AS even_sum, " +
       "round(avg(value) FILTER (WHERE value <= 0.5), 4) AS lo_avg " +
       "FROM events GROUP BY event_type"),
+    "q78_correlated_subquery" -> ("SELECT c_nationkey, count(*) AS n_above, " +
+      "round(avg(c_acctbal), 2) AS avg_above FROM customer c " +
+      "WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer c2 " +
+      "WHERE c2.c_nationkey = c.c_nationkey) GROUP BY c_nationkey"),
+    "q79_sequence_days" -> ("SELECT CAST(u AS DATE) AS d, count(*) AS n FROM (" +
+      "SELECT unnest(generate_series(CAST(o_orderdate AS DATE), " +
+      "CAST(o_orderdate AS DATE) + INTERVAL 3 DAY, INTERVAL 1 DAY)) AS u " +
+      "FROM orders) GROUP BY 1 HAVING count(*) >= 30"),
+    "q80_stats_suite" -> ("SELECT l_returnflag, " +
+      "round(corr(l_quantity, l_extendedprice), 4) AS qty_price_corr, " +
+      "round(covar_samp(l_quantity, l_discount), 4) AS qty_disc_covar, " +
+      "round(stddev_samp(l_extendedprice), 2) AS price_sd, " +
+      "round(var_pop(l_quantity), 4) AS qty_var " +
+      "FROM lineitem GROUP BY l_returnflag"),
+    "q81_weekday_census" -> ("SELECT CAST(isodow(CAST(o_orderdate AS DATE)) - 1 AS INT) AS wd, " +
+      "count(*) AS n, round(avg(o_totalprice), 2) AS avg_price " +
+      "FROM orders GROUP BY 1"),
+    "q82_edit_distance" -> ("SELECT CAST(levenshtein(p_brand, 'Brand#33') AS INT) AS dist, " +
+      "count(*) AS n FROM part GROUP BY 1"),
     "q73_grouping_sets" -> ("SELECT event_type, user_id % 4 AS bucket, " +
       "GROUPING(event_type, user_id % 4) AS gid, count(*) AS cnt, " +
       "round(sum(value), 2) AS value_sum FROM events " +
