@@ -331,6 +331,17 @@ object SparkEntry {
         .select(levenshtein(col("p_brand"), lit("Brand#33")).as("dist"))
         .groupBy(col("dist")).agg(count(lit(1)).as("n"))
     }),
+    // BM25 retrieval over the at-rest inverted index (ops/Search): build
+    // bucket-partitioned postings from the documents table, then a
+    // partition-pruned top-k probe — the oracle recomputes the same
+    // Lucene-idf BM25 from scratch in SQL, so index construction AND
+    // scoring are both hash-checked
+    "q83_bm25_search" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-q83").toString
+      graft.ops.Search.buildIndex(t(s, dir, "documents"), "doc_id", "text",
+        tmp, buckets = 32)
+      graft.ops.Search.bm25TopK(s, tmp, "stream window hash", k = 20, buckets = 32)
+    }),
     // ------------------------------------------- C6: TTL predicate
     "q10_ttl_filter" -> ((s, dir) => {
       t(s, dir, "events")
@@ -2186,6 +2197,19 @@ object SparkEntry {
       "FROM orders GROUP BY 1"),
     "q82_edit_distance" -> ("SELECT CAST(levenshtein(p_brand, 'Brand#33') AS INT) AS dist, " +
       "count(*) AS n FROM part GROUP BY 1"),
+    "q83_bm25_search" -> ("""WITH tok AS (SELECT doc_id,
+        unnest(list_filter(string_split_regex(lower(text), '[^\p{L}]+'), x -> x <> '')) AS token
+        FROM documents),
+      tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+      dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+      st AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+      q(token) AS (VALUES ('stream'), ('window'), ('hash')),
+      dft AS (SELECT token, count(*) AS df FROM tf JOIN q USING (token) GROUP BY 1)
+      SELECT doc_id, round(sum(ln(1 + (n - df + 0.5)/(df + 0.5)) *
+        tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 4) AS score
+      FROM tf JOIN q USING (token) JOIN dft USING (token)
+        JOIN dl USING (doc_id) CROSS JOIN st
+      GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20"""),
     "q73_grouping_sets" -> ("SELECT event_type, user_id % 4 AS bucket, " +
       "GROUPING(event_type, user_id % 4) AS gid, count(*) AS cnt, " +
       "round(sum(value), 2) AS value_sum FROM events " +

@@ -1,0 +1,103 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.Search
+
+class SearchSpec extends AnyFunSuite with SparkSuite {
+  import spark.implicits._
+
+  // deterministic corpus: shared vocabulary with per-doc skew so scores
+  // separate, plus an exact-duplicate pair for the tiebreak
+  private val docs: Seq[(Long, String)] = (0L until 40L).map { i =>
+    val words = (0 until 30).map { w =>
+      val pick = (i * 13 + w * 7) % 11
+      Seq("stream", "window", "hash", "join", "merge", "sort",
+        "filter", "table", "scan", "batch", "query")(pick.toInt)
+    }
+    val boost = if (i % 5 == 0) " stream stream window" else ""
+    (i, words.mkString(" ") + boost)
+  } :+ ((100L, "stream window stream window")) :+ ((101L, "stream window stream window"))
+
+  // plain-Scala BM25 reference (Lucene idf), rounding exactly like
+  // Spark's round(): BigDecimal.valueOf + HALF_UP
+  private def refBm25(corpus: Seq[(Long, String)], query: String,
+                      k1: Double = 1.2, b: Double = 0.75): Map[Long, Double] = {
+    val toks = corpus.map { case (id, t) =>
+      id -> t.toLowerCase.split("[^\\p{L}]+").filter(_.nonEmpty).toSeq }
+    val dl = toks.map { case (id, ts) => id -> ts.length.toDouble }.toMap
+    val n = corpus.length
+    val avgdl = dl.values.sum / n
+    val q = Search.queryTokens(query)
+    val df = q.map(t => t -> toks.count(_._2.contains(t)).toDouble).toMap
+    toks.flatMap { case (id, ts) =>
+      val s = q.map { t =>
+        val tf = ts.count(_ == t).toDouble
+        if (tf == 0 || df(t) == 0) 0.0
+        else {
+          val idf = math.log(1.0 + (n - df(t) + 0.5) / (df(t) + 0.5))
+          idf * tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl(id) / avgdl))
+        }
+      }.sum
+      if (s == 0.0) None
+      else Some(id -> java.math.BigDecimal.valueOf(s)
+        .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue())
+    }.toMap
+  }
+
+  test("bm25TopK equals the plain-Scala reference; duplicate docs tiebreak by id") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bm25").toString
+    Search.buildIndex(docs.toDF("doc_id", "text"), "doc_id", "text", dir, buckets = 16)
+    val query = "stream window hash"
+    val got = Search.bm25TopK(spark, dir, query, k = 10, buckets = 16)
+      .as[(Long, Double)].collect()
+    val ref = refBm25(docs, query)
+    val wantOrder = ref.toSeq.sortBy { case (id, s) => (-s, id) }.take(10)
+    assert(got.toSeq === wantOrder, "BM25 top-k must match the reference exactly")
+    // the duplicate pair scores identically → id tiebreak keeps 100 first
+    val dupPos = got.indexWhere(_._1 == 100L)
+    if (dupPos >= 0 && dupPos + 1 < got.length && got(dupPos)._2 == got(dupPos + 1)._2)
+      assert(got(dupPos + 1)._1 === 101L)
+    assert(ref(100L) === ref(101L), "identical docs must score identically")
+  }
+
+  test("probe scans only the query tokens' bucket partitions") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bm25p").toString
+    Search.buildIndex(docs.toDF("doc_id", "text"), "doc_id", "text", dir, buckets = 16)
+    val query = "hash merge"
+    val qBuckets = Search.queryTokens(query).toDF("token")
+      .select(pmod(xxhash64($"token"), lit(16)).cast("int")).as[Int]
+      .collect().distinct.toSet
+    val probe = Search.bm25TopK(spark, dir, query, k = 5, buckets = 16)
+    probe.collect()
+    // descend through AQE wrappers to the leaf scans
+    def findScans(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        findScans(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        findScans(q.plan)
+    }.flatten
+    val scans = findScans(probe.queryExecution.executedPlan)
+      .filter(_.relation.location.rootPaths.exists(_.toString.contains("postings")))
+    assert(scans.nonEmpty, "postings scan not found in the physical plan")
+    val allFiles = spark.read.parquet(s"$dir/postings").inputFiles
+    val wantFiles = allFiles.count(p => qBuckets.exists(b => p.contains(s"bucket=$b")))
+    scans.foreach { scan =>
+      val filesRead = scan.metrics("numFiles").value
+      info(s"postings probe read $filesRead of ${allFiles.length} files " +
+        s"(${qBuckets.size} of 16 buckets)")
+      assert(filesRead === wantFiles.toLong,
+        s"probe must scan only the query buckets' files, read $filesRead/$wantFiles")
+      assert(filesRead < allFiles.length.toLong, "pruning test is vacuous")
+    }
+  }
+
+  test("empty-token query refused; unseen-token query returns empty, not error") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bm25e").toString
+    Search.buildIndex(docs.toDF("doc_id", "text"), "doc_id", "text", dir, buckets = 16)
+    intercept[IllegalArgumentException](Search.bm25TopK(spark, dir, "42 !!", 5))
+    assert(Search.bm25TopK(spark, dir, "zzzunseen", 5, buckets = 16).count() === 0L)
+  }
+}
