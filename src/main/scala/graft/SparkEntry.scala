@@ -289,8 +289,11 @@ object SparkEntry {
     // per-group-threshold SQL shape, exercised through the SQL surface
     "q78_correlated_subquery" -> ((s, dir) => {
       t(s, dir, "customer").createOrReplaceTempView("g78_customer")
+      // sum, not avg: acctbal is a 2-dp decimal, so round(sum, 2) lands ON
+      // the value grid (tie-free); round(avg, 2) can sit exactly on .xx5
+      // where Spark (decimal-repr HALF_UP) and DuckDB (numeric) disagree
       s.sql("""SELECT c_nationkey, count(*) AS n_above,
-                 round(avg(c_acctbal), 2) AS avg_above
+                 round(sum(c_acctbal), 2) AS sum_above
                FROM g78_customer c
                WHERE c_acctbal > (SELECT avg(c_acctbal) FROM g78_customer c2
                                   WHERE c2.c_nationkey = c.c_nationkey)
@@ -857,7 +860,7 @@ object SparkEntry {
     // time-series rollup: date_trunc day buckets (NTZ-safe)
     "q44_time_rollup" -> ((s, dir) => {
       t(s, dir, "events")
-        .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+        .groupBy(to_date(col("ts")).as("day"), col("event_type"))
         .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("value_sum"))
     }),
     // JSON metadata extraction (crawl sidecar columns are JSON blobs):
@@ -1815,6 +1818,28 @@ object SparkEntry {
         .select(col("user_id"), col("l_event"), col("r_event"),
           col("l_ts"), col("r_ts"))
     }),
+    // Dolma-style incremental PARAGRAPH dedup against an at-rest Bloom
+    // filter (ops/Dedup.paragraphBloomDedup): run 1 seeds the filter
+    // with the even-id documents' paragraphs; run 2 presents ALL
+    // documents — fully-seen docs drop out entirely, new docs lose any
+    // paragraph already seen (cross-run via the filter, within-batch via
+    // first-occurrence). Sentences become paragraphs so the unit is
+    // sub-document. BloomParagraphSpec pins exact semantics +
+    // parallelism-invariance; decisions here are deterministic.
+    "pipe63_paragraph_bloom" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-pipe63").toString
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"),
+          regexp_replace(col("text"), "((\\S+ ){8})", "$1\n").as("text"))
+      graft.ops.Dedup.paragraphBloomDedup(
+        docs.where(col("doc_id") % 2 === 0), "doc_id", "text",
+        s"$tmp/bloom").collect()
+      graft.ops.Dedup.paragraphBloomDedup(docs, "doc_id", "text",
+        s"$tmp/bloom")
+        .select(col("doc_id"), length(col("clean_text")).as("clean_len"),
+          col("n_kept"), col("n_dropped"))
+        .orderBy(asc("doc_id"))
+    }),
     // §A-source: WARC ingestion — the container Common-Crawl-style
     // corpora actually arrive in. Fixture pages are packed into
     // per-record-gzip-member archives (the crawl convention), read back
@@ -2179,7 +2204,7 @@ object SparkEntry {
       "round(avg(value) FILTER (WHERE value <= 0.5), 4) AS lo_avg " +
       "FROM events GROUP BY event_type"),
     "q78_correlated_subquery" -> ("SELECT c_nationkey, count(*) AS n_above, " +
-      "round(avg(c_acctbal), 2) AS avg_above FROM customer c " +
+      "round(sum(c_acctbal), 2) AS sum_above FROM customer c " +
       "WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer c2 " +
       "WHERE c2.c_nationkey = c.c_nationkey) GROUP BY c_nationkey"),
     "q79_sequence_days" -> ("SELECT CAST(u AS DATE) AS d, count(*) AS n FROM (" +
@@ -2305,7 +2330,7 @@ object SparkEntry {
       "CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error " +
       "FROM events GROUP BY 1"),
     "q42_except" -> "SELECT k FROM (SELECT c_nationkey AS k FROM customer EXCEPT SELECT s_nationkey FROM supplier) t ORDER BY k",
-    "q44_time_rollup" -> "SELECT date_trunc('day', ts) AS day, event_type, count(*) AS cnt, round(sum(value), 2) AS value_sum FROM events GROUP BY 1, 2",
+    "q44_time_rollup" -> "SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS cnt, round(sum(value), 2) AS value_sum FROM events GROUP BY 1, 2",
     // identical answer to q05 — the point of q49 is the PLAN (bucketed
     // co-located join, no exchange), asserted in OpsSpec
     "q49_bucketed_join" -> "SELECT c.c_mktsegment, count(*) AS orders_cnt, CAST(sum(CAST(round(o.o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS total_cents FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey GROUP BY c.c_mktsegment",

@@ -43,6 +43,100 @@ object Dedup {
       .where(col("_rn") === 1).drop("_rn")
   }
 
+  // ------------------------------------- incremental paragraph Bloom dedup
+
+  /** Dolma-style incremental PARAGRAPH dedup against an at-rest Bloom
+    * filter (Soldaini et al. 2024 §2.2 use exactly this shape to dedup
+    * 3 T tokens): each document is split into paragraphs (`\n` units);
+    * a paragraph seen in ANY earlier run — membership tracked by a
+    * Bloom filter persisted under `bloomDir` — is removed, within-batch
+    * duplicates keep their first occurrence (min `(doc, position)`),
+    * and surviving paragraphs reassemble in original order. Documents
+    * whose every paragraph was seen before drop out entirely.
+    *
+    * Why a Bloom filter at 100 TB: the seen-set is bounded RAM
+    * (`expectedInsertions`·~10 bits regardless of corpus text size), the
+    * probe is a broadcast + stateless map over the batch (ZERO shuffle
+    * of prior runs' data), and false positives only OVER-remove — the
+    * safe direction for training data (never re-admits a duplicate).
+    * Membership keys are `xxhash64(paragraph)` LONGS on both the insert
+    * and probe sides — the type-consistent discipline from
+    * [[graft.ops.Relational.antiJoinBloom]]'s post-mortem; hash
+    * collisions fold into the same over-removal budget as the fpp.
+    *
+    * The filter under `bloomDir` is REPLACED each run by (old ∪ this
+    * batch's paragraphs) via temp-write + atomic rename — re-writing the
+    * same batch leaves the filter unchanged, and for a given batch
+    * SEQUENCE the decisions are deterministic. (The returned DataFrame
+    * judges the batch against the PRIOR filter — consume it before
+    * feeding the same rows again, as with any seen-set dedup.) Returns
+    * `(idCol, clean_text, n_kept, n_dropped)`.
+    */
+  def paragraphBloomDedup(docs: DataFrame, idCol: String, textCol: String,
+                          bloomDir: String,
+                          expectedInsertions: Long = 1L << 22,
+                          fpp: Double = 0.01): DataFrame = {
+    val spark = docs.sparkSession
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val dirPath = new org.apache.hadoop.fs.Path(bloomDir)
+    val fs = dirPath.getFileSystem(hconf)
+    val filterPath = new org.apache.hadoop.fs.Path(dirPath, "bloom.bin")
+
+    val prior: Option[org.apache.spark.util.sketch.BloomFilter] =
+      if (fs.exists(filterPath)) {
+        val in = fs.open(filterPath)
+        try Some(org.apache.spark.util.sketch.BloomFilter.readFrom(in))
+        finally in.close()
+      } else None
+
+    val paras = docs
+      .select(col(idCol), posexplode(split(col(textCol), "\n")).as(Seq("_pos", "_para")))
+      .where(trim(col("_para")) =!= "")
+      .withColumn("_ph", xxhash64(col("_para")))
+
+    // within-batch first occurrence: one hash-partitioned window, text
+    // never shuffled twice (the _para column rides the same exchange)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("_ph")).orderBy(col(idCol), col("_pos"))
+    val firsts = paras.withColumn("_rn", row_number().over(w))
+
+    val bc = prior.map(spark.sparkContext.broadcast(_))
+    val seenBefore = bc match {
+      case Some(f) =>
+        val probe = udf((h: Long) => f.value.mightContainLong(h))
+        probe(col("_ph"))
+      case None => lit(false)
+    }
+    val kept = firsts
+      .withColumn("_dup", col("_rn") > 1 || seenBefore)
+      .groupBy(col(idCol))
+      .agg(
+        array_join(
+          transform(
+            filter(
+              sort_array(collect_list(struct(col("_pos"), col("_para"), col("_dup")))),
+              x => !x.getField("_dup")),
+            x => x.getField("_para")),
+          "\n").as("clean_text"),
+        sum(when(col("_dup"), 0L).otherwise(1L)).as("n_kept"),
+        sum(when(col("_dup"), 1L).otherwise(0L)).as("n_dropped"))
+      .where(col("n_kept") > 0)
+
+    // grow the at-rest filter by THIS batch's distinct paragraph hashes
+    // (kept and dropped alike — both are now "seen"); distributed build,
+    // merged with the prior filter, swapped in atomically
+    val batchFilter = paras.select(col("_ph")).distinct()
+      .stat.bloomFilter("_ph", expectedInsertions, fpp)
+    prior.foreach(batchFilter.mergeInPlace)
+    fs.mkdirs(dirPath)
+    val tmp = new org.apache.hadoop.fs.Path(dirPath, s".bloom.${System.nanoTime()}.tmp")
+    val out = fs.create(tmp, true)
+    try batchFilter.writeTo(out) finally out.close()
+    if (fs.exists(filterPath)) fs.delete(filterPath, false)
+    require(fs.rename(tmp, filterPath), s"bloom filter swap failed under $bloomDir")
+    kept
+  }
+
   // ----------------------------------------------- exact word-set Jaccard
   private def wordSet(text: Column): Column =
     array_distinct(split(lower(trim(text)), "\\s+"))
