@@ -1879,6 +1879,38 @@ object SparkEntry {
         .select(col("url"), col("source_type"),
           length(col("extracted_text")).as("text_len"), col("ok"))
     }),
+    // HTTP wire-form decoding on ingest: response bodies arrive
+    // Transfer-Encoding: chunked and/or Content-Encoding:
+    // gzip/deflate/zstd in real crawl archives — Warc.read undoes both
+    // layers, so the same pages packed with mixed encodings must extract
+    // IDENTICALLY to the plain archive (required in-query); WarcSpec
+    // pins per-encoding byte equality and raw-fallback on undecodables
+    "pipe64_warc_http" -> ((s, _) => {
+      import s.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("graft-pipe64").toString
+      val pages = graft.fixtures.PageGen.pages(FixtureN)
+        .map(p => (p.url, p.warc_ts, p.html))
+      val encs = Seq("identity", "chunked", "gzip", "deflate",
+        "deflate-raw", "zstd", "chunked+gzip")
+      val encFor = pages.indices.map(i => encs(i % encs.length))
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$tmp/enc.warc.gz"),
+        graft.fixtures.MediaGen.warcGzHttp(pages, encFor))
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$tmp/plain.warc.gz"),
+        graft.fixtures.MediaGen.warcGz(pages))
+      def extracted(f: String) =
+        Extraction.extractAll(graft.sources.Warc.read(s, s"$tmp/$f"))
+          .select(col("url"), col("source_type"),
+            length(col("extracted_text")).as("text_len"),
+            xxhash64(col("extracted_text")).as("text_hash"), col("ok"))
+      val enc = extracted("enc.warc.gz").cache()
+      val diff = enc.unionAll(extracted("plain.warc.gz"))
+        .groupBy(col("url"), col("text_hash")).count()
+        .where(col("count") =!= 2).count()
+      require(diff == 0, s"encoded vs plain extraction drift on $diff urls")
+      enc
+    }),
     // the COMPLETE corpus funnel as one call (pipeline/CorpusJob):
     // extract → Gopher quality → near-dedup → WET archives, returning
     // the per-stage survivor counts a pipeline operator watches

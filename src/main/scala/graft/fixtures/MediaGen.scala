@@ -3141,8 +3141,110 @@ object MediaGen {
     out.toByteArray
   }
 
+  /** warcGz twin whose HTTP responses use REAL wire encodings — the form
+    * heritrix/wget actually capture. `encodings(i)` picks page i's shape:
+    * `"identity"` (plain, as [[warcGz]]), `"chunked"` (RFC 9112 §7.1
+    * framing with a chunk extension and a trailer field), `"gzip"`,
+    * `"deflate"` (zlib-wrapped), `"deflate-raw"` (the historic bare-
+    * deflate server bug), `"zstd"`, `"chunked+gzip"` (content coding
+    * inside transfer coding), `"br"` (bytes gzip'd but labeled br — the
+    * UNDECODABLE case: readers must fall back to the raw body).
+    */
+  def warcGzHttp(pages: Seq[(String, java.sql.Timestamp, Array[Byte])],
+                 encodings: Seq[String]): Array[Byte] = {
+    require(pages.length == encodings.length, "one encoding per page")
+    val out = new java.io.ByteArrayOutputStream()
+    def member(record: Array[Byte]): Unit = {
+      val gz = new java.util.zip.GZIPOutputStream(out)
+      gz.write(record); gz.finish()
+    }
+    def crlf(lines: Seq[String]): String = lines.mkString("", "\r\n", "\r\n")
+    var i = -1
+    warcInto(pages, member, http = { html =>
+      i += 1
+      val (hdrs, body) = encodedHttpBody(html, encodings(i))
+      (crlf(Seq("HTTP/1.1 200 OK",
+        "Content-Type: text/html; charset=UTF-8") ++ hdrs ++ Seq(""))
+        .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)) ++ body
+    })
+    out.toByteArray
+  }
+
+  /** `(extra HTTP headers, encoded body)` for one wire shape. */
+  private def encodedHttpBody(html: Array[Byte],
+                              encoding: String): (Seq[String], Array[Byte]) = {
+    def gz(b: Array[Byte]): Array[Byte] = {
+      val bo = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bo)
+      g.write(b); g.finish()
+      bo.toByteArray
+    }
+    def defl(b: Array[Byte], zlibWrapped: Boolean): Array[Byte] = {
+      val d = new java.util.zip.Deflater(6, !zlibWrapped)
+      try {
+        d.setInput(b); d.finish()
+        val bo = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](8192)
+        while (!d.finished()) bo.write(buf, 0, d.deflate(buf))
+        bo.toByteArray
+      } finally d.end()
+    }
+    // chunk sizes deliberately uneven; first chunk carries an extension
+    // and the last-chunk line is followed by a trailer field — both must
+    // be tolerated per RFC 9112
+    def chunk(b: Array[Byte]): Array[Byte] = {
+      val bo = new java.io.ByteArrayOutputStream()
+      val crlfB = "\r\n".getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+      var p = 0
+      var first = true
+      while (p < b.length) {
+        val n = math.min(if (first) 7 else 611, b.length - p)
+        val ext = if (first) ";graft=1" else ""
+        bo.write(s"${n.toHexString}$ext".getBytes); bo.write(crlfB)
+        bo.write(b, p, n); bo.write(crlfB)
+        p += n
+        first = false
+      }
+      bo.write("0\r\nX-Trailer: done\r\n\r\n".getBytes)
+      bo.toByteArray
+    }
+    encoding match {
+      case "identity" =>
+        (Seq(s"Content-Length: ${html.length}"), html)
+      case "chunked" =>
+        (Seq("Transfer-Encoding: chunked"), chunk(html))
+      case "gzip" =>
+        val b = gz(html); (Seq("Content-Encoding: gzip", s"Content-Length: ${b.length}"), b)
+      case "deflate" =>
+        val b = defl(html, zlibWrapped = true)
+        (Seq("Content-Encoding: deflate", s"Content-Length: ${b.length}"), b)
+      case "deflate-raw" =>
+        val b = defl(html, zlibWrapped = false)
+        (Seq("Content-Encoding: deflate", s"Content-Length: ${b.length}"), b)
+      case "zstd" =>
+        val b = com.github.luben.zstd.Zstd.compress(html, 3)
+        (Seq("Content-Encoding: zstd", s"Content-Length: ${b.length}"), b)
+      case "chunked+gzip" =>
+        (Seq("Content-Encoding: gzip", "Transfer-Encoding: chunked"), chunk(gz(html)))
+      case "br" => // labeled br, bytes gzip — readers cannot decode this
+        val b = gz(html)
+        (Seq("Content-Encoding: br", s"Content-Length: ${b.length}"), b)
+      case other => throw new IllegalArgumentException(s"unknown encoding '$other'")
+    }
+  }
+
+  private def httpPlain(html: Array[Byte]): Array[Byte] = {
+    def crlf(lines: Seq[String]): String = lines.mkString("", "\r\n", "\r\n")
+    (crlf(Seq(
+      "HTTP/1.1 200 OK",
+      "Content-Type: text/html; charset=UTF-8",
+      s"Content-Length: ${html.length}",
+      "")).getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)) ++ html
+  }
+
   private def warcInto(pages: Seq[(String, java.sql.Timestamp, Array[Byte])],
-                       member: Array[Byte] => Unit): Unit = {
+                       member: Array[Byte] => Unit,
+                       http: Array[Byte] => Array[Byte] = httpPlain): Unit = {
     def crlf(lines: Seq[String]): String = lines.mkString("", "\r\n", "\r\n")
     val info = "software: graft-fixtures\r\nformat: WARC File Format 1.1\r\n"
       .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
@@ -3157,20 +3259,16 @@ object MediaGen {
     )
     pages.foreach { case (url, ts, html) =>
       val date = java.time.Instant.ofEpochMilli(ts.getTime).toString
-      val http = (crlf(Seq(
-        "HTTP/1.1 200 OK",
-        "Content-Type: text/html; charset=UTF-8",
-        s"Content-Length: ${html.length}",
-        "")).getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)) ++ html
+      val httpMsg = http(html)
       val rec = (crlf(Seq(
         "WARC/1.1",
         "WARC-Type: response",
         s"WARC-Target-URI: $url",
         s"WARC-Date: $date",
-        s"Content-Length: ${http.length}",
+        s"Content-Length: ${httpMsg.length}",
         "Content-Type: application/http; msgtype=response",
         "")).getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
-        ) ++ http ++ "\r\n\r\n".getBytes
+        ) ++ httpMsg ++ "\r\n\r\n".getBytes
       member(rec)
     }
   }

@@ -234,14 +234,30 @@ object Warc {
                     (hdrEnd + 4, new String(block, 0, hdrEnd,
                       java.nio.charset.StandardCharsets.ISO_8859_1))
                   else (0, "") // headerless block: whole block is body
-                val ct = headers.linesIterator
-                  .find(_.toLowerCase.startsWith("content-type:"))
-                  .map(_.substring("content-type:".length).trim).getOrElse("")
+                def hdrVal(name: String): String = headers.linesIterator
+                  .find(_.toLowerCase.startsWith(name + ":"))
+                  .map(_.substring(name.length + 1).trim).getOrElse("")
+                val ct = hdrVal("content-type")
                 val tsMs =
                   try java.time.Instant.parse(date).toEpochMilli
                   catch { case _: Exception => 0L }
-                nextRec = WarcRecord(uri, tsMs, ct,
-                  java.util.Arrays.copyOfRange(block, bodyStart, block.length))
+                val raw = java.util.Arrays.copyOfRange(block, bodyStart, block.length)
+                // undo the wire form: chunked framing first (transfer
+                // coding wraps the content coding), then content codings;
+                // any decode failure keeps the raw bytes (C5 per record)
+                val body =
+                  try {
+                    val te = hdrVal("transfer-encoding").toLowerCase
+                    val afterTe =
+                      if (te.split(',').map(_.trim).lastOption.contains("chunked"))
+                        dechunk(raw)
+                      else raw
+                    val encs = hdrVal("content-encoding").toLowerCase
+                      .split(',').map(_.trim).filter(_.nonEmpty).toSeq
+                    if (encs.isEmpty) afterTe
+                    else decodeContentEncoding(afterTe, encs)
+                  } catch { case _: Exception => raw }
+                nextRec = WarcRecord(uri, tsMs, ct, body)
               } // non-response records: loop to the next one
           }
         }
@@ -283,6 +299,111 @@ object Warc {
 
   private def closeQuietly(in: java.io.InputStream): Unit =
     try in.close() catch { case _: Exception => }
+
+  // --------------------------------------- HTTP message body decoding
+  // Real crawl `response` records store the HTTP message AS SENT, so
+  // bodies routinely arrive `Transfer-Encoding: chunked` and/or
+  // `Content-Encoding: gzip|deflate|zstd` (heritrix and wget both
+  // preserve the wire form; cf. the reference app receiving decoded
+  // uploads, `/root/reference/app/api/routes.py:32` — at crawl scale the
+  // decode is the ingester's job). Both layers are undone here so the
+  // emitted `html` column is the page bytes the extraction kernels
+  // expect. Decode failure (truncated chunk, bad deflate, unknown
+  // coding like `br`) falls back to the RAW body — the C5 rule: a
+  // mangled response yields its bytes as-is rather than killing the
+  // archive, and downstream extraction treats undecodable payloads as
+  // it treats any binary junk.
+
+  /** RFC 9112 §7.1 chunked decoding: hex size line (chunk extensions
+    * after `;` ignored), CRLF, data, CRLF, repeated; a zero-size chunk
+    * then optional trailer fields end the body. Strict — malformed
+    * framing throws (the caller falls back to raw bytes).
+    */
+  private[sources] def dechunk(b: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(math.min(b.length, 1 << 20))
+    var p = 0
+    def line(): String = {
+      val s = p
+      while (p + 1 < b.length && !(b(p) == '\r' && b(p + 1) == '\n')) p += 1
+      if (p + 1 >= b.length) throw new WarcError("unterminated chunk line")
+      val str = new String(b, s, p - s, java.nio.charset.StandardCharsets.ISO_8859_1)
+      p += 2
+      str
+    }
+    var done = false
+    while (!done) {
+      val l = line()
+      val semi = l.indexOf(';')
+      val hex = (if (semi >= 0) l.substring(0, semi) else l).trim
+      if (hex.isEmpty || !hex.forall(c => Character.digit(c, 16) >= 0))
+        throw new WarcError(s"bad chunk size '${hex.take(20)}'")
+      val n = java.lang.Long.parseLong(hex, 16)
+      if (n > MaxRecordBytes || out.size() + n > MaxRecordBytes)
+        throw new WarcError("chunked body exceeds record cap")
+      if (n == 0) {
+        // trailer section: header lines until the terminating blank line
+        var t = line()
+        while (t.nonEmpty) t = line()
+        done = true
+      } else {
+        if (p + n + 2 > b.length) throw new WarcError("chunk data overruns block")
+        out.write(b, p, n.toInt)
+        p += n.toInt
+        if (!(b(p) == '\r' && b(p + 1) == '\n'))
+          throw new WarcError("missing CRLF after chunk data")
+        p += 2
+      }
+    }
+    out.toByteArray
+  }
+
+  /** Drain a decoding stream with the [[MaxRecordBytes]] bomb guard —
+    * a 1 KB gzip member claiming gigabytes fails the decode (→ raw
+    * fallback) instead of ballooning the heap.
+    */
+  private def readCapped(in: java.io.InputStream): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(64 * 1024)
+    val buf = new Array[Byte](64 * 1024)
+    var k = in.read(buf)
+    while (k >= 0) {
+      out.write(buf, 0, k)
+      if (out.size() > MaxRecordBytes) throw new WarcError("decoded body exceeds cap")
+      k = in.read(buf)
+    }
+    out.toByteArray
+  }
+
+  /** Undo `Content-Encoding` codings (RFC 9110 §8.4: listed in the
+    * order applied, so decoded right-to-left). `deflate` means
+    * zlib-wrapped per spec, but a long-standing server bug ships raw
+    * deflate — sniffed by the zlib CMF/FLG checksum. Unknown codings
+    * (e.g. `br`: no decoder on this classpath) throw → raw fallback.
+    */
+  private[sources] def decodeContentEncoding(body: Array[Byte],
+                                             encodings: Seq[String]): Array[Byte] =
+    encodings.foldRight(body) { (enc, acc) =>
+      enc match {
+        case "gzip" | "x-gzip" =>
+          val in = new java.util.zip.GZIPInputStream(
+            new java.io.ByteArrayInputStream(acc), 64 * 1024)
+          try readCapped(in) finally in.close()
+        case "deflate" =>
+          val zlib = acc.length >= 2 && (acc(0) & 0x0f) == 8 &&
+            ((((acc(0) & 0xff) << 8) | (acc(1) & 0xff)) % 31 == 0)
+          val inf = new java.util.zip.Inflater(!zlib)
+          try {
+            val in = new java.util.zip.InflaterInputStream(
+              new java.io.ByteArrayInputStream(acc), inf, 64 * 1024)
+            try readCapped(in) finally in.close()
+          } finally inf.end()
+        case "zstd" =>
+          val in = new com.github.luben.zstd.ZstdInputStream(
+            new java.io.ByteArrayInputStream(acc))
+          try readCapped(in) finally in.close()
+        case "identity" | "" => acc
+        case other => throw new WarcError(s"unsupported content-encoding '$other'")
+      }
+    }
 
   /** Passes close() through as flush() only — lets a per-member
     * GZIPOutputStream be close()d (releasing its native Deflater)

@@ -302,4 +302,69 @@ class WarcSpec extends AnyFunSuite with SparkSuite {
       .collect().toMap
     assert(back === wantText, "zstd WET round-trip text drift")
   }
+
+  test("http: chunked and content-coded bodies decode to the plain bytes") {
+    val pages = fixture(7, seed = 91L)
+    val encs = Seq("identity", "chunked", "gzip", "deflate",
+      "deflate-raw", "zstd", "chunked+gzip")
+    val recs = Warc.parse(MediaGen.warcGzHttp(pages, encs))
+    assert(recs.length === pages.length)
+    recs.zip(pages).zip(encs).foreach { case ((r, (url, _, html)), enc) =>
+      assert(r.url === url)
+      assert(r.body.toSeq === html.toSeq, s"body drift under '$enc' for $url")
+    }
+    // and through the Spark read path: encoded archive == plain archive
+    val dir = java.nio.file.Files.createTempDirectory("graft-warc-http").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/enc.warc.gz"),
+      MediaGen.warcGzHttp(pages, encs))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/plain.warc.gz"),
+      MediaGen.warcGz(pages))
+    val byFile = Warc.read(spark, s"$dir/*.warc.gz")
+      .select($"url", $"html").as[(String, Array[Byte])].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2.toSeq).toSet).toMap
+    byFile.foreach { case (url, bodies) =>
+      assert(bodies.size === 1, s"encoded vs plain body drift for $url")
+    }
+  }
+
+  test("http: undecodable or mangled encodings fall back to the raw body, not failure") {
+    val pages = fixture(2, seed = 92L)
+    // 'br' label over gzip bytes: no br decoder → raw (still-gzip) body kept
+    val brRecs = Warc.parse(MediaGen.warcGzHttp(pages.take(1), Seq("br")))
+    assert(brRecs.length === 1)
+    assert(brRecs(0).body.length >= 2 &&
+      (brRecs(0).body(0) & 0xff) == 0x1f && (brRecs(0).body(1) & 0xff) == 0x8b,
+      "br fallback must keep the wire bytes")
+    // mangled chunk framing: size line is not hex → raw body kept, record survives
+    val base = new String(
+      "HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\nZZZ\r\nbody".getBytes,
+      java.nio.charset.StandardCharsets.ISO_8859_1)
+    val block = base.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    val rec = (s"WARC/1.1\r\nWARC-Type: response\r\n" +
+      s"WARC-Target-URI: https://x.example/\r\n" +
+      s"WARC-Date: 2024-01-01T00:00:00Z\r\nContent-Length: ${block.length}\r\n\r\n")
+      .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1) ++ block ++ "\r\n\r\n".getBytes
+    val got = Warc.parseClear(rec)
+    assert(got.length === 1)
+    assert(new String(got(0).body) === "ZZZ\r\nbody")
+    // decode bomb: tiny gzip claiming >cap decoded bytes → raw fallback
+    val zeros = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val gz = new java.util.zip.GZIPOutputStream(bos)
+      val chunk = new Array[Byte](1 << 20)
+      (0 until 300).foreach(_ => gz.write(chunk))
+      gz.finish()
+      bos.toByteArray
+    }
+    assert(zeros.length < (1 << 21), "bomb fixture must be small on the wire")
+    val bombBlock = ("HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\n")
+      .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1) ++ zeros
+    val bombRec = (s"WARC/1.1\r\nWARC-Type: response\r\n" +
+      s"WARC-Target-URI: https://bomb.example/\r\n" +
+      s"WARC-Date: 2024-01-01T00:00:00Z\r\nContent-Length: ${bombBlock.length}\r\n\r\n")
+      .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1) ++ bombBlock ++ "\r\n\r\n".getBytes
+    val bombGot = Warc.parseClear(bombRec)
+    assert(bombGot.length === 1)
+    assert(bombGot(0).body.toSeq === zeros.toSeq, "bomb must fall back to wire bytes")
+  }
 }
