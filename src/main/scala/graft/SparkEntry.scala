@@ -345,6 +345,21 @@ object SparkEntry {
         tmp, buckets = 32)
       graft.ops.Search.bm25TopK(s, tmp, "stream window hash", k = 20, buckets = 32)
     }),
+    // redirect-chain resolution (CrawlPolicy.resolveRedirects): pointer
+    // doubling over a synthetic orderkey redirect graph (src → src-3
+    // while src % 90 >= 3; chains end at the first key with no outgoing
+    // edge). The DuckDB oracle walks the same edges with a recursive
+    // CTE — final target AND exact hop count are hash-checked, and
+    // `resolved` doubles as an in-query proof no chain looped
+    "q84_redirect_chains" -> ((s, dir) => {
+      val e = t(s, dir, "orders")
+        .where(col("o_orderkey") % 90 >= 3)
+        .select(col("o_orderkey").as("src"), (col("o_orderkey") - 3).as("dst"))
+      graft.ops.CrawlPolicy.resolveRedirects(e, "src", "dst")
+        .select(col("src"), col("final_url").as("final"), col("hops"),
+          col("resolved"))
+        .orderBy(asc("src"))
+    }),
     // ------------------------------------------- C6: TTL predicate
     "q10_ttl_filter" -> ((s, dir) => {
       t(s, dir, "events")
@@ -2267,6 +2282,18 @@ object SparkEntry {
       FROM tf JOIN q USING (token) JOIN dft USING (token)
         JOIN dl USING (doc_id) CROSS JOIN st
       GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20"""),
+    "q84_redirect_chains" -> ("""WITH RECURSIVE
+      e AS (SELECT o_orderkey AS src, o_orderkey - 3 AS dst
+            FROM orders WHERE o_orderkey % 90 >= 3),
+      walk(src, cur, hops) AS (
+        SELECT src, dst, 1 FROM e
+        UNION ALL
+        SELECT w.src, e2.dst, w.hops + 1 FROM walk w JOIN e e2 ON w.cur = e2.src)
+      SELECT w.src, w.cur AS final, CAST(w.hops AS BIGINT) AS hops,
+             TRUE AS resolved
+      FROM walk w
+      WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.src = w.cur)
+      ORDER BY src"""),
     "q73_grouping_sets" -> ("SELECT event_type, user_id % 4 AS bucket, " +
       "GROUPING(event_type, user_id % 4) AS gid, count(*) AS cnt, " +
       "round(sum(value), 2) AS value_sum FROM events " +

@@ -3233,6 +3233,41 @@ object MediaGen {
     }
   }
 
+  /** WARC archive whose responses carry explicit HTTP statuses —
+    * `entries` = `(url, ts, status, location, body)`; 3xx rows get a
+    * `Location` header (the redirect-graph fixture for
+    * [[graft.sources.Warc.readResponses]]).
+    */
+  def warcGzStatus(entries: Seq[(String, java.sql.Timestamp, Int, String, Array[Byte])]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def member(record: Array[Byte]): Unit = {
+      val gz = new java.util.zip.GZIPOutputStream(out)
+      gz.write(record); gz.finish()
+    }
+    def crlf(lines: Seq[String]): String = lines.mkString("", "\r\n", "\r\n")
+    val reasons = Map(200 -> "OK", 301 -> "Moved Permanently", 302 -> "Found",
+      404 -> "Not Found", 500 -> "Internal Server Error")
+    entries.foreach { case (url, ts, status, location, bodyBytes) =>
+      val date = java.time.Instant.ofEpochMilli(ts.getTime).toString
+      val http = (crlf(Seq(
+        s"HTTP/1.1 $status ${reasons.getOrElse(status, "Status")}") ++
+        (if (location.nonEmpty) Seq(s"Location: $location") else Nil) ++ Seq(
+        "Content-Type: text/html; charset=UTF-8",
+        s"Content-Length: ${bodyBytes.length}",
+        "")).getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)) ++ bodyBytes
+      member((crlf(Seq(
+        "WARC/1.1",
+        "WARC-Type: response",
+        s"WARC-Target-URI: $url",
+        s"WARC-Date: $date",
+        s"Content-Length: ${http.length}",
+        "Content-Type: application/http; msgtype=response",
+        "")).getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+        ) ++ http ++ "\r\n\r\n".getBytes)
+    }
+    out.toByteArray
+  }
+
   private def httpPlain(html: Array[Byte]): Array[Byte] = {
     def crlf(lines: Seq[String]): String = lines.mkString("", "\r\n", "\r\n")
     (crlf(Seq(

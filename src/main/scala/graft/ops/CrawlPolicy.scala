@@ -153,4 +153,72 @@ object CrawlPolicy {
       .select(col(hostCol)).distinct()
     df.join(blockedHosts, Seq(hostCol), "left_anti")
   }
+
+  // ------------------------------------------- redirect-chain resolution
+
+  /** Resolve HTTP redirect chains to their final destination: `edges`
+    * holds one `src → dst` row per 3xx response (the `url → Location`
+    * pairs of [[graft.sources.Warc.readResponses]]'s redirect rows).
+    * Returns `(srcCol, final_url, hops, resolved)` for every src —
+    * `final_url` is the first node in src's chain with no outgoing
+    * redirect, `hops` the chain length, and `resolved = false` marks
+    * chains that loop or exceed `maxHops` (their `final_url` is
+    * wherever the walk stood when the budget ran out — report, don't
+    * guess).
+    *
+    * Scale shape: POINTER DOUBLING, the [[graft.ops.Dedup.connectedComponents]]
+    * discipline — after round k every pointer is min(2^k, chain) hops
+    * ahead, so a maxHops=64 resolution is 7 hash-partitioned self-joins
+    * regardless of corpus size, never a per-hop driver loop. Each round
+    * `localCheckpoint`s and releases the superseded round's blocks.
+    * Duplicate src rows are refused loudly (a url has ONE Location;
+    * duplicates would make resolution order-dependent).
+    */
+  def resolveRedirects(edges0: DataFrame, srcCol: String, dstCol: String,
+                       maxHops: Int = 64): DataFrame = {
+    require(maxHops >= 1, s"maxHops must be >= 1, got $maxHops")
+    val edges = edges0
+      .select(col(srcCol).as("_u"), col(dstCol).as("_v"))
+      .where(col("_v").isNotNull && col("_v") =!= col("_u"))
+      .persist()
+    val dup = edges.groupBy(col("_u")).count()
+      .where(col("count") > 1).limit(1).count()
+    require(dup == 0,
+      "duplicate redirect sources: a url must have exactly one Location")
+
+    def ckptRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+      df.queryExecution.analyzed.collectFirst {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+      }
+    var p = edges
+      .select(col("_u"), col("_v"), lit(1L).as("_n"), lit(false).as("_done"))
+      .localCheckpoint(true)
+    var pRdd = ckptRdd(p)
+    // ceil(log2(maxHops)) + 1: enough rounds to cover the hop budget AND
+    // observe the terminal node's missing outgoing edge
+    val rounds = 64 - java.lang.Long.numberOfLeadingZeros(
+      math.max(1, maxHops - 1).toLong).toInt + 1
+    var r = 0
+    var allDone = false
+    while (r < rounds && !allDone) {
+      val q = p.select(col("_u").as("_qu"), col("_v").as("_qv"),
+        col("_n").as("_qn"), col("_done").as("_qdone"))
+      val stay = col("_done") || col("_qu").isNull
+      val next = p.join(q, p("_v") === q("_qu"), "left")
+        .select(p("_u").as("_u"),
+          when(stay, p("_v")).otherwise(col("_qv")).as("_v"),
+          when(stay, col("_n")).otherwise(col("_n") + col("_qn")).as("_n"),
+          (stay || col("_qdone")).as("_done"))
+        .localCheckpoint(true)
+      allDone = next.where(!col("_done")).limit(1).count() == 0
+      pRdd.foreach(_.unpersist(false))
+      p = next
+      pRdd = ckptRdd(next)
+      r += 1
+    }
+    edges.unpersist()
+    p.select(col("_u").as(srcCol), col("_v").as("final_url"),
+      col("_n").as("hops"),
+      (col("_done") && col("_n") <= maxHops).as("resolved"))
+  }
 }

@@ -44,7 +44,9 @@ object Warc {
 
   final case class WarcRecord(url: String, warcTsMs: Long,
                               httpContentType: String, body: Array[Byte],
-                              warcType: String = "response")
+                              warcType: String = "response",
+                              httpStatus: Int = 200,
+                              httpLocation: String = "")
 
   final class WarcError(msg: String) extends RuntimeException(msg)
 
@@ -238,6 +240,15 @@ object Warc {
                   .find(_.toLowerCase.startsWith(name + ":"))
                   .map(_.substring(name.length + 1).trim).getOrElse("")
                 val ct = hdrVal("content-type")
+                // status line: `HTTP/1.1 301 Moved Permanently`; a
+                // headerless block has no status line → 200 (the crawl
+                // convention for raw-payload records)
+                val status = headers.linesIterator.nextOption() match {
+                  case Some(sl) if sl.startsWith("HTTP/") =>
+                    sl.split(" ").lift(1).flatMap(_.toIntOption).getOrElse(200)
+                  case _ => 200
+                }
+                val location = hdrVal("location")
                 val tsMs =
                   try java.time.Instant.parse(date).toEpochMilli
                   catch { case _: Exception => 0L }
@@ -257,7 +268,8 @@ object Warc {
                     if (encs.isEmpty) afterTe
                     else decodeContentEncoding(afterTe, encs)
                   } catch { case _: Exception => raw }
-                nextRec = WarcRecord(uri, tsMs, ct, body)
+                nextRec = WarcRecord(uri, tsMs, ct, body,
+                  httpStatus = status, httpLocation = location)
               } // non-response records: loop to the next one
           }
         }
@@ -418,7 +430,10 @@ object Warc {
   }
 
   /** Read WARC archives as the engine's page shape
-    * `(url STRING, warc_ts TIMESTAMP, html BINARY)`. Corrupt data
+    * `(url STRING, warc_ts TIMESTAMP, html BINARY)`. Only 2xx responses
+    * become pages — redirect stubs and error bodies are not corpus
+    * content (resolve redirect chains from [[readResponses]] +
+    * [[graft.ops.CrawlPolicy.resolveRedirects]] instead). Corrupt data
     * contributes its good prefix of records (possibly zero) instead of
     * failing the job; feed the result straight to
     * [[graft.pipeline.Extraction.extractAll]].
@@ -430,10 +445,31 @@ object Warc {
       .flatMap { case (_, bytes) =>
         val in = open(bytes)
         goodPrefix(parseStream(in), in)
-          .filter(_.warcType == "response")
+          .filter(r => r.warcType == "response" &&
+            r.httpStatus >= 200 && r.httpStatus < 300)
           .map(r => (r.url, new java.sql.Timestamp(r.warcTsMs), r.body))
       }
       .toDF("url", "warc_ts", "html")
+  }
+
+  /** Every response record with its HTTP metadata:
+    * `(url, warc_ts, http_status, content_type, location, html)` —
+    * the input for status censuses and redirect-chain resolution
+    * ([[graft.ops.CrawlPolicy.resolveRedirects]] over the
+    * `url → location` edges of the 3xx rows).
+    */
+  def readResponses(spark: SparkSession, pathGlob: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(pathGlob)
+      .select($"path", $"content").as[(String, Array[Byte])]
+      .flatMap { case (_, bytes) =>
+        val in = open(bytes)
+        goodPrefix(parseStream(in), in)
+          .filter(_.warcType == "response")
+          .map(r => (r.url, new java.sql.Timestamp(r.warcTsMs),
+            r.httpStatus, r.httpContentType, r.httpLocation, r.body))
+      }
+      .toDF("url", "warc_ts", "http_status", "content_type", "location", "html")
   }
 
   // ------------------------------------------ WET-style conversion sink
