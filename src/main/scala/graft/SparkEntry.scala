@@ -1926,6 +1926,19 @@ object SparkEntry {
       require(diff == 0, s"encoded vs plain extraction drift on $diff urls")
       enc
     }),
+    // CSS-selector structured extraction (kernel/CssSelect via
+    // Structured.cssSelect): a level-3 selector list with attribute,
+    // combinator and pseudo-class terms runs over the fixture corpus —
+    // one stateless per-row map, selector compiled once, no shuffle
+    // before the census; CssSelectSpec pins the grammar semantics
+    "pipe65_css_select" -> ((s, _) => {
+      val pages = fixturePages(s).withColumn("doc_id", xxhash64(col("url")))
+      graft.ops.Structured.cssSelect(pages, "doc_id", "html",
+        "h1, nav a[href^='/s'], aside a + a, footer > a[href$='tos']")
+        .groupBy(col("tag"))
+        .agg(count(lit(1)).as("n"), sum(length(col("text"))).as("chars"))
+        .orderBy(asc("tag"))
+    }),
     // the COMPLETE corpus funnel as one call (pipeline/CorpusJob):
     // extract → Gopher quality → near-dedup → WET archives, returning
     // the per-stage survivor counts a pipeline operator watches

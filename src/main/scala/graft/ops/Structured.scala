@@ -72,4 +72,35 @@ object Structured {
         (id, m.title, m.canonical, m.meta, m.jsonLd)
       }.toDF(idCol, "title", "canonical", "meta", "json_ld")
   }
+
+  /** CSS-selector extraction ([[graft.kernel.CssSelect]]): one row per
+    * match, in document order — `(id, match_idx, tag, text, attrs)`
+    * with `text` the match's collapsed inner text and `attrs` its
+    * attribute map (scrape `href`/`src`/`content` from it). The
+    * selector is compiled ONCE per partition, matching is a stateless
+    * per-row map (no shuffle), and a malformed document contributes
+    * zero rows (C5) — but a malformed SELECTOR fails the job loudly at
+    * compile time, before any executor work.
+    */
+  def cssSelect(df: DataFrame, idCol: String, htmlCol: String,
+                selector: String): DataFrame = {
+    val compiled = graft.kernel.CssSelect.compile(selector) // fail fast, driver-side
+    require(compiled != null)
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(htmlCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val sel = graft.kernel.CssSelect.compile(selector)
+        it.flatMap { case (id, html) =>
+          if (html == null) Iterator.empty
+          else scala.util.Try {
+            val root = Html.parse(graft.kernel.CharsetSniff.decode(html))
+            graft.kernel.CssSelect.selectCompiled(root, sel)
+          }.getOrElse(Vector.empty).iterator.zipWithIndex.map { case (el, i) =>
+            (id, i, el.name, graft.kernel.CssSelect.innerText(el), el.attrs)
+          }
+        }
+      }.toDF(idCol, "match_idx", "tag", "text", "attrs")
+  }
 }
