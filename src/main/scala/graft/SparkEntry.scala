@@ -1968,6 +1968,37 @@ object SparkEntry {
       require(m("domain_capped") > 0, "funnel collapsed to zero")
       funnel
     }),
+    // WET sink with a TRAINED shared zstd dictionary: deterministic
+    // sample → ZDICT training → archives lead with the dictionary
+    // skippable frame, every record frame compressed against it (the
+    // full IIPC shape the reader already handles); in-query requires:
+    // byte-identical read-back AND the dict archives are smaller than
+    // dict-less ones on the same corpus
+    "pipe66_wet_zst_dict" -> ((s, _) => {
+      import s.implicits._
+      val tmpD = java.nio.file.Files.createTempDirectory("graft-p66d").toString
+      val tmpP = java.nio.file.Files.createTempDirectory("graft-p66p").toString
+      val pages = fixturePages(s)
+      val docs = Extraction.extractAll(pages)
+        .join(pages.select(col("url"), col("warc_ts")), Seq("url"))
+        .select(col("url"), col("warc_ts"), col("extracted_text"))
+        .repartition(4).cache()
+      val dict = graft.sources.Warc.trainZstdDict(docs, 16 * 1024, 256)
+      val n = graft.sources.Warc.writeConversions(
+        docs, tmpD, codec = "zstd", dict = Some(dict))
+      graft.sources.Warc.writeConversions(docs, tmpP, codec = "zstd")
+      def sz(d: String) = new java.io.File(d).listFiles()
+        .filter(_.getName.endsWith(".warc.zst")).map(_.length).sum
+      require(sz(tmpD) - 4L * dict.length < sz(tmpP),
+        "shared dictionary failed to shrink the archives")
+      val back = graft.sources.Warc.readConversions(s, s"$tmpD/*.warc.zst")
+      val drift = back.select(col("url"), xxhash64(col("text")).as("h"))
+        .unionAll(docs.select(col("url"), xxhash64(col("extracted_text")).as("h")))
+        .groupBy(col("url"), col("h")).count().where(col("count") =!= 2).count()
+      require(drift == 0 && back.count() == n, s"dict WET round-trip drift on $drift urls")
+      docs.unpersist()
+      back.select(col("url"), length(col("text")).as("text_len"))
+    }),
     // WET-style sidecar sink: extracted text written back out as WARC
     // conversion-record archives (per-record gzip members) and parsed
     // back — crawl-in/crawl-out symmetry; WarcSpec proves byte identity

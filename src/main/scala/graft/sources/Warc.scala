@@ -493,6 +493,31 @@ object Warc {
     hdr ++ body ++ "\r\n\r\n".getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
   }
 
+  /** Train a zstd dictionary for the WET sink from a bounded,
+    * DETERMINISTIC sample of the corpus (first `maxSamples` docs in url
+    * order — same input, same dictionary bytes, so archive bytes stay
+    * reproducible). Small conversion records share WARC header + HTML
+    * boilerplate that per-record frames cannot exploit alone; a shared
+    * dictionary recovers that redundancy — the reason the IIPC
+    * convention has the head skippable frame at all. Returns the raw
+    * dictionary for [[writeConversions]]'s `dict` parameter.
+    */
+  def trainZstdDict(docs: DataFrame, dictSize: Int = 16 * 1024,
+                    maxSamples: Int = 1024): Array[Byte] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val rows = docs.select($"url", $"warc_ts", $"extracted_text")
+      .as[(String, java.sql.Timestamp, String)]
+      .sort($"url").limit(maxSamples).collect()
+    require(rows.length >= 8,
+      s"need >= 8 sample records to train a dictionary, got ${rows.length}")
+    val recs = rows.map { case (u, ts, t) => conversionRecord(u, ts.getTime, t) }
+    val trainer = new com.github.luben.zstd.ZstdDictTrainer(
+      recs.map(_.length).sum, dictSize)
+    recs.foreach(trainer.addSample)
+    trainer.trainSamples()
+  }
+
   /** Write extracted documents back out as WET-style `.warc.gz` archives
     * — crawl-in/crawl-out symmetry: the corpus leaves the engine in the
     * same container it arrived in, one gzip member per record (the crawl
@@ -507,11 +532,18 @@ object Warc {
     *
     * `docs` must carry `url`, `warc_ts`, `extracted_text`. `codec` picks
     * the member compression: `"gzip"` (the classic crawl convention) or
-    * `"zstd"` (one zstd frame per record — the IIPC `.warc.zst` shape,
-    * dictionary-less; [[read]] and [[buildCdx]] accept both).
+    * `"zstd"` (one zstd frame per record — the IIPC `.warc.zst` shape;
+    * [[read]] and [[buildCdx]] accept both). With `dict` (zstd only,
+    * train via [[trainZstdDict]]) every archive leads with the
+    * dictionary in a skippable frame and each record frame compresses
+    * against it — the full IIPC shared-dictionary shape this source
+    * already reads.
     */
-  def writeConversions(docs: DataFrame, dir: String, codec: String = "gzip"): Long = {
+  def writeConversions(docs: DataFrame, dir: String, codec: String = "gzip",
+                       dict: Option[Array[Byte]] = None): Long = {
     require(codec == "gzip" || codec == "zstd", s"unknown codec '$codec'")
+    require(dict.isEmpty || codec == "zstd",
+      "a shared dictionary requires the zstd codec")
     val ext = if (codec == "gzip") "warc.gz" else "warc.zst"
     val spark = docs.sparkSession
     import spark.implicits._
@@ -543,6 +575,16 @@ object Warc {
           val out = fs.create(tmp, true)
           var n = 0L
           try {
+            // shared dictionary leads the archive in a skippable frame
+            // (raw content; readers sniff raw-vs-compressed) — each
+            // partition file is its own self-contained archive
+            dict.foreach { d =>
+              out.write(Array(0x5d, 0x2a, 0x4d, 0x18).map(_.toByte))
+              val len = d.length
+              out.write(Array(len & 0xff, (len >> 8) & 0xff,
+                (len >> 16) & 0xff, (len >> 24) & 0xff).map(_.toByte))
+              out.write(d)
+            }
             it.foreach { case (url, ts, text) =>
               // close() per member releases the native Deflater/CCtx
               // (finish() alone leaves it for finalization — one leaked
@@ -552,9 +594,12 @@ object Warc {
                 if (codec == "gzip")
                   new java.util.zip.GZIPOutputStream(
                     new CloseShieldOutputStream(out), 64 * 1024)
-                else
-                  new com.github.luben.zstd.ZstdOutputStream(
+                else {
+                  val z = new com.github.luben.zstd.ZstdOutputStream(
                     new CloseShieldOutputStream(out), 3)
+                  dict.foreach(z.setDict)
+                  z
+                }
               member.write(conversionRecord(url, ts.getTime, text))
               member.close()
               n += 1

@@ -303,6 +303,47 @@ class WarcSpec extends AnyFunSuite with SparkSuite {
     assert(back === wantText, "zstd WET round-trip text drift")
   }
 
+  test("wet sink: trained shared dictionary — byte round-trip, smaller archives, ranged reads") {
+    val pages = PageGen.pages(200, seed = 83L)
+    val pagesDf = spark.createDataset(pages).toDF()
+    val docs = graft.pipeline.Extraction.extractAll(pagesDf)
+      .join(pagesDf.select($"url", $"warc_ts"), Seq("url"))
+      .select($"url", $"warc_ts", $"extracted_text").repartition(2).cache()
+    val dict = Warc.trainZstdDict(docs, dictSize = 16 * 1024, maxSamples = 128)
+    assert(dict.length > 256, "trained dictionary implausibly small")
+    // deterministic: same corpus, same dictionary bytes
+    assert(Warc.trainZstdDict(docs, 16 * 1024, 128).toSeq === dict.toSeq)
+    val dirD = java.nio.file.Files.createTempDirectory("graft-wetdict").toString
+    val dirP = java.nio.file.Files.createTempDirectory("graft-wetplain").toString
+    assert(Warc.writeConversions(docs, dirD, codec = "zstd", dict = Some(dict)) === 200L)
+    assert(Warc.writeConversions(docs, dirP, codec = "zstd") === 200L)
+    def totalSize(d: String) = new java.io.File(d).listFiles()
+      .filter(_.getName.endsWith(".warc.zst")).map(_.length).sum
+    val (szD, szP) = (totalSize(dirD), totalSize(dirP))
+    assert(szD - dict.length * 2 < szP,
+      s"shared dict must shrink member payloads (dict=$szD plain=$szP)")
+    // parse-back byte identity through the ordinary read path
+    val back = Warc.readConversions(spark, s"$dirD/*.warc.zst")
+      .select($"url", $"text").as[(String, String)].collect().toMap
+    val want = docs.select($"url", $"extracted_text").as[(String, String)]
+      .collect().toMap
+    assert(back === want, "dict WET round-trip text drift")
+    // CDX + ranged reads recover the dictionary per archive
+    val cdx = Warc.buildCdx(spark, s"$dirD/*.warc.zst")
+      .select($"url", $"file", $"offset", $"length")
+      .as[(String, String, Long, Long)].collect()
+    assert(cdx.length === 200)
+    cdx.take(10).foreach { case (url, f, off, len) =>
+      val rec = Warc.readRecordAt(spark, f, off, len)
+      assert(rec.url === url)
+      assert(new String(rec.body, "UTF-8") === want(url), s"ranged-read drift at $url")
+    }
+    // dict demands the zstd codec
+    intercept[IllegalArgumentException](
+      Warc.writeConversions(docs, dirD, codec = "gzip", dict = Some(dict)))
+    docs.unpersist()
+  }
+
   test("http: chunked and content-coded bodies decode to the plain bytes") {
     val pages = fixture(7, seed = 91L)
     val encs = Seq("identity", "chunked", "gzip", "deflate",
