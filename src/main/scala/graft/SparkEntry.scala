@@ -1095,6 +1095,37 @@ object SparkEntry {
       graft.ops.CrawlPolicy.robotsFilter(canon, "url", "url",
         robots, "rhost", "robots_txt", agent = "graftbot")
     }),
+    // feed-based discovery (kernel/Feed via CrawlPolicy.feedEntries):
+    // per-host RSS 2.0 (half gzip'd) and Atom 1.0 feeds expand to
+    // frontier rows with published timestamps — the FRESH-url channel
+    // next to pipe40's sitemaps — then canonicalize and dedup against
+    // the sitemap frontier shape; FeedSpec pins grammar + date parsing
+    "pipe67_feed_discovery" -> ((s, _) => {
+      import s.implicits._
+      val feeds = (0 until 12).map { h =>
+        val host = s"host$h.example.com"
+        val payload =
+          if (h % 2 == 0)
+            graft.fixtures.MediaGen.rssFeed(s"Feed $h", s"https://$host/",
+              (0 until 6).map(i => (s"Post $h-$i",
+                s"HTTPS://$host:443/Posts/./$i/../item-$i", s"guid-$h-$i",
+                f"Mon, ${(i % 28) + 1}%02d Oct 2024 0$h:0$i:00 GMT", s"sum $i")),
+              gzip = h % 4 == 0)
+          else
+            graft.fixtures.MediaGen.atomFeed(s"Feed $h", s"https://$host",
+              (0 until 6).map(i => (s"Entry $h-$i", s"https://$host/e/$i",
+                s"tag:$host,2024:$i", f"2024-10-${(i % 28) + 1}%02dT0$h:00:00Z",
+                s"sum $i")))
+        (host, payload)
+      }.toDF("host", "payload")
+      val entries = graft.ops.CrawlPolicy.feedEntries(feeds, "host", "payload")
+      entries.select(col("host"), col("feed_kind"), col("loc"), col("published_ms"))
+        .as[(String, String, String, Long)]
+        .map { case (h, k, l, p) => (h, k, graft.kernel.UrlNorm.normalize(l), p) }
+        .toDF("host", "feed_kind", "url", "published_ms")
+        .distinct()
+        .orderBy(asc("host"), asc("url"))
+    }),
     // Iceberg-style snapshots: two versioned runs (t2 republishes with
     // changed content under the same partitions), then readAsOf at each
     // timestamp — output is the per-url content diff between snapshots

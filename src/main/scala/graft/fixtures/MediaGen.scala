@@ -3093,6 +3093,64 @@ object MediaGen {
     b.bytes ++ body(new Random(seed), junk)
   }
 
+  // ============================================================== feeds
+
+  /** RSS 2.0 feed fixture: `items` = (title, link, guid, rfc822 pubDate,
+    * description). Descriptions ship as CDATA (the wild-RSS norm) and
+    * titles carry entities.
+    */
+  def rssFeed(feedTitle: String, feedLink: String,
+              items: Seq[(String, String, String, String, String)],
+              gzip: Boolean = false): Array[Byte] = {
+    val sb = new StringBuilder
+    sb ++= "<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n"
+    sb ++= "<rss version=\"2.0\" xmlns:dc=\"http://purl.org/dc/elements/1.1/\">\n<channel>\n"
+    sb ++= s"<title>${xmlEsc(feedTitle)}</title>\n<link>$feedLink</link>\n"
+    sb ++= "<description>fixture</description>\n"
+    items.foreach { case (t, l, g, d, desc) =>
+      sb ++= "<item>\n"
+      sb ++= s"<title>${xmlEsc(t)}</title>\n<link>$l</link>\n"
+      sb ++= s"<guid isPermaLink=\"false\">$g</guid>\n"
+      if (d.nonEmpty) sb ++= s"<pubDate>$d</pubDate>\n"
+      sb ++= s"<description><![CDATA[$desc]]></description>\n</item>\n"
+    }
+    sb ++= "</channel>\n</rss>\n"
+    val raw = sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    if (!gzip) raw else {
+      val bo = new java.io.ByteArrayOutputStream()
+      val gz = new java.util.zip.GZIPOutputStream(bo)
+      gz.write(raw); gz.finish()
+      bo.toByteArray
+    }
+  }
+
+  /** Atom 1.0 feed fixture: `entries` = (title, href, id, w3c updated,
+    * summary). Each entry also carries a rel=enclosure link BEFORE the
+    * alternate one — parsers must pick the alternate.
+    */
+  def atomFeed(feedTitle: String, feedHref: String,
+               entries: Seq[(String, String, String, String, String)]): Array[Byte] = {
+    val sb = new StringBuilder
+    sb ++= "<?xml version=\"1.0\" encoding=\"utf-8\"?>\n"
+    sb ++= "<feed xmlns=\"http://www.w3.org/2005/Atom\">\n"
+    sb ++= s"<title>${xmlEsc(feedTitle)}</title>\n"
+    sb ++= s"<link rel=\"self\" href=\"$feedHref/feed.xml\"/>\n"
+    sb ++= s"<link rel=\"alternate\" href=\"$feedHref\"/>\n"
+    entries.foreach { case (t, href, id, upd, sum) =>
+      sb ++= "<entry>\n"
+      sb ++= s"<title>${xmlEsc(t)}</title>\n"
+      sb ++= s"<link rel=\"enclosure\" href=\"$href.mp3\" type=\"audio/mpeg\"/>\n"
+      sb ++= s"<link rel=\"alternate\" href=\"$href\"/>\n"
+      sb ++= s"<id>$id</id>\n<updated>$upd</updated>\n"
+      sb ++= s"<summary>${xmlEsc(sum)}</summary>\n</entry>\n"
+    }
+    sb ++= "</feed>\n"
+    sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+  }
+
+  private def xmlEsc(s: String): String =
+    s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
   // ============================================================== WARC
 
   /** WARC archive fixture writer (crawl convention: each record is its

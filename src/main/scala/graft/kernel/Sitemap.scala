@@ -20,7 +20,7 @@ object Sitemap {
     */
   final case class SitemapFile(isIndex: Boolean, entries: Vector[Entry])
 
-  private def gunzipIfNeeded(p: Array[Byte]): Array[Byte] =
+  private[kernel] def gunzipIfNeeded(p: Array[Byte]): Array[Byte] =
     if (p.length >= 2 && (p(0) & 0xff) == 0x1f && (p(1) & 0xff) == 0x8b) {
       val in = new java.util.zip.GZIPInputStream(
         new java.io.ByteArrayInputStream(p), 8192)

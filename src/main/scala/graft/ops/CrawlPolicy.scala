@@ -91,6 +91,29 @@ object CrawlPolicy {
       }.toDF("host", "loc", "lastmod_ms", "changefreq", "priority", "from_index")
   }
 
+  /** One row per feed item across a `(host, payload)` table of
+    * RSS/Atom/RDF documents ([[graft.kernel.Feed]]) —
+    * `(host, feed_kind, feed_title, loc, item_title, item_id,
+    * published_ms, summary)`, the fresh-URL discovery channel next to
+    * [[sitemapEntries]]. Malformed payloads contribute zero rows.
+    */
+  def feedEntries(df: DataFrame, hostCol: String, payloadCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(hostCol).cast("string"), col(payloadCol))
+      .as[(String, Array[Byte])]
+      .flatMap { case (host, payload) =>
+        if (payload == null) Iterator.empty
+        else scala.util.Try(graft.kernel.Feed.parse(payload)).toOption
+          .iterator.flatMap { f =>
+            f.items.iterator.map(it =>
+              (host, f.kind, f.title, it.link, it.title, it.id,
+                it.publishedMs, it.summary))
+          }
+      }.toDF("host", "feed_kind", "feed_title", "loc", "item_title",
+        "item_id", "published_ms", "summary")
+  }
+
   /** Per-host crawl-delay table for `agent`: `(host, crawl_delay)` for
     * every host whose robots.txt sets one — the politeness-scheduling
     * input (join against the frontier, convert to per-host token
