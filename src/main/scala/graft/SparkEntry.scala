@@ -1999,6 +1999,50 @@ object SparkEntry {
       require(m("domain_capped") > 0, "funnel collapsed to zero")
       funnel
     }),
+    // WARC revisit records (crawl-time dedup pointers): parse the
+    // identical-payload-digest profile, resolve each revisit to its
+    // original capture via one digest equi-join against the CDX index,
+    // ranged-read the original and require byte identity in-query —
+    // a 100 TB archive pile answers "what did this revisit see" with
+    // one positioned read per row, never a scan
+    "pipe68_warc_revisit" -> ((s, _) => {
+      import s.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("graft-pipe68").toString
+      val pages = graft.fixtures.PageGen.pages(FixtureN)
+        .map(p => (p.url, p.warc_ts, p.html))
+      val ts2 = java.sql.Timestamp.valueOf("2024-06-01 00:00:00")
+      val revisits = pages.zipWithIndex.collect {
+        case ((url, _, _), i) if i % 5 == 0 => (s"$url?recrawl", ts2, url)
+      }
+      pages.grouped(100).zipWithIndex.foreach { case (grp, i) =>
+        val rv = revisits.filter(r => grp.exists(_._1 == r._3))
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(s"$tmp/c-$i.warc.gz"),
+          graft.fixtures.MediaGen.warcGzWithRevisits(grp, rv))
+      }
+      val cdx = graft.sources.Warc.buildCdx(s, s"$tmp/*.warc.gz")
+      val resolved = graft.sources.Warc.resolveRevisits(
+        graft.sources.Warc.readRevisits(s, s"$tmp/*.warc.gz"), cdx).cache()
+      require(resolved.count() == revisits.length, "revisit resolution dropped rows")
+      // ranged reads are driver-side point lookups (readRecordAt takes
+      // the session); the revisit set is bounded here so the loop is too
+      val rows = resolved
+        .select(col("url"), col("refers_to_url"), col("payload_digest"),
+          col("file"), col("offset"), col("length"), col("rec_idx"))
+        .as[(String, String, String, String, Long, Long, Int)].collect()
+      val verified = rows.map { case (u, ref, dig, f, off, len, ri) =>
+        val rec = graft.sources.Warc.readRecordAt(s, f, off, len, ri)
+        val gotDig = java.security.MessageDigest.getInstance("SHA-256")
+          .digest(rec.body).map(b => f"$b%02x").mkString
+        // byte identity is the contract; the resolved URL may differ from
+        // refers_to when several captures share the payload (that IS the
+        // identical-payload-digest profile)
+        (u, ref, gotDig == dig)
+      }
+      require(verified.forall(_._3), "revisit fetch byte drift")
+      verified.toSeq.toDF("url", "refers_to_url", "ok")
+        .select(col("url"), col("refers_to_url")).orderBy(asc("url"))
+    }),
     // WET sink with a TRAINED shared zstd dictionary: deterministic
     // sample → ZDICT training → archives lead with the dictionary
     // skippable frame, every record frame compressed against it (the

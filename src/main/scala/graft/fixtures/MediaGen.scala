@@ -3326,6 +3326,48 @@ object MediaGen {
     out.toByteArray
   }
 
+  /** [[warcGz]] plus `revisit` records (ISO 28500 §6.7.2
+    * identical-payload-digest profile): each `(url, ts, refersToUrl)`
+    * emits a revisit pointing at that page's payload via
+    * `WARC-Payload-Digest: sha256:<hex>` + `WARC-Refers-To-Target-URI`,
+    * with an HTTP-headers-only block (the convention — the payload is
+    * NOT restored).
+    */
+  def warcGzWithRevisits(pages: Seq[(String, java.sql.Timestamp, Array[Byte])],
+                         revisits: Seq[(String, java.sql.Timestamp, String)]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def member(record: Array[Byte]): Unit = {
+      val gz = new java.util.zip.GZIPOutputStream(out)
+      gz.write(record); gz.finish()
+    }
+    warcInto(pages, member)
+    def crlf(lines: Seq[String]): String = lines.mkString("", "\r\n", "\r\n")
+    val byUrl = pages.map(p => p._1 -> p._3).toMap
+    revisits.foreach { case (url, ts, refersTo) =>
+      val payload = byUrl.getOrElse(refersTo,
+        throw new IllegalArgumentException(s"revisit refers to unknown $refersTo"))
+      val digest = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(payload).map(b => f"$b%02x").mkString
+      val http = crlf(Seq(
+        "HTTP/1.1 200 OK",
+        "Content-Type: text/html; charset=UTF-8",
+        "")).getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+      member((crlf(Seq(
+        "WARC/1.1",
+        "WARC-Type: revisit",
+        s"WARC-Target-URI: $url",
+        s"WARC-Date: ${java.time.Instant.ofEpochMilli(ts.getTime)}",
+        s"WARC-Refers-To-Target-URI: $refersTo",
+        s"WARC-Payload-Digest: sha256:$digest",
+        "WARC-Profile: http://netpreserve.org/warc/1.1/revisit/identical-payload-digest",
+        s"Content-Length: ${http.length}",
+        "Content-Type: application/http; msgtype=response",
+        "")).getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+        ) ++ http ++ "\r\n\r\n".getBytes)
+    }
+    out.toByteArray
+  }
+
   private def httpPlain(html: Array[Byte]): Array[Byte] = {
     def crlf(lines: Seq[String]): String = lines.mkString("", "\r\n", "\r\n")
     (crlf(Seq(

@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, min, struct}
 
 /** WARC (ISO 28500) source — the container real Common-Crawl-style
   * corpora actually arrive in, so a user can point the engine at crawl
@@ -46,7 +46,9 @@ object Warc {
                               httpContentType: String, body: Array[Byte],
                               warcType: String = "response",
                               httpStatus: Int = 200,
-                              httpLocation: String = "")
+                              httpLocation: String = "",
+                              refersToUri: String = "",
+                              payloadDigest: String = "")
 
   final class WarcError(msg: String) extends RuntimeException(msg)
 
@@ -195,6 +197,8 @@ object Warc {
               var date = ""
               var recContentType = ""
               var contentLength = -1L
+              var refersTo = ""
+              var payloadDigest = ""
               var hdr = readLine().getOrElse(throw new WarcError("EOF in record headers"))
               while (hdr.nonEmpty) {
                 val c = hdr.indexOf(':')
@@ -207,6 +211,8 @@ object Warc {
                     case "warc-date" => date = v
                     case "content-type" => recContentType = v
                     case "content-length" => contentLength = v.toLong
+                    case "warc-refers-to-target-uri" => refersTo = v
+                    case "warc-payload-digest" => payloadDigest = v
                     case _ =>
                   }
                 }
@@ -215,7 +221,18 @@ object Warc {
               if (contentLength < 0 || contentLength > MaxRecordBytes)
                 throw new WarcError(s"bad Content-Length $contentLength")
               val block = readFully(contentLength.toInt)
-              if (warcType == "conversion" && uri.nonEmpty) {
+              if (warcType == "revisit" && uri.nonEmpty) {
+                // crawl-time dedup pointer (ISO 28500 §6.7.2,
+                // identical-payload-digest profile): the block carries at
+                // most the HTTP headers; the PAYLOAD lives in the record
+                // WARC-Payload-Digest / WARC-Refers-To-Target-URI point at
+                val tsMs =
+                  try java.time.Instant.parse(date).toEpochMilli
+                  catch { case _: Exception => 0L }
+                nextRec = WarcRecord(uri, tsMs, recContentType,
+                  Array.emptyByteArray, "revisit",
+                  refersToUri = refersTo, payloadDigest = payloadDigest)
+              } else if (warcType == "conversion" && uri.nonEmpty) {
                 // WET-style conversion record: the block IS the payload
                 // (no HTTP message to strip); content type comes from the
                 // record's own Content-Type field
@@ -790,6 +807,53 @@ object Warc {
       throw new IllegalArgumentException(
         s"no record $recIdx at $file@$offset+$length (${recs.length} present)")
     recs(recIdx)
+  }
+
+  /** Every `revisit` record as
+    * `(url, warc_ts, refers_to_url, payload_digest)` — the crawl-time
+    * dedup pointers. Digest labels (`sha256:…`) are stripped to bare
+    * hex for joining against [[buildCdx]]'s `digest` column.
+    */
+  def readRevisits(spark: SparkSession, pathGlob: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(pathGlob)
+      .select($"path", $"content").as[(String, Array[Byte])]
+      .flatMap { case (_, bytes) =>
+        val in = open(bytes)
+        goodPrefix(parseStream(in), in)
+          .filter(_.warcType == "revisit")
+          .map { r =>
+            val d = r.payloadDigest
+            val bare = (if (d.contains(':')) d.substring(d.indexOf(':') + 1) else d)
+              .toLowerCase
+            (r.url, new java.sql.Timestamp(r.warcTsMs), r.refersToUri, bare)
+          }
+      }
+      .toDF("url", "warc_ts", "refers_to_url", "payload_digest")
+  }
+
+  /** Resolve revisit pointers to fetchable spans: each revisit row
+    * joins the CDX index ([[buildCdx]]) on payload digest and is
+    * assigned ONE original response record — the earliest capture
+    * (min `(warc_ts, file, offset)`), deterministically. Returns
+    * `(url, warc_ts, refers_to_url, payload_digest, file, offset,
+    * length, rec_idx)`; revisits whose digest is absent from the index
+    * are dropped (count the difference to monitor dangling pointers).
+    * One equi-join on digest — the revisit side is tiny next to the
+    * corpus, AQE broadcasts it; fetch bodies with [[readRecordAt]].
+    */
+  def resolveRevisits(revisits: DataFrame, cdx: DataFrame): DataFrame = {
+    val originals = cdx.where(col("warc_type") === "response")
+      .groupBy(col("digest"))
+      .agg(min(struct(col("warc_ts"), col("file"), col("offset"),
+        col("length"), col("rec_idx"))).as("_o"))
+      .select(col("digest").as("payload_digest"),
+        col("_o.file").as("file"), col("_o.offset").as("offset"),
+        col("_o.length").as("length"), col("_o.rec_idx").as("rec_idx"))
+    revisits.join(originals, Seq("payload_digest"))
+      .select(col("url"), col("warc_ts"), col("refers_to_url"),
+        col("payload_digest"), col("file"), col("offset"), col("length"),
+        col("rec_idx"))
   }
 
   /** Read WET-style archives back as `(url, warc_ts, text)` — the

@@ -344,6 +344,49 @@ class WarcSpec extends AnyFunSuite with SparkSuite {
     docs.unpersist()
   }
 
+  test("revisit records: parse, resolve against CDX by digest, fetch the original bytes") {
+    val pages = fixture(20, seed = 95L)
+    val ts2 = java.sql.Timestamp.valueOf("2024-06-01 00:00:00")
+    // revisit every 4th page at a later time, one dangling pointer
+    val revisits = pages.zipWithIndex.collect {
+      case ((url, _, _), i) if i % 4 == 0 => (s"$url?retry=1", ts2, url)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-revisit").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/a.warc.gz"),
+      MediaGen.warcGzWithRevisits(pages, revisits))
+    // revisits parse with stripped digests; responses unaffected
+    val rv = Warc.readRevisits(spark, s"$dir/*.warc.gz")
+      .select($"url", $"refers_to_url", $"payload_digest")
+      .as[(String, String, String)].collect().sortBy(_._1)
+    assert(rv.length === revisits.length)
+    assert(rv.forall(r => r._3.matches("[0-9a-f]{64}")), "digest must be bare hex")
+    assert(Warc.read(spark, s"$dir/*.warc.gz").count() === pages.length,
+      "revisit records must not become pages")
+    // resolution: every revisit maps to exactly one original span; the
+    // ranged read returns the referred page's exact bytes
+    val cdx = Warc.buildCdx(spark, s"$dir/*.warc.gz")
+    assert(cdx.where($"warc_type" === "revisit").count() === revisits.length)
+    val resolved = Warc.resolveRevisits(
+      Warc.readRevisits(spark, s"$dir/*.warc.gz"), cdx)
+      .select($"url", $"refers_to_url", $"file", $"offset", $"length", $"rec_idx")
+      .as[(String, String, String, Long, Long, Int)].collect()
+    assert(resolved.length === revisits.length)
+    val byUrl = pages.map(p => p._1 -> p._3).toMap
+    resolved.foreach { case (u, ref, f, off, len, ri) =>
+      val rec = Warc.readRecordAt(spark, f, off, len, ri)
+      assert(rec.url === ref, s"revisit $u resolved to the wrong record")
+      assert(rec.body.toSeq === byUrl(ref).toSeq, s"revisit $u body drift")
+    }
+    // a dangling revisit (digest absent from the index) drops out
+    val dangling = MediaGen.warcGzWithRevisits(
+      pages.take(1), Seq((s"${pages.head._1}?x", ts2, pages.head._1)))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/b.warc.gz"), dangling)
+    val onlyB = Warc.resolveRevisits(
+      Warc.readRevisits(spark, s"$dir/b.warc.gz"),
+      cdx.where($"warc_type" === "response").limit(0))
+    assert(onlyB.count() === 0, "unresolvable revisits must drop, not fail")
+  }
+
   test("http: chunked and content-coded bodies decode to the plain bytes") {
     val pages = fixture(7, seed = 91L)
     val encs = Seq("identity", "chunked", "gzip", "deflate",
