@@ -345,6 +345,17 @@ object SparkEntry {
         tmp, buckets = 32)
       graft.ops.Search.bm25TopK(s, tmp, "stream window hash", k = 20, buckets = 32)
     }),
+    // deterministic corpus shuffle + sharding (Sampling.shardAssign):
+    // seeded sha-256 permutation into shards with within-shard
+    // positions — re-run-stable, no corpus-wide single-task window;
+    // the oracle replays the identical hash arithmetic in DuckDB
+    "q85_shard_shuffle" -> ((s, dir) => {
+      graft.ops.Sampling.shardAssign(
+        t(s, dir, "documents").select(col("doc_id")), "doc_id",
+        numShards = 8, seed = 42L)
+        .select(col("doc_id"), col("shard"), col("pos"))
+        .orderBy(asc("shard"), asc("pos"))
+    }),
     // redirect-chain resolution (CrawlPolicy.resolveRedirects): pointer
     // doubling over a synthetic orderkey redirect graph (src → src-3
     // while src % 90 >= 3; chains end at the first key with no outgoing
@@ -2401,6 +2412,14 @@ object SparkEntry {
       FROM tf JOIN q USING (token) JOIN dft USING (token)
         JOIN dl USING (doc_id) CROSS JOIN st
       GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20"""),
+    "q85_shard_shuffle" -> ("""WITH h AS (
+        SELECT doc_id,
+               ('0x' || substr(sha256(doc_id::VARCHAR || '-42'), 1, 8))::BIGINT AS hv
+        FROM documents)
+      SELECT doc_id, CAST(hv % 8 AS INT) AS shard,
+             CAST(row_number() OVER (PARTITION BY hv % 8 ORDER BY hv, doc_id) - 1
+                  AS BIGINT) AS pos
+      FROM h ORDER BY shard, pos"""),
     "q84_redirect_chains" -> ("""WITH RECURSIVE
       e AS (SELECT o_orderkey AS src, o_orderkey - 3 AS dst
             FROM orders WHERE o_orderkey % 90 >= 3),

@@ -33,4 +33,30 @@ object Sampling {
       .where(col("_rn") <= cap)
       .drop("_rn")
   }
+
+  /** Deterministic corpus shuffle + sharding — the "global shuffle"
+    * every training run wants before sequence packing: each row gets a
+    * `(shard, pos)` from a seeded cryptographic hash of its id, so the
+    * permutation is re-run-stable (same corpus + seed → identical
+    * shards, like q46's hash split), independent of arrival order and
+    * partitioning, and WITHOUT a global total order: `pos` ranks
+    * within each shard (one hash-partitioned window — parallel), never
+    * a corpus-wide `row_number()` whose empty `partitionBy` would
+    * funnel 10^12 rows through one task. Downstream writers emit shard
+    * k's rows ordered by pos and training reads shards round-robin —
+    * the standard sharded-shuffle contract.
+    */
+  def shardAssign(df: DataFrame, idCol: String, numShards: Int,
+                  seed: Long = 42L): DataFrame = {
+    require(numShards >= 1, s"numShards must be >= 1, got $numShards")
+    // first 8 hex chars of sha-256(id-seed): 32 uniform bits, and (unlike
+    // xxhash64) reproducible in any engine for oracle checks
+    val h = conv(substring(sha2(concat(col(idCol).cast("string"),
+      lit(s"-$seed")), 256), 1, 8), 16, 10).cast("long")
+    val w = Window.partitionBy(col("shard")).orderBy(col("_h"), col(idCol))
+    df.withColumn("_h", h)
+      .withColumn("shard", pmod(col("_h"), lit(numShards)).cast("int"))
+      .withColumn("pos", (row_number().over(w) - 1).cast("long"))
+      .drop("_h")
+  }
 }

@@ -71,6 +71,29 @@ class CorpusPrepSpec extends AnyFunSuite with SparkSuite {
     assert(Sampling.capPerKey(small, "host", "id", 10).count() === 2)
   }
 
+  // --------------------------------------------------------- shardAssign
+
+  test("shardAssign: permutation deterministic, parallelism-invariant, positions dense per shard") {
+    val df = (0L until 500L).toDF("id")
+    val a = Sampling.shardAssign(df.repartition(1), "id", 8)
+      .select($"id", $"shard", $"pos").as[(Long, Int, Long)].collect().sortBy(_._1)
+    val b = Sampling.shardAssign(df.repartition(13), "id", 8)
+      .select($"id", $"shard", $"pos").as[(Long, Int, Long)].collect().sortBy(_._1)
+    assert(a.toSeq === b.toSeq, "shuffle must not depend on partitioning")
+    // every shard's positions are exactly 0..count-1
+    a.groupBy(_._2).foreach { case (sh, rows) =>
+      assert(rows.map(_._3).sorted.toSeq === (0L until rows.length).toSeq,
+        s"shard $sh positions not dense")
+    }
+    // seeded: a different seed is a different permutation
+    val c = Sampling.shardAssign(df, "id", 8, seed = 7L)
+      .select($"id", $"shard", $"pos").as[(Long, Int, Long)].collect().sortBy(_._1)
+    assert(c.toSeq !== a.toSeq)
+    // roughly balanced (uniform hash): no shard 3x the mean
+    val sizes = a.groupBy(_._2).values.map(_.length)
+    assert(sizes.max < 3 * 500 / 8, s"shard skew: $sizes")
+  }
+
   // ----------------------------------------------------- strip_invisible
 
   test("strip_invisible: removes zero-widths, bidi controls, BOM, soft hyphen") {
