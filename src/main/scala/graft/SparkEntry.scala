@@ -345,6 +345,50 @@ object SparkEntry {
         tmp, buckets = 32)
       graft.ops.Search.bm25TopK(s, tmp, "stream window hash", k = 20, buckets = 32)
     }),
+    // weighted sample without replacement (Sampling.weightedSample,
+    // Efraimidis-Spirakis): k smallest -ln(u)/w keys with u from a
+    // seeded sha-256 — weight-proportional, re-run-stable, and
+    // replayable by the oracle's identical arithmetic; executes as
+    // take-ordered, never a global sort
+    "q86_weighted_sample" -> ((s, dir) => {
+      graft.ops.Sampling.weightedSample(
+        t(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+        "doc_id", "n_chars", k = 50, seed = 42L)
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy(asc("doc_id"))
+    }),
+    // mergeable KLL quantile sketches at rest (kernel/Kll via
+    // ops/Stats): per-lang sketch tables built from two disjoint
+    // half-batches, MERGED at rest (the incremental-crawl statistics
+    // path — cost scales with keys, not corpus), then expanded to
+    // quantile rows; in-query requires: exact n conservation and the
+    // merged median within rank-error bound of the true median
+    "pipe69_kll_quantiles" -> ((s, dir) => {
+      import s.implicits._
+      val base = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars").cast("double").as("v"))
+        .cache()
+      val t1 = graft.ops.Stats.kllByKey(
+        base.where(col("doc_id") % 2 === 0), "lang", "v", 200)
+      val t2 = graft.ops.Stats.kllByKey(
+        base.where(col("doc_id") % 2 === 1), "lang", "v", 200)
+      val merged = graft.ops.Stats.mergeSketchTables(t1, t2, "lang").cache()
+      val nTotal = merged.agg(sum(col("n"))).head().getLong(0)
+      require(nTotal == base.count(), "merged sketch tables must conserve n")
+      val qrows = graft.ops.Stats.quantilesFromSketches(
+        merged, "lang", Seq(0.25, 0.5, 0.9)).cache()
+      qrows.where(col("q") === 0.5)
+        .select(col("lang"), col("value")).as[(String, Double)].collect()
+        .foreach { case (lang, v) =>
+          val grp = base.where(col("lang") === lang)
+          val frac = grp.where(col("v") <= v).count().toDouble / grp.count()
+          require(math.abs(frac - 0.5) <= 0.05,
+            f"sketch median rank drift $frac%.3f for $lang")
+        }
+      base.unpersist()
+      qrows.select(col("lang"), col("n"), col("q"), col("value"))
+        .orderBy(asc("lang"), asc("q"))
+    }),
     // deterministic corpus shuffle + sharding (Sampling.shardAssign):
     // seeded sha-256 permutation into shards with within-shard
     // positions — re-run-stable, no corpus-wide single-task window;
@@ -2115,6 +2159,24 @@ object SparkEntry {
         .orderBy(col("rank").desc, col("node"))
         .limit(50)
     }),
+    // hubs and authorities (Kleinberg HITS) over the same link graph —
+    // the two-score decomposition PageRank's single score conflates
+    // (directory pages score as hubs without inflating their own
+    // authority); OpsSpec pins 1e-12 equality vs a plain-Scala
+    // reference and parallelism invariance
+    "pipe70_hits" -> ((s, _) => {
+      import s.implicits._
+      val pages = fixturePages(s).where(!Extraction.isPdf(col("html")))
+        .select(col("url"), col("html")).as[(String, Array[Byte])]
+      val edges = pages.flatMap { case (url, html) =>
+          graft.kernel.Html.extractLinks(html, url).map(l => (url, l))
+        }.toDF("src", "dst").distinct()
+      graft.ops.Graph.hits(edges, iters = 8)
+        .select(col("node"), round(col("hub"), 6).as("hub"),
+          round(col("auth"), 6).as("auth"))
+        .orderBy(col("auth").desc, col("hub").desc, col("node"))
+        .limit(50)
+    }),
     // outlink graph — the crawl's edge list (link-based quality and
     // frontier statistics start here): per HTML page, every <a href>
     // resolved against the page url by the tokenizer-backed kernel,
@@ -2412,6 +2474,12 @@ object SparkEntry {
       FROM tf JOIN q USING (token) JOIN dft USING (token)
         JOIN dl USING (doc_id) CROSS JOIN st
       GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20"""),
+    "q86_weighted_sample" -> ("""WITH keyed AS (
+        SELECT doc_id, n_chars,
+               -ln((('0x' || substr(sha256(doc_id::VARCHAR || '~42'), 1, 12))::BIGINT + 0.5)
+                   / power(16, 12)) / n_chars AS skey
+        FROM documents WHERE n_chars > 0)
+      SELECT doc_id, n_chars FROM keyed ORDER BY skey LIMIT 50"""),
     "q85_shard_shuffle" -> ("""WITH h AS (
         SELECT doc_id,
                ('0x' || substr(sha256(doc_id::VARCHAR || '-42'), 1, 8))::BIGINT AS hv

@@ -100,4 +100,75 @@ object Graph {
     e.unpersist(); nodes.unpersist(); outDeg.unpersist()
     ranks
   }
+
+  /** HITS (Kleinberg, JACM 1999) — hubs and authorities over the link
+    * graph, the directory/resource-page signal PageRank's single score
+    * conflates: a link farm's hub pages score high as HUBS without
+    * inflating their own AUTHORITY. Standard simple-graph semantics
+    * (duplicate edges collapse), synchronous updates, L2 normalization
+    * each half-step.
+    *
+    * Shape per round: auth = one edge join + per-dst sum; hub = one
+    * edge join + per-src sum; each L2 norm is a one-row aggregate
+    * broadcast back (no driver round-trip, no global window). Same
+    * per-round `localCheckpoint` + release discipline as [[pageRank]].
+    * Returns `(node, hub, auth)` for every node.
+    */
+  def hits(edges: DataFrame, srcCol: String = "src", dstCol: String = "dst",
+           iters: Int = 20): DataFrame = {
+    require(iters >= 1)
+    def ckptRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+      df.queryExecution.analyzed.collectFirst {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+      }
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct().persist()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().persist()
+    nodes.count()
+    // normalize a raw score column to unit L2 via a broadcast 1-row frame
+    def l2normalize(df: DataFrame, valueCol: String): DataFrame = {
+      val norm = df.agg(sqrt(sum(col(valueCol) * col(valueCol))).as("_n"))
+        .select(lit(1).as("_j"), col("_n"))
+      df.withColumn("_j", lit(1))
+        .join(broadcast(norm), Seq("_j"))
+        .select(col("node"),
+          when(col("_n") > 0, col(valueCol) / col("_n"))
+            .otherwise(lit(0.0)).as(valueCol))
+    }
+    var scores = nodes
+      .withColumn("hub", lit(1.0)).withColumn("auth", lit(1.0))
+      .localCheckpoint(true)
+    var scoresRdd = ckptRdd(scores)
+    var it = 0
+    while (it < iters) {
+      // auth(v) = Σ hub(u) over edges u→v, then unit-L2
+      val authRaw = nodes.as("n")
+        .join(e.join(scores.select(col("node"), col("hub")),
+          e("src") === col("node")).groupBy(col("dst")).agg(sum(col("hub")).as("_a")),
+          col("n.node") === col("dst"), "left")
+        .select(col("n.node").as("node"), coalesce(col("_a"), lit(0.0)).as("auth"))
+      val auth = l2normalize(authRaw, "auth").localCheckpoint(true)
+      val authRdd = ckptRdd(auth)
+      // hub(u) = Σ auth(v) over edges u→v, then unit-L2
+      val hubRaw = nodes.as("n")
+        .join(e.join(auth.select(col("node"), col("auth")),
+          e("dst") === col("node")).groupBy(col("src")).agg(sum(col("auth")).as("_h")),
+          col("n.node") === col("src"), "left")
+        .select(col("n.node").as("node"), coalesce(col("_h"), lit(0.0)).as("hub"))
+      val hub = l2normalize(hubRaw, "hub").localCheckpoint(true)
+      val hubRdd = ckptRdd(hub)
+      val next = hub.join(auth, Seq("node"))
+        .select(col("node"), col("hub"), col("auth"))
+        .localCheckpoint(true)
+      authRdd.foreach(_.unpersist(false))
+      hubRdd.foreach(_.unpersist(false))
+      scoresRdd.foreach(_.unpersist(false))
+      scores = next
+      scoresRdd = ckptRdd(next)
+      it += 1
+    }
+    e.unpersist(); nodes.unpersist()
+    scores
+  }
 }

@@ -59,4 +59,33 @@ object Sampling {
       .withColumn("pos", (row_number().over(w) - 1).cast("long"))
       .drop("_h")
   }
+
+  /** Weighted sample WITHOUT replacement (Efraimidis & Spirakis, IPL
+    * 2006): each row draws `key = -ln(u)/w` with `u ~ U(0,1)`; the k
+    * SMALLEST keys are exactly a weight-proportional sample. `u` comes
+    * from a seeded sha-256 of the id (48 uniform bits — small enough
+    * that `u` is bit-identical in any IEEE engine, so the draw is
+    * re-run-stable AND replayable by the DuckDB oracle), which makes
+    * this the weighted companion of the q46 hash split and q61
+    * stratified mixture.
+    *
+    * Shape: one stateless key column + `orderBy().limit(k)` — Spark
+    * executes take-ordered-per-partition + driver merge of k-row heaps,
+    * never a global sort; 10^12 rows cost one scan.
+    */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+                     k: Int, seed: Long = 42L): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    // 12 hex chars = 48 bits: v + 0.5 is exactly representable, so u (and
+    // hence the order) is engine-independent
+    val v = conv(substring(sha2(concat(col(idCol).cast("string"),
+      lit(s"~$seed")), 256), 1, 12), 16, 10).cast("double")
+    val u = (v + lit(0.5)) / lit(math.pow(16.0, 12))
+    val key = -log(u) / col(weightCol).cast("double")
+    df.where(col(weightCol) > 0)
+      .withColumn("_skey", key)
+      .orderBy(asc("_skey"))
+      .limit(k)
+      .drop("_skey")
+  }
 }

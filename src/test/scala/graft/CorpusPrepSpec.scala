@@ -94,6 +94,31 @@ class CorpusPrepSpec extends AnyFunSuite with SparkSuite {
     assert(sizes.max < 3 * 500 / 8, s"shard skew: $sizes")
   }
 
+  // ------------------------------------------------------ weightedSample
+
+  test("weightedSample: deterministic, parallelism-invariant, weight-proportional") {
+    val rows = (0L until 400L).map(i => (i, if (i < 40) 100.0 else 1.0))
+    val df = rows.toDF("id", "w")
+    val a = Sampling.weightedSample(df.repartition(1), "id", "w", 60)
+      .select($"id").as[Long].collect().toSet
+    val b = Sampling.weightedSample(df.repartition(13), "id", "w", 60)
+      .select($"id").as[Long].collect().toSet
+    assert(a === b, "sample must not depend on partitioning")
+    assert(a.size === 60)
+    // 40 heavy items carry 4000/4360 of the mass: they must dominate the
+    // sample (expected ~37 of 60; demand a clear majority)
+    assert(a.count(_ < 40L) >= 25, s"heavy items under-sampled: ${a.count(_ < 40L)}")
+    // different seed, different sample; zero/negative weights never drawn
+    val c = Sampling.weightedSample(df, "id", "w", 60, seed = 9L)
+      .select($"id").as[Long].collect().toSet
+    assert(c !== a)
+    val withZero = (rows :+ ((999L, 0.0)) :+ ((998L, -1.0))).toDF("id", "w")
+    val d = Sampling.weightedSample(withZero, "id", "w", 402)
+      .select($"id").as[Long].collect().toSet
+    assert(!d.contains(999L) && !d.contains(998L))
+    assert(d.size === 400, "k beyond positive-weight population returns all of it")
+  }
+
   // ----------------------------------------------------- strip_invisible
 
   test("strip_invisible: removes zero-widths, bidi controls, BOM, soft hyphen") {

@@ -591,6 +591,50 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
     assert(got(0L) === got.values.max, "the hub must rank highest")
   }
 
+  test("hits: matches a local reference; hubs and authorities separate; parallelism-invariant") {
+    import graft.ops.Graph
+    // bipartite-ish web: 0,1,2 are directory pages linking to content
+    // 10..14; content pages link each other sparsely; 20 is isolated-ish
+    val edgeSeq = Seq(
+      (0L, 10L), (0L, 11L), (0L, 12L), (0L, 13L), (0L, 14L),
+      (1L, 10L), (1L, 11L), (1L, 12L),
+      (2L, 10L), (2L, 14L),
+      (10L, 11L), (13L, 10L), (20L, 10L))
+    val iters = 20
+    val got = Graph.hits(edgeSeq.toDF("src", "dst"), iters = iters)
+      .as[(Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // plain-Scala reference: synchronous HITS with per-half-step L2 norm
+    val nodes = edgeSeq.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    var hub = nodes.map(_ -> 1.0).toMap
+    var auth = nodes.map(_ -> 1.0).toMap
+    def l2(m: Map[Long, Double]): Map[Long, Double] = {
+      val n = math.sqrt(m.values.map(x => x * x).sum)
+      if (n == 0) m else m.view.mapValues(_ / n).toMap
+    }
+    for (_ <- 1 to iters) {
+      auth = l2(nodes.map(v =>
+        v -> edgeSeq.filter(_._2 == v).map(e => hub(e._1)).sum).toMap)
+      hub = l2(nodes.map(u =>
+        u -> edgeSeq.filter(_._1 == u).map(e => auth(e._2)).sum).toMap)
+    }
+    assert(got.keySet === nodes.toSet)
+    nodes.foreach { v =>
+      assert(math.abs(got(v)._1 - hub(v)) < 1e-12, s"hub($v)")
+      assert(math.abs(got(v)._2 - auth(v)) < 1e-12, s"auth($v)")
+    }
+    // the directory page is the best hub but a zero authority; the
+    // most-linked content page is the best authority
+    assert(got(0L)._1 === got.values.map(_._1).max)
+    assert(got(0L)._2 === 0.0)
+    assert(got(10L)._2 === got.values.map(_._2).max)
+    // parallelism invariance
+    val got13 = Graph.hits(edgeSeq.toDF("src", "dst").repartition(13), iters = iters)
+      .as[(Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got13 === got)
+  }
+
   test("salted asof join: equals the unsalted operator at every slice width") {
     import graft.ops.Relational
     val r = new scala.util.Random(64)
