@@ -345,6 +345,25 @@ object SparkEntry {
         tmp, buckets = 32)
       graft.ops.Search.bm25TopK(s, tmp, "stream window hash", k = 20, buckets = 32)
     }),
+    // crawl-trap census: per (host, first-path-segment) distinct-URL
+    // explosion — the calendar/session-id trap detector every frontier
+    // runs before burning fetch budget (synthetic URLs from events, as
+    // q55; 'click' prefixes explode per event, others stay bounded)
+    "q87_trap_census" -> ((s, dir) => {
+      val url = concat(lit("https://h"), (col("user_id") % 20).cast("string"),
+        lit(".example.com/"), col("event_type"), lit("/"),
+        when(col("event_type") === "click", col("event_id"))
+          .otherwise(col("event_id") % 5).cast("string"))
+      t(s, dir, "events")
+        .select(parse_url(url, lit("HOST")).as("host"),
+          split(parse_url(url, lit("PATH")), "/").getItem(1).as("seg"),
+          parse_url(url, lit("PATH")).as("path"))
+        .groupBy(col("host"), col("seg"))
+        .agg(countDistinct(col("path")).as("distinct_paths"),
+          count(lit(1)).as("hits"))
+        .withColumn("is_trap", col("distinct_paths") > 40)
+        .orderBy(asc("host"), asc("seg"))
+    }),
     // weighted sample without replacement (Sampling.weightedSample,
     // Efraimidis-Spirakis): k smallest -ln(u)/w keys with u from a
     // seeded sha-256 — weight-proportional, re-run-stable, and
@@ -2159,6 +2178,26 @@ object SparkEntry {
         .orderBy(col("rank").desc, col("node"))
         .limit(50)
     }),
+    // anchor-text aggregation: the web's own description of each target
+    // page — anchor edges (Structured.anchors) explode to terms, then a
+    // per-target census keeps the top-3 terms by (count, term) via one
+    // ranked window; the shape is one flatMap + one shuffle on (dst,
+    // term) + one on dst — WindowGroupLimit prunes the rank at source
+    "pipe71_anchor_text" -> ((s, _) => {
+      import s.implicits._
+      val pages = fixturePages(s).where(!Extraction.isPdf(col("html")))
+      val edges = graft.ops.Structured.anchors(pages, "url", "html")
+      val terms = edges
+        .select(col("dst"), explode(split(lower(col("anchor")), "[^\\p{L}]+")).as("term"))
+        .where(length(col("term")) >= 2)
+        .groupBy(col("dst"), col("term")).agg(count(lit(1)).as("n"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("dst")).orderBy(col("n").desc, col("term"))
+      terms.withColumn("_rk", row_number().over(w))
+        .where(col("_rk") <= 3)
+        .select(col("dst"), col("term"), col("n"), col("_rk").as("rk"))
+        .orderBy(asc("dst"), asc("rk"))
+    }),
     // hubs and authorities (Kleinberg HITS) over the same link graph —
     // the two-score decomposition PageRank's single score conflates
     // (directory pages score as hubs without inflating their own
@@ -2474,6 +2513,16 @@ object SparkEntry {
       FROM tf JOIN q USING (token) JOIN dft USING (token)
         JOIN dl USING (doc_id) CROSS JOIN st
       GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20"""),
+    "q87_trap_census" -> ("""WITH u AS (
+        SELECT 'h' || CAST(user_id % 20 AS VARCHAR) || '.example.com' AS host,
+               event_type AS seg,
+               '/' || event_type || '/' ||
+                 CAST(CASE WHEN event_type = 'click' THEN event_id
+                           ELSE event_id % 5 END AS VARCHAR) AS path
+        FROM events)
+      SELECT host, seg, count(DISTINCT path) AS distinct_paths,
+             count(*) AS hits, count(DISTINCT path) > 40 AS is_trap
+      FROM u GROUP BY host, seg ORDER BY host, seg"""),
     "q86_weighted_sample" -> ("""WITH keyed AS (
         SELECT doc_id, n_chars,
                -ln((('0x' || substr(sha256(doc_id::VARCHAR || '~42'), 1, 12))::BIGINT + 0.5)

@@ -428,35 +428,73 @@ object Html {
   def extractLinks(htmlBytes: Array[Byte], pageUrl: String): Vector[String] =
     extractLinks(CharsetSniff.decode(htmlBytes), pageUrl)
 
+  /** Resolve one raw href against the page url per the
+    * [[extractLinks]] rules; None for pseudo-links, fragments-only and
+    * unresolvable relatives.
+    */
+  private def resolveHref(pageUrl: String, href0: String): Option[String] = {
+    val href = {
+      val h = href0.trim
+      val f = h.indexOf('#')
+      if (f >= 0) h.substring(0, f) else h
+    }
+    val lower = href.toLowerCase
+    val pseudo = lower.startsWith("javascript:") || lower.startsWith("mailto:") ||
+      lower.startsWith("data:") || lower.startsWith("tel:")
+    if (href.isEmpty || pseudo) None
+    else
+      try {
+        val u = new java.net.URI(pageUrl).resolve(new java.net.URI(href))
+        if (u.isAbsolute) Some(u.toString) else None
+      } catch {
+        case _: Exception =>
+          // crawl reality: hrefs URI refuses (spaces, bad escapes)
+          if (lower.startsWith("http://") || lower.startsWith("https://")) Some(href)
+          else None
+      }
+  }
+
   def extractLinks(html: String, pageUrl: String): Vector[String] = {
     val out = Vector.newBuilder[String]
     tokenize(html).foreach {
       case TStart("a", attrs, _) =>
-        attrs.get("href").foreach { href0 =>
-          val href = {
-            val h = href0.trim
-            val f = h.indexOf('#')
-            if (f >= 0) h.substring(0, f) else h
-          }
-          val lower = href.toLowerCase
-          val pseudo = lower.startsWith("javascript:") || lower.startsWith("mailto:") ||
-            lower.startsWith("data:") || lower.startsWith("tel:")
-          if (href.nonEmpty && !pseudo) {
-            val resolved =
-              try {
-                val u = new java.net.URI(pageUrl).resolve(new java.net.URI(href))
-                if (u.isAbsolute) Some(u.toString) else None
-              } catch {
-                case _: Exception =>
-                  // crawl reality: hrefs URI refuses (spaces, bad escapes)
-                  if (lower.startsWith("http://") || lower.startsWith("https://")) Some(href)
-                  else None
-              }
-            resolved.foreach(out += _)
-          }
-        }
+        attrs.get("href").foreach(h => resolveHref(pageUrl, h).foreach(out += _))
       case _ =>
     }
+    out.result()
+  }
+
+  /** Outlinks WITH their anchor text — the link-description signal
+    * anchor-text aggregation feeds on (per-target anchor terms are the
+    * classic external summary of a page, weighted heavily by web IR
+    * since before PageRank). One tokenizer pass: text tokens between
+    * an `<a href>` and its `</a>` (or the next `<a>` — anchors do not
+    * nest per WHATWG) collapse to one whitespace-normalized string.
+    */
+  def extractAnchors(htmlBytes: Array[Byte], pageUrl: String): Vector[(String, String)] =
+    extractAnchors(CharsetSniff.decode(htmlBytes), pageUrl)
+
+  def extractAnchors(html: String, pageUrl: String): Vector[(String, String)] = {
+    val out = Vector.newBuilder[(String, String)]
+    var current: String = null // resolved href of the open anchor
+    val text = new java.lang.StringBuilder
+    def close(): Unit = {
+      if (current != null) {
+        out += ((current, text.toString.replaceAll("\\s+", " ").trim))
+        current = null
+      }
+      text.setLength(0)
+    }
+    tokenize(html).foreach {
+      case TStart("a", attrs, _) =>
+        close() // anchors do not nest: a new <a> implies </a>
+        attrs.get("href").flatMap(h => resolveHref(pageUrl, h))
+          .foreach(r => current = r)
+      case TEnd("a") => close()
+      case TText(t) if current != null => text.append(t)
+      case _ =>
+    }
+    close() // unclosed trailing anchor
     out.result()
   }
 

@@ -73,6 +73,25 @@ object Structured {
       }.toDF(idCol, "title", "canonical", "meta", "json_ld")
   }
 
+  /** Anchor edge list `(src, dst, anchor)` — every `<a href>` with its
+    * link text, hrefs resolved against the page url
+    * ([[Html.extractAnchors]]). The input to anchor-text aggregation:
+    * group by dst and the anchor terms are the web's own description of
+    * the target page. Stateless per-row flatMap, C5-isolated.
+    */
+  def anchors(df: DataFrame, urlCol: String, htmlCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(urlCol).cast("string"), col(htmlCol).cast("binary"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (url, html) =>
+        if (html == null) Iterator.empty
+        else scala.util.Try(Html.extractAnchors(html, url))
+          .getOrElse(Vector.empty).iterator
+          .map { case (dst, text) => (url, dst, text) }
+      }.toDF("src", "dst", "anchor")
+  }
+
   /** CSS-selector extraction ([[graft.kernel.CssSelect]]): one row per
     * match, in document order — `(id, match_idx, tag, text, attrs)`
     * with `text` the match's collapsed inner text and `attrs` its

@@ -208,6 +208,30 @@ class HtmlKernelSpec extends AnyFunSuite {
     assert(Html.extractLinks(html.getBytes("UTF-8"), page) === links)
   }
 
+  test("extractAnchors: href + anchor text pairs, nesting and junk handled") {
+    val page = "https://example.com/p"
+    val html = """<body>
+      <a href="/one">First  <b>Link</b>
+      text</a>
+      <a href="/two">second</a>
+      <a href="#frag">fragmentary</a>
+      <a href="/three">unclosed opens another <a href="/four">fourth</a>
+      <p>stray text outside anchors</p>
+      <a href="/empty"></a>
+      <a href="/last">trailing unclosed"""
+    val got = Html.extractAnchors(html, page)
+    assert(got === Vector(
+      ("https://example.com/one", "First Link text"),
+      ("https://example.com/two", "second"),
+      ("https://example.com/three", "unclosed opens another"),
+      ("https://example.com/four", "fourth"),
+      ("https://example.com/empty", ""),
+      ("https://example.com/last", "trailing unclosed")))
+    // consistency: anchors' hrefs == extractLinks' output
+    assert(got.map(_._1) === Html.extractLinks(html, page))
+    assert(Html.extractAnchors(html.getBytes("UTF-8"), page) === got)
+  }
+
   test("language detection on stopword profiles") {
     assert(graft.kernel.Lang.detect("the cat and the dog are in the house with a bird") === "en")
     assert(graft.kernel.Lang.detect("le chat et le chien sont dans la maison avec un oiseau") === "fr")
