@@ -1938,6 +1938,42 @@ object SparkEntry {
         .select(col("user_id"), col("l_event"), col("r_event"),
           col("l_ts"), col("r_ts"))
     }),
+    // §2-I: stream-STATIC dimension enrichment — events stream joined to
+    // a broadcast dim table re-read per micro-batch (slowly-changing
+    // dimension semantics, zero state store); exactly-once commit
+    "pipe72_stream_enrich" -> ((s, _) => {
+      import s.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("graft-pipe72").toString
+      val base = java.sql.Timestamp.valueOf("2024-02-01 00:00:00").getTime
+      s.createDataset((0L until 200L).map(i =>
+        (i, new java.sql.Timestamp(base + i * 1000), i % 8, (i % 13).toDouble)))
+        .toDF("event_id", "ts", "user_id", "value")
+        .repartition(3).write.parquet(s"$tmp/events")
+      s.createDataset((0L until 6L).map(u => (u, s"segment_$u")))
+        .toDF("user_id", "segment").write.parquet(s"$tmp/dim")
+      graft.streaming.StreamingRun.enrichStreamAvailableNow(s, s"$tmp/events",
+        s"$tmp/dim", "user_id", s"$tmp/out", s"$tmp/ckpt")
+      s.read.parquet(s"$tmp/out")
+        .groupBy(col("segment")).agg(count(lit(1)).as("n"),
+          round(sum(col("value")), 2).as("value_sum"))
+        .orderBy(asc("segment"))
+    }),
+    // §2-I: the engine-NATIVE streaming dedup —
+    // dropDuplicatesWithinWatermark bounds keyed state by the event-time
+    // watermark window instead of the key universe (Spark's built-in
+    // rendition of the C6 24 h cache, next to the custom fMGWS twins)
+    "pipe73_stream_wm_dedup" -> ((s, _) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-pipe73").toString
+      val pages = graft.fixtures.PageGen.pages(FixtureN)
+      graft.pipeline.Checkpoint.writePages(
+        s.createDataset(pages)(org.apache.spark.sql.Encoders.product).toDF(),
+        s"$tmp/pages")
+      graft.streaming.StreamingRun.dedupWithinWatermarkAvailableNow(
+        s, s"$tmp/pages", s"$tmp/out", s"$tmp/ckpt", delaySeconds = 3600)
+      s.read.parquet(s"$tmp/out")
+        .select(col("url"), col("content_hash"))
+        .orderBy(asc("url"))
+    }),
     // Dolma-style incremental PARAGRAPH dedup against an at-rest Bloom
     // filter (ops/Dedup.paragraphBloomDedup): run 1 seeds the filter
     // with the even-id documents' paragraphs; run 2 presents ALL

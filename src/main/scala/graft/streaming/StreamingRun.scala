@@ -333,6 +333,55 @@ object StreamingRun {
     commitNovel(spark, joined, outDir, checkpointDir)
   }
 
+  /** Stream-STATIC enrichment — the dimension-join shape every event
+    * pipeline runs (stream of page events joined to a small host/dim
+    * table): the static side is read per micro-batch and broadcast, so
+    * no state store is involved at all and the dimension can be
+    * republished between batches (each batch sees the CURRENT table —
+    * slowly-changing dimension semantics). Inner join drops events
+    * with no dimension row; the same exactly-once batch_id-led commit
+    * as every other sink here.
+    */
+  def enrichStreamAvailableNow(spark: SparkSession, eventsDir: String,
+                               dimDir: String, keyCol: String,
+                               outDir: String, checkpointDir: String,
+                               maxFilesPerBatch: Int = 1000): Long = {
+    val schema = spark.read.parquet(eventsDir).schema
+    val events = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerBatch)
+      .parquet(eventsDir)
+    val dim = broadcast(spark.read.parquet(dimDir))
+    val joined = events.join(dim, Seq(keyCol))
+    commitNovel(spark, joined, outDir, checkpointDir)
+  }
+
+  /** The engine-NATIVE dedup twin of [[dedupStreamTtl]]:
+    * `dropDuplicatesWithinWatermark` keeps keyed state only until the
+    * event-time watermark passes each key's last sighting + delay, so
+    * the state store is bounded by the watermark window instead of the
+    * key universe — Spark's built-in rendition of the 24 h cache
+    * (C6). Suppresses duplicates whose event times fall within the
+    * watermark delay of the first sighting; re-admits keys after the
+    * watermark has moved past them.
+    */
+  def dedupWithinWatermarkAvailableNow(spark: SparkSession, pagesDir: String,
+                                       outDir: String, checkpointDir: String,
+                                       delaySeconds: Int,
+                                       maxFilesPerBatch: Int = 1000): Long = {
+    val schema = spark.read.parquet(pagesDir).schema
+    val pages = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerBatch)
+      .parquet(pagesDir)
+      .withColumn("content_hash", sha2(col("html"), 256))
+      .withColumn("event_ts", col("warc_ts").cast("timestamp_ltz"))
+      .withWatermark("event_ts", s"$delaySeconds seconds")
+      .dropDuplicatesWithinWatermark("content_hash")
+      .select(col("url"), col("content_hash"), col("event_ts"))
+    commitNovel(spark, pages, outDir, checkpointDir)
+  }
+
   private def commitNovel(spark: SparkSession, novel: DataFrame,
                           outDir: String, checkpointDir: String): Long = {
     var emitted = 0L

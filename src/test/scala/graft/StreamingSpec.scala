@@ -301,4 +301,64 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
       joinWindowSeconds = 40, watermarkDelaySeconds = 10)
     assert(n3 === 0L)
   }
+
+  test("stream-static enrichment: per-batch broadcast dim, slowly-changing between drains") {
+    val tmp = Files.createTempDirectory("graft-senrich").toString
+    val base = java.sql.Timestamp.valueOf("2024-02-01 00:00:00").getTime
+    def ev(id: Long, user: Long) =
+      (id, new java.sql.Timestamp(base + id * 1000), user, 1.0)
+    spark.createDataset((0L until 40L).map(i => ev(i, i % 4))).toDF(
+      "event_id", "ts", "user_id", "value")
+      .repartition(2).write.parquet(s"$tmp/events")
+    // dimension covers users 0..2 — user 3's events drop (inner join)
+    Seq((0L, "alpha"), (1L, "beta"), (2L, "gamma")).toDF("user_id", "segment")
+      .write.parquet(s"$tmp/dim")
+    val n1 = StreamingRun.enrichStreamAvailableNow(spark, s"$tmp/events",
+      s"$tmp/dim", "user_id", s"$tmp/out", s"$tmp/ckpt", maxFilesPerBatch = 1)
+    assert(n1 === 30L, "10 events per covered user across 3 users")
+    val out1 = spark.read.parquet(s"$tmp/out")
+    assert(out1.select($"segment").distinct().as[String].collect().toSet ===
+      Set("alpha", "beta", "gamma"))
+    // dimension REPUBLISHED between drains: new arrivals see the new table
+    Seq((0L, "alpha2"), (3L, "delta")).toDF("user_id", "segment")
+      .write.mode("overwrite").parquet(s"$tmp/dim")
+    spark.createDataset((100L until 108L).map(i => ev(i, i % 4))).toDF(
+      "event_id", "ts", "user_id", "value")
+      .write.mode("append").parquet(s"$tmp/events")
+    val n2 = StreamingRun.enrichStreamAvailableNow(spark, s"$tmp/events",
+      s"$tmp/dim", "user_id", s"$tmp/out", s"$tmp/ckpt", maxFilesPerBatch = 1)
+    assert(n2 === 4L, "only users 0 and 3 are in the republished dim")
+    val segs = spark.read.parquet(s"$tmp/out")
+      .where($"event_id" >= 100L).select($"segment").as[String].collect().toSet
+    assert(segs === Set("alpha2", "delta"), "second drain must see the CURRENT dim")
+  }
+
+  test("dropDuplicatesWithinWatermark: duplicates inside the window suppressed, state bounded by watermark") {
+    val tmp = Files.createTempDirectory("graft-swmdedup").toString
+    val base = java.sql.Timestamp.valueOf("2024-03-01 00:00:00")
+    def page(url: String, html: String, offSec: Long) = (url,
+      new java.sql.Timestamp(base.getTime + offSec * 1000),
+      html.getBytes("UTF-8"), "", "en")
+    // same payload at t=0, t=10 (inside the 60 s window → suppressed),
+    // a distinct payload at t=5, and a far-future row that advances the
+    // watermark past everything
+    val rows = Seq(
+      page("u1", "payload-A", 0), page("u2", "payload-A", 10),
+      page("u3", "payload-B", 5), page("u4", "payload-C", 100000))
+    rows.toDF("url", "warc_ts", "html", "text", "lang")
+      .repartition(1).write.parquet(s"$tmp/pages")
+    val n1 = StreamingRun.dedupWithinWatermarkAvailableNow(spark, s"$tmp/pages",
+      s"$tmp/out", s"$tmp/ckpt", delaySeconds = 60)
+    assert(n1 === 3L, "the in-window duplicate must be suppressed")
+    val urls = spark.read.parquet(s"$tmp/out").select($"url").as[String].collect().toSet
+    assert(urls.contains("u1") && !urls.contains("u2"))
+    // a later drain far past the watermark re-admits the same payload —
+    // the state was dropped with the watermark, exactly the C6 TTL shape
+    Seq(page("u5", "payload-A", 200000))
+      .toDF("url", "warc_ts", "html", "text", "lang")
+      .write.mode("append").parquet(s"$tmp/pages")
+    val n2 = StreamingRun.dedupWithinWatermarkAvailableNow(spark, s"$tmp/pages",
+      s"$tmp/out", s"$tmp/ckpt", delaySeconds = 60)
+    assert(n2 === 1L, "payload-A must re-admit once the watermark passed its window")
+  }
 }
