@@ -1676,17 +1676,19 @@ object SparkEntry {
       // encrypted crawl PDFs (standard security handler, empty user
       // password — the universal "permissions-only" shape): the full
       // split → extract → merge branch must produce byte-identical text
-      // to the same documents unencrypted. Mix RC4-128 and AESV2, with
-      // multi-chunk page counts so decryption composes with chunking.
+      // to the same documents unencrypted. Mix RC4-128, AESV2 and
+      // AES-256/R6, with multi-chunk page counts so decryption composes
+      // with chunking.
       val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
       val specs = (0 until 12).map { i =>
         val nPages = 1 + (i * 7) % 23
         val pages = (1 to nPages).map(p => Seq(s"doc $i page $p", s"body line $p"))
-        (s"https://enc.example/doc$i.pdf", pages, i % 2 == 1)
+        (s"https://enc.example/doc$i.pdf", pages, i % 3)
       }
-      val encPages = specs.map { case (url, pages, aes) =>
+      val encPages = specs.map { case (url, pages, cipher) =>
         graft.pipeline.Page(url, ts,
-          graft.kernel.PdfWriter.buildEncrypted(pages, compress = true, aes = aes),
+          graft.kernel.PdfWriter.buildEncrypted(pages, compress = true,
+            aes = cipher == 1, r6 = cipher == 2),
           "", "en")
       }
       val plainPages = specs.map { case (url, pages, _) =>

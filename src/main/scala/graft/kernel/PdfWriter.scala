@@ -293,7 +293,8 @@ object PdfWriter {
   def buildEncrypted(pages: Seq[Seq[String]], compress: Boolean,
                      aes: Boolean = false, userPw: String = "",
                      ownerPw: String = "owner",
-                     mediaBox: (Double, Double) = (612.0, 792.0)): Array[Byte] = {
+                     mediaBox: (Double, Double) = (612.0, 792.0),
+                     r6: Boolean = false): Array[Byte] = {
     require(pages.nonEmpty, "pdf needs at least one page")
     val contents = pages.map(pageContent)
     val boxes = Seq.fill(pages.size)(mediaBox)
@@ -310,15 +311,34 @@ object PdfWriter {
     val offsets = new Array[Long](total)
 
     // deterministic key material
-    val r = if (aes) 4 else 3
+    val r = if (r6) 6 else if (aes) 4 else 3
     val perm = -3904
-    val id0 = PdfCrypt.md5(s"graft-fixture-$n-$aes".getBytes(ISO_8859_1))
-    val oEntry = PdfCrypt.ownerEntry(ownerPw.getBytes(ISO_8859_1),
-      userPw.getBytes(ISO_8859_1), r, 128)
-    val key = PdfCrypt.fileKey(userPw.getBytes(ISO_8859_1), oEntry, perm,
-      id0, r, 128)
-    val uEntry = PdfCrypt.userEntry(key, id0, r)
-    val enc = PdfCrypt.Encryption(key, aes, encObj)
+    val id0 = PdfCrypt.md5(s"graft-fixture-$n-$aes-$r6".getBytes(ISO_8859_1))
+    val pwU = userPw.getBytes(ISO_8859_1)
+    val pwO = ownerPw.getBytes(ISO_8859_1)
+    // R6 (AES-256): a random-stand-in 32-byte file key wrapped in /UE
+    // and /OE per §7.6.4; pre-R6: Algorithm 2/3 derivation
+    val (enc, uEntry, oEntry, ueEntry, oeEntry, permsEntry) =
+      if (r6) {
+        val fileKey = PdfCrypt.sha256(s"graft-r6-filekey-$n".getBytes(ISO_8859_1))
+        val vSaltU = PdfCrypt.md5(s"vsu$n".getBytes(ISO_8859_1)).take(8)
+        val kSaltU = PdfCrypt.md5(s"ksu$n".getBytes(ISO_8859_1)).take(8)
+        val (u, ue) = PdfCrypt.userEntryV5(6, pwU, vSaltU, kSaltU, fileKey)
+        val vSaltO = PdfCrypt.md5(s"vso$n".getBytes(ISO_8859_1)).take(8)
+        val kSaltO = PdfCrypt.md5(s"kso$n".getBytes(ISO_8859_1)).take(8)
+        val o = PdfCrypt.hash2B(pwO, vSaltO, u) ++ vSaltO ++ kSaltO
+        val oe = PdfCrypt.aesCbcNoPad(PdfCrypt.hash2B(pwO, kSaltO, u),
+          new Array[Byte](16), fileKey, encrypt = true)
+        val pm = PdfCrypt.permsV5(fileKey, perm, encryptMetadata = true)
+        (PdfCrypt.Encryption(fileKey, aes = true, encObj, v5 = true),
+          u, o, ue, oe, pm)
+      } else {
+        val o = PdfCrypt.ownerEntry(pwO, pwU, r, 128)
+        val key = PdfCrypt.fileKey(pwU, o, perm, id0, r, 128)
+        (PdfCrypt.Encryption(key, aes, encObj),
+          PdfCrypt.userEntry(key, id0, r), o,
+          Array.empty[Byte], Array.empty[Byte], Array.empty[Byte])
+      }
 
     w("%PDF-1.4\n%âãÏÓ\n")
     offsets(1) = out.size(); w("1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
@@ -349,12 +369,20 @@ object PdfWriter {
     w(s"$infoObj 0 obj\n<< /Title ${hexStr(title)} >>\nendobj\n")
     // Encrypt dict: its own strings are NOT encrypted (§7.6.2)
     offsets(encObj) = out.size()
-    val cf =
-      if (aes) " /CF << /StdCF << /CFM /AESV2 /Length 16 >> >> /StmF /StdCF /StrF /StdCF"
-      else ""
-    val v = if (aes) 4 else 2
-    w(s"$encObj 0 obj\n<< /Filter /Standard /V $v /R $r /Length 128 " +
-      s"/P $perm /O ${hexStr(oEntry)} /U ${hexStr(uEntry)}$cf >>\nendobj\n")
+    if (r6)
+      w(s"$encObj 0 obj\n<< /Filter /Standard /V 5 /R 6 /Length 256 " +
+        s"/CF << /StdCF << /CFM /AESV3 /Length 32 >> >> /StmF /StdCF /StrF /StdCF " +
+        s"/P $perm /O ${hexStr(oEntry)} /U ${hexStr(uEntry)} " +
+        s"/OE ${hexStr(oeEntry)} /UE ${hexStr(ueEntry)} " +
+        s"/Perms ${hexStr(permsEntry)} >>\nendobj\n")
+    else {
+      val cf =
+        if (aes) " /CF << /StdCF << /CFM /AESV2 /Length 16 >> >> /StmF /StdCF /StrF /StdCF"
+        else ""
+      val v = if (aes) 4 else 2
+      w(s"$encObj 0 obj\n<< /Filter /Standard /V $v /R $r /Length 128 " +
+        s"/P $perm /O ${hexStr(oEntry)} /U ${hexStr(uEntry)}$cf >>\nendobj\n")
+    }
     val xrefPos = out.size()
     w(s"xref\n0 $total\n")
     w("0000000000 65535 f \n")

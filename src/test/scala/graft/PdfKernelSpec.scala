@@ -414,4 +414,59 @@ class PdfKernelSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("hash2B (R6 password hash): shape, determinism, input sensitivity") {
+    import graft.kernel.PdfCrypt
+    val salt = Array.tabulate(8)(_.toByte)
+    val h = PdfCrypt.hash2B(Array.empty, salt, Array.empty)
+    assert(h.length === 32)
+    assert(PdfCrypt.hash2B(Array.empty, salt, Array.empty).toSeq === h.toSeq,
+      "2.B must be deterministic")
+    assert(PdfCrypt.hash2B(Array.empty, salt.map(b => (b + 1).toByte),
+      Array.empty).toSeq !== h.toSeq, "salt must matter")
+    assert(PdfCrypt.hash2B("pw".getBytes, salt, Array.empty).toSeq !== h.toSeq,
+      "password must matter")
+    assert(PdfCrypt.hash2B(Array.empty, salt, "u".getBytes).toSeq !== h.toSeq,
+      "udata must matter")
+  }
+
+  test("encrypted pdf (AES-256 / R6): round-trips, strings decrypt, chunker composes") {
+    for (compress <- Seq(false, true)) {
+      val bytes = PdfWriter.buildEncrypted(
+        Seq(Seq("r6 body line", "second line")), compress = compress, r6 = true)
+      val doc = Pdf.parseDoc(bytes)
+      val ps = Pdf.pages(doc)
+      assert(Pdf.pageText(ps.head.content) === "r6 body line\nsecond line\n",
+        s"compress=$compress")
+      assert(!new String(bytes, ISO_8859_1).contains("r6 body"),
+        "plaintext must not appear in the file")
+      val info = doc.dictOf(doc.trailer.m("Info")).m
+      doc.resolve(info("Title")) match {
+        case Pdf.PStr(b) => assert(new String(b, ISO_8859_1) === "Fixture Title 1")
+        case other       => fail(s"Title not a string: $other")
+      }
+    }
+    // chunker: split → per-chunk re-extraction equals the whole document
+    val many = (1 to 17).map(i => Seq(s"r6 page $i"))
+    val whole = PdfWriter.buildEncrypted(many, compress = true, r6 = true)
+    val chunks = Pdf.chunkBytes(whole)
+    assert(chunks.map(c => Pdf.pages(Pdf.parseDoc(c)).length) === Vector(10, 7))
+    val viaChunks = chunks.flatMap(c =>
+      Pdf.pages(Pdf.parseDoc(c)).map(p => Pdf.pageText(p.content)))
+    assert(viaChunks === Pdf.pages(Pdf.parseDoc(whole)).map(p => Pdf.pageText(p.content)))
+    // R6 with a real user password is refused, not garbled
+    val locked = PdfWriter.buildEncrypted(Seq(Seq("locked r6")),
+      compress = false, r6 = true, userPw = "hunter2")
+    val e = intercept[Pdf.ParseError](Pdf.parseDoc(locked))
+    assert(e.getMessage.contains("non-empty user password"))
+    // a corrupted /UE (wrong wrapped key) trips the /Perms integrity check
+    val good = PdfWriter.buildEncrypted(Seq(Seq("x")), compress = false, r6 = true)
+    val s = new String(good, ISO_8859_1)
+    val ueAt = s.indexOf("/UE <") + 5
+    val corrupted = good.clone()
+    corrupted(ueAt) = (if (s.charAt(ueAt) == '0') '1' else '0').toByte
+    val e2 = intercept[Pdf.ParseError](Pdf.parseDoc(corrupted))
+    assert(e2.getMessage.contains("Perms integrity"),
+      s"corrupt UE must fail the Perms check, got: ${e2.getMessage}")
+  }
 }
