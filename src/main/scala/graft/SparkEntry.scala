@@ -1671,6 +1671,42 @@ object SparkEntry {
       out.select(col("url"), length(col("extracted_text")).as("text_len"),
         col("total_chunks"), col("ok"))
     }),
+    // scanned-document PDFs: embedded image XObjects extracted per page
+    // (Multimodal.pdfImages) — CCITT G4 fax scans decoded from scratch
+    // (kernel/Ccitt, tables JDK-differential-validated), DCT photos
+    // through the JPEG kernel, raw gray bitmaps inline; in-query
+    // requires pin the G4 black-pixel count against the fixture truth
+    "pipe74_pdf_images" -> ((s, _) => {
+      import s.implicits._
+      val docs = (0 until 10).map { i =>
+        val gw = 64 + 8 * i; val gh = 24 + 2 * i
+        val g4 = Array.tabulate(gw * gh) { p =>
+          val (x, y) = (p % gw, p / gw)
+          if ((x / (2 + i % 3) + y / 3) % 2 == 0) 1.toByte else 0.toByte
+        }
+        val jw = 16 + 8 * (i % 3); val jh = 16
+        val jpeg = graft.fixtures.MediaGen.jpeg(
+          Array.tabulate(jw * jh)(p => 30 + (p * 7) % 200), jw, jh)
+        val pdf = graft.kernel.PdfWriter.buildWithImages(
+          pages = Seq(Seq(s"scanned doc $i")),
+          images = Seq(Seq(
+            graft.kernel.PdfWriter.ImageSpec("Scan", gw, gh, "g4", g4),
+            graft.kernel.PdfWriter.ImageSpec("Photo", jw, jh, "jpeg", jpeg))),
+          compress = true)
+        (s"doc$i", pdf, g4.count(_ == 1).toLong)
+      }
+      val df = graft.ops.Multimodal.pdfImages(
+        docs.map(d => (d._1, d._2)).toDF("doc_id", "pdf"), "doc_id", "pdf").cache()
+      val wantBlack = docs.map(d => d._1 -> d._3).toMap
+      val gotBlack = df.where(col("name") === "Scan")
+        .select(col("doc_id"), col("n_black")).as[(String, Long)].collect().toMap
+      require(gotBlack == wantBlack, "G4 black-pixel census drift")
+      require(df.where(col("name") === "Photo" && col("n_pixels") > 0)
+        .count() == docs.length, "JPEG images must decode")
+      df.select(col("doc_id"), col("page_idx"), col("name"), col("width"),
+        col("height"), col("codec"), col("mean_luma"))
+        .orderBy(asc("doc_id"), asc("name"))
+    }),
     "pipe52_encrypted_pdf" -> ((s, _) => {
       import s.implicits._
       // encrypted crawl PDFs (standard security handler, empty user

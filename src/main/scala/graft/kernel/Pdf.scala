@@ -828,6 +828,122 @@ object Pdf {
     out.result()
   }
 
+  // ------------------------------------------------------ embedded images
+  /** One image XObject: `codec` says what `data` holds —
+    * `"gray"`: decoded 8-bit luminance samples (width*height bytes;
+    * CCITT G4 scans and Flate/LZW DeviceGray bitmaps land here),
+    * `"jpeg"`: the undecoded DCTDecode payload (feed [[Jpeg]]),
+    * `"raw"`: unpacked samples of some other colorspace/depth
+    * (caller interprets via bpc/colorSpace).
+    */
+  final case class PdfImage(pageIdx: Int, name: String, width: Int,
+                            height: Int, bitsPerComponent: Int,
+                            colorSpace: String, codec: String,
+                            data: Array[Byte])
+
+  /** Embedded image XObjects per page — the scanned-document payload
+    * (a scanner PDF is one full-page image and NO text operators; the
+    * reference app rasterizes pages for its vision call,
+    * `/root/reference/app/services/vision_service.py:41-53` — this is
+    * the from-scratch analog that skips the detour when the page IS
+    * an image). CCITTFaxDecode is decoded here via [[Ccitt]] (G4 only,
+    * `/K < 0` — G3 refused loudly; `/BlackIs1` honored); DCTDecode
+    * payloads pass through for the [[Jpeg]] kernel; other filters run
+    * the ordinary [[decodeStream]] chain.
+    */
+  def pageImages(doc: PdfDoc): Vector[PdfImage] = {
+    val out = Vector.newBuilder[PdfImage]
+    val root = doc.dictOf(doc.trailer.m.getOrElse("Root", PNull))
+    var pageIdx = 0
+    def walk(o: PObj): Unit = doc.resolve(o) match {
+      case d: PDict =>
+        doc.resolve(d.m.getOrElse("Type", PNull)) match {
+          case PName("Pages") =>
+            doc.resolve(d.m.getOrElse("Kids", PNull)) match {
+              case PArr(kids) => kids.foreach(walk)
+              case _          =>
+            }
+          case PName("Page") =>
+            doc.resolve(d.m.getOrElse("Resources", PNull)) match {
+              case rd: PDict =>
+                doc.resolve(rd.m.getOrElse("XObject", PNull)) match {
+                  case xd: PDict =>
+                    xd.m.toVector.sortBy(_._1).foreach { case (name, xo) =>
+                      doc.resolve(xo) match {
+                        case st: PStream
+                          if doc.resolve(st.dict.m.getOrElse("Subtype", PNull)) ==
+                            PName("Image") =>
+                          out += imageOf(doc, st, pageIdx, name)
+                        case _ =>
+                      }
+                    }
+                  case _ =>
+                }
+              case _ =>
+            }
+            pageIdx += 1
+          case _ =>
+        }
+      case _ =>
+    }
+    walk(root.m.getOrElse("Pages", PNull))
+    out.result()
+  }
+
+  private def imageOf(doc: PdfDoc, st: PStream, pageIdx: Int,
+                      name: String): PdfImage = {
+    val d = st.dict.m
+    def num(k: String, dflt: Int): Int = numOf(doc, d.getOrElse(k, PNum(dflt)), dflt)
+    val w = num("Width", 0)
+    val h = num("Height", 0)
+    if (w <= 0 || h <= 0) throw new ParseError(s"image $name has no dimensions")
+    val bpc = num("BitsPerComponent", 8)
+    val cs = doc.resolve(d.getOrElse("ColorSpace", PNull)) match {
+      case PName(n) => n
+      case _        => ""
+    }
+    val filters = doc.resolve(d.getOrElse("Filter", PNull)) match {
+      case PNull       => Vector.empty[PObj]
+      case PArr(items) => items.map(doc.resolve)
+      case one         => Vector(one)
+    }
+    filters.lastOption match {
+      case Some(PName("DCTDecode")) =>
+        if (filters.length > 1)
+          throw new ParseError("chained filters before DCTDecode unsupported")
+        PdfImage(pageIdx, name, w, h, bpc, cs, "jpeg", st.raw)
+      case Some(PName("CCITTFaxDecode")) =>
+        if (filters.length > 1)
+          throw new ParseError("chained filters before CCITTFaxDecode unsupported")
+        val parms = doc.resolve(d.getOrElse("DecodeParms", PNull)) match {
+          case pd: PDict => pd.m
+          case _         => Map.empty[String, PObj]
+        }
+        val k = numOf(doc, parms.getOrElse("K", PNum(0)), 0)
+        if (k >= 0)
+          throw new ParseError(s"CCITTFax K=$k (G3) unsupported — G4 (/K < 0) only")
+        val cols = numOf(doc, parms.getOrElse("Columns", PNum(1728)), 1728)
+        val rows = numOf(doc, parms.getOrElse("Rows", PNum(h)), h)
+        val blackIs1 = doc.resolve(parms.getOrElse("BlackIs1", PBool(false))) match {
+          case PBool(b) => b; case _ => false
+        }
+        if (cols != w || rows != h)
+          throw new ParseError(s"CCITTFax geometry $cols x $rows != image $w x $h")
+        val bits = Ccitt.decodeG4(st.raw, cols, rows) // 1 = fax black
+        // gray luminance: fax black -> 0, white -> 255 (BlackIs1 only
+        // changes the PACKED-bit convention, not fax-coding colors)
+        val _ = blackIs1
+        PdfImage(pageIdx, name, w, h, 8, "DeviceGray", "gray",
+          bits.map(b => if (b == 1) 0.toByte else 0xff.toByte))
+      case _ =>
+        val data = decodeStream(doc, st)
+        if (bpc == 8 && cs == "DeviceGray" && data.length >= w * h)
+          PdfImage(pageIdx, name, w, h, 8, cs, "gray",
+            java.util.Arrays.copyOf(data, w * h))
+        else PdfImage(pageIdx, name, w, h, bpc, cs, "raw", data)
+    }
+  }
+
   // ------------------------------------------------------- text extraction
   /** Decode one show-string under a font's truth: 2-byte codes for
     * Type0, mapped through /ToUnicode when present. Unmapped codes emit

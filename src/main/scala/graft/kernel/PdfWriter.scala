@@ -110,6 +110,95 @@ object PdfWriter {
     out.toByteArray
   }
 
+  /** One embedded image for [[buildWithImages]]: `codec` ∈
+    * `"g4"` (data = 0/1 pixels, width*height — encoded via
+    * [[Ccitt.encodeG4]] into a /CCITTFaxDecode stream),
+    * `"jpeg"` (data = a ready JFIF payload → /DCTDecode),
+    * `"gray"` (data = 8-bit luminance samples → /FlateDecode).
+    */
+  final case class ImageSpec(name: String, width: Int, height: Int,
+                             codec: String, data: Array[Byte])
+
+  /** [[build]] plus image XObjects per page — the scanned-document
+    * fixture shape: page i shows `pages(i)`'s text AND draws every
+    * image in `images(i)` via `Do`. Geometry in the content stream is
+    * cosmetic; extraction reads the XObject streams themselves.
+    */
+  def buildWithImages(pages: Seq[Seq[String]],
+                      images: Seq[Seq[ImageSpec]],
+                      compress: Boolean): Array[Byte] = {
+    require(pages.nonEmpty && pages.size == images.size)
+    val n = pages.size
+    val out = new ByteArrayOutputStream(4096)
+    def w(s: String): Unit = out.write(s.getBytes(ISO_8859_1))
+    val imgCounts = images.map(_.size)
+    val firstImgObj = 3 + 2 * n // images come after page+content pairs
+    val imgObjOf: Seq[Seq[Int]] = {
+      var next = firstImgObj
+      images.map(specs => specs.map { _ => val o = next; next = o + 1; o })
+    }
+    val fontObj = firstImgObj + imgCounts.sum
+    val total = fontObj + 1
+    val offsets = new Array[Long](total)
+
+    w("%PDF-1.4\n%âãÏÓ\n")
+    offsets(1) = out.size(); w("1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+    offsets(2) = out.size()
+    val kids = (0 until n).map(i => s"${3 + 2 * i} 0 R").mkString(" ")
+    w(s"2 0 obj\n<< /Type /Pages /Kids [ $kids ] /Count $n >>\nendobj\n")
+    (0 until n).foreach { i =>
+      val pageObj = 3 + 2 * i
+      val contObj = pageObj + 1
+      offsets(pageObj) = out.size()
+      val xobjRefs = images(i).zip(imgObjOf(i))
+        .map { case (s, o) => s"/${s.name} $o 0 R" }.mkString(" ")
+      val xobj = if (images(i).nonEmpty) s" /XObject << $xobjRefs >>" else ""
+      w(s"$pageObj 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [ 0 0 612 792 ] " +
+        s"/Resources << /Font << /F1 $fontObj 0 R >>$xobj >> /Contents $contObj 0 R >>\nendobj\n")
+      offsets(contObj) = out.size()
+      val draw = images(i).map(s =>
+        s"q ${s.width} 0 0 ${s.height} 50 50 cm /${s.name} Do Q\n").mkString
+      val raw = pageContent(pages(i)) ++ draw.getBytes(ISO_8859_1)
+      val body = if (compress) deflate(raw) else raw
+      val filter = if (compress) " /Filter /FlateDecode" else ""
+      w(s"$contObj 0 obj\n<< /Length ${body.length}$filter >>\nstream\n")
+      out.write(body)
+      w("\nendstream\nendobj\n")
+    }
+    (0 until n).foreach { i =>
+      images(i).zip(imgObjOf(i)).foreach { case (s, obj) =>
+        offsets(obj) = out.size()
+        val (body, entries) = s.codec match {
+          case "g4" =>
+            require(s.data.length == s.width * s.height, s"g4 pixels for ${s.name}")
+            (Ccitt.encodeG4(s.data, s.width, s.height),
+              s"/BitsPerComponent 1 /ColorSpace /DeviceGray /Filter /CCITTFaxDecode " +
+                s"/DecodeParms << /K -1 /Columns ${s.width} /Rows ${s.height} >>")
+          case "jpeg" =>
+            (s.data,
+              "/BitsPerComponent 8 /ColorSpace /DeviceGray /Filter /DCTDecode")
+          case "gray" =>
+            require(s.data.length == s.width * s.height, s"gray pixels for ${s.name}")
+            (deflate(s.data),
+              "/BitsPerComponent 8 /ColorSpace /DeviceGray /Filter /FlateDecode")
+          case other => throw new IllegalArgumentException(s"unknown codec '$other'")
+        }
+        w(s"$obj 0 obj\n<< /Type /XObject /Subtype /Image /Width ${s.width} " +
+          s"/Height ${s.height} $entries /Length ${body.length} >>\nstream\n")
+        out.write(body)
+        w("\nendstream\nendobj\n")
+      }
+    }
+    offsets(fontObj) = out.size()
+    w(s"$fontObj 0 obj\n<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>\nendobj\n")
+    val xrefPos = out.size()
+    w(s"xref\n0 $total\n")
+    w("0000000000 65535 f \n")
+    (1 until total).foreach { i => w(f"${offsets(i)}%010d 00000 n \n") }
+    w(s"trailer\n<< /Size $total /Root 1 0 R >>\nstartxref\n$xrefPos\n%%EOF\n")
+    out.toByteArray
+  }
+
   private def hexStr(b: Array[Byte]): String =
     "<" + b.map(x => f"${x & 0xff}%02X").mkString + ">"
 

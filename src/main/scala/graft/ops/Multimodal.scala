@@ -380,6 +380,53 @@ object Multimodal {
   }
 
   /** Per-kind feature rollup (bytes, levels, failure counts). */
+  /** Embedded images of a PDF corpus — one row per image XObject:
+    * `(id, page_idx, name, width, height, codec, mean_luma, n_black,
+    * n_pixels)`. The scanned-document path: a scanner PDF is a G4 or
+    * DCT full-page image with no text operators, and THIS is where its
+    * payload surfaces ([[graft.kernel.Pdf.pageImages]]: CCITT G4
+    * decoded from scratch, DCT routed through the [[graft.kernel.Jpeg]]
+    * kernel). Stateless per-row flatMap, C5-isolated per document.
+    */
+  def pdfImages(df: DataFrame, idCol: String, pdfCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(org.apache.spark.sql.functions.col(idCol).cast("string"),
+      org.apache.spark.sql.functions.col(pdfCol).cast("binary"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (id, pdf) =>
+        if (pdf == null) Iterator.empty
+        else scala.util.Try {
+          val doc = graft.kernel.Pdf.parseDoc(pdf)
+          graft.kernel.Pdf.pageImages(doc)
+        }.getOrElse(Vector.empty).iterator.map { im =>
+          val (mean, nBlack, nPx) = im.codec match {
+            case "gray" =>
+              var sum = 0L; var black = 0L
+              im.data.foreach { b =>
+                val v = b & 0xff
+                sum += v
+                if (v < 128) black += 1
+              }
+              (sum.toDouble / math.max(1, im.data.length), black, im.data.length.toLong)
+            case "jpeg" =>
+              scala.util.Try(graft.kernel.Jpeg.decode(im.data)).toOption match {
+                case Some(d) =>
+                  var sum = 0L; var black = 0L
+                  d.samples.foreach { v => sum += v; if (v < 128) black += 1 }
+                  (sum.toDouble / math.max(1, d.samples.length), black,
+                    d.samples.length.toLong)
+                case None => (-1.0, -1L, -1L)
+              }
+            case _ => (-1.0, -1L, -1L)
+          }
+          (id, im.pageIdx, im.name, im.width, im.height, im.codec,
+            math.rint(mean * 100) / 100, nBlack, nPx)
+        }
+      }.toDF(idCol, "page_idx", "name", "width", "height", "codec",
+        "mean_luma", "n_black", "n_pixels")
+  }
+
   def featureStats(features: DataFrame): DataFrame =
     features.groupBy(col("kind")).agg(
       count(lit(1)).as("n"),

@@ -415,6 +415,55 @@ class PdfKernelSpec extends AnyFunSuite {
     }
   }
 
+  test("embedded images: G4 scan, DCT photo and raw gray extract with exact pixels") {
+    import graft.kernel.{PdfWriter, Jpeg}
+    // page 1: a G4 1-bit "scan" + text; page 2: a JPEG + a raw gray strip
+    val (gw, gh) = (96, 40)
+    val g4px = Array.tabulate(gw * gh) { i =>
+      val (x, y) = (i % gw, i / gw)
+      if ((x / 7 + y / 5) % 2 == 0) 1.toByte else 0.toByte
+    }
+    val (jw, jh) = (32, 24)
+    val jLuma = Array.tabulate(jw * jh)(i => 40 + (i % jw) * 5)
+    val jpegBytes = graft.fixtures.MediaGen.jpeg(jLuma, jw, jh)
+    val grayPx = Array.tabulate(64 * 9)(i => ((i * 37) % 256).toByte)
+    val bytes = PdfWriter.buildWithImages(
+      pages = Seq(Seq("scan caption"), Seq("photo caption")),
+      images = Seq(
+        Seq(PdfWriter.ImageSpec("Scan", gw, gh, "g4", g4px)),
+        Seq(PdfWriter.ImageSpec("Photo", jw, jh, "jpeg", jpegBytes),
+          PdfWriter.ImageSpec("Strip", 64, 9, "gray", grayPx))),
+      compress = true)
+    val doc = Pdf.parseDoc(bytes)
+    // text extraction is unaffected by the image resources
+    val ps = Pdf.pages(doc)
+    assert(Pdf.pageText(ps(0).content) === "scan caption\n")
+    val imgs = Pdf.pageImages(doc)
+    assert(imgs.map(i => (i.pageIdx, i.name, i.codec)) === Vector(
+      (0, "Scan", "gray"), (1, "Photo", "jpeg"), (1, "Strip", "gray")))
+    // G4: fax black -> 0 luminance, white -> 255, positions exact
+    val scan = imgs(0)
+    assert((scan.width, scan.height) === ((gw, gh)))
+    assert(scan.data.toSeq === g4px.map(b =>
+      if (b == 1) 0.toByte else 0xff.toByte).toSeq, "G4 pixel drift")
+    // JPEG payload decodes through the from-scratch kernel, near-lossless
+    val photo = Jpeg.decode(imgs(1).data)
+    assert((photo.width, photo.height) === ((jw, jh)))
+    val maxErr = photo.samples.zip(jLuma).map { case (a, b) => math.abs(a - b) }.max
+    assert(maxErr <= 2, s"JPEG luma drift $maxErr")
+    // raw gray strip byte-exact
+    assert(imgs(2).data.toSeq === grayPx.toSeq)
+    // G3 (/K >= 0) is refused loudly, not misdecoded
+    val g4doc = PdfWriter.buildWithImages(
+      Seq(Seq("x")), Seq(Seq(PdfWriter.ImageSpec("S", 8, 8, "g4",
+        Array.fill(64)(0.toByte)))), compress = false)
+    val s = new String(g4doc, java.nio.charset.StandardCharsets.ISO_8859_1)
+    val patched = s.replace("/K -1", "/K 00")
+      .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    val e = intercept[Pdf.ParseError](Pdf.pageImages(Pdf.parseDoc(patched)))
+    assert(e.getMessage.contains("G4"), e.getMessage)
+  }
+
   test("hash2B (R6 password hash): shape, determinism, input sensitivity") {
     import graft.kernel.PdfCrypt
     val salt = Array.tabulate(8)(_.toByte)
