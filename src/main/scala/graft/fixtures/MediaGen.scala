@@ -1138,6 +1138,58 @@ object MediaGen {
     }
   }
 
+  /** Bilevel G4 fax TIFF (Compression 4, PhotometricInterpretation 0,
+    * BitsPerSample 1): `px` is 0 = white / 1 = black; each
+    * `rowsPerStrip` band is its own independent G4 stream (the
+    * multi-strip layout real fax archives use). Little-endian.
+    */
+  def tiffG4(px: Array[Byte], w: Int, h: Int, rowsPerStrip: Int = 0): Array[Byte] = {
+    require(px.length == w * h)
+    val rps = if (rowsPerStrip <= 0) h else math.min(rowsPerStrip, h)
+    val strips = (0 until h by rps).map { y0 =>
+      val rows = math.min(rps, h - y0)
+      graft.kernel.Ccitt.encodeG4(
+        java.util.Arrays.copyOfRange(px, y0 * w, (y0 + rows) * w), w, rows)
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    def w16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    def w32(v: Int): Unit = { w16(v & 0xffff); w16((v >>> 16) & 0xffff) }
+    val n = strips.length
+    val stripOff0 = 8
+    val offsets = strips.scanLeft(stripOff0)(_ + _.length).init
+    var cursor = stripOff0 + strips.map(_.length).sum
+    if ((cursor & 1) == 1) cursor += 1
+    val ifdOff = cursor
+    val nEntries = 9
+    cursor += 2 + nEntries * 12 + 4
+    val offArrOff = cursor; if (n > 1) cursor += 4 * n
+    val cntArrOff = cursor
+    out.write('I'); out.write('I'); out.write(42); out.write(0)
+    w32(ifdOff)
+    strips.foreach(s => out.write(s))
+    while (out.size() < ifdOff) out.write(0)
+    def entry(tag: Int, typ: Int, count: Int, value: Int): Unit = {
+      w16(tag); w16(typ); w32(count)
+      if (typ == 3 && count == 1) { w16(value); w16(0) } else w32(value)
+    }
+    w16(nEntries)
+    entry(256, 4, 1, w)
+    entry(257, 4, 1, h)
+    entry(258, 3, 1, 1)
+    entry(259, 3, 1, 4)
+    entry(262, 3, 1, 0)
+    entry(273, 4, n, if (n == 1) offsets(0) else offArrOff)
+    entry(277, 3, 1, 1)
+    entry(278, 4, 1, rps)
+    entry(279, 4, n, if (n == 1) strips(0).length else cntArrOff)
+    w32(0)
+    if (n > 1) {
+      offsets.foreach(w32)
+      strips.foreach(s => w32(s.length))
+    }
+    out.toByteArray
+  }
+
   // ---------------------------------------------------------- TIFF writer
   /** Baseline TIFF writer: 8-bit gray (either photometric polarity) or
     * RGB, one strip, Compression 1 or PackBits (32773), either byte
@@ -1916,12 +1968,19 @@ object MediaGen {
               vp8(luma, w, h, qi = r.nextInt(40)))
           }
         case 8 =>
-          val ch = if (r.nextBoolean()) 1 else 3
           val w = 4 + r.nextInt(28); val h = 4 + r.nextInt(20)
-          Media(i.toLong, s"https://host$host.example.com/img/$i.tif", "image",
-            tiff(body(r, w * h * ch), w, h, ch,
-              packBits = r.nextBoolean(), bigEndian = r.nextBoolean(),
-              extraPages = if (r.nextBoolean()) 0 else r.nextInt(4)))
+          if (r.nextInt(3) == 0) { // G4 fax scan
+            val px = Array.tabulate[Byte](w * h)(p =>
+              if (((p % w) / (1 + r.nextInt(4)) + (p / w) / 3) % 2 == 0) 1 else 0)
+            Media(i.toLong, s"https://host$host.example.com/img/$i.tif", "image",
+              tiffG4(px, w, h, rowsPerStrip = if (r.nextBoolean()) 0 else 1 + r.nextInt(h)))
+          } else {
+            val ch = if (r.nextBoolean()) 1 else 3
+            Media(i.toLong, s"https://host$host.example.com/img/$i.tif", "image",
+              tiff(body(r, w * h * ch), w, h, ch,
+                packBits = r.nextBoolean(), bigEndian = r.nextBoolean(),
+                extraPages = if (r.nextBoolean()) 0 else r.nextInt(4)))
+          }
         case 7 =>
           val w = 4 + r.nextInt(28); val h = 4 + r.nextInt(20)
           val nColors = 2 + r.nextInt(254)

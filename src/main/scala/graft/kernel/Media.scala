@@ -431,6 +431,7 @@ object Media {
         var planarConfig = 1L
         var stripOffsets: Array[Long] = null
         var stripCounts: Array[Long] = null
+        var rowsPerStrip = 0L
         var e = 0
         while (e < nEntries) {
           val eo = base + 2 + e * 12
@@ -442,6 +443,7 @@ object Media {
             case 262 => photometric = values(eo)(0)
             case 273 => stripOffsets = values(eo)
             case 277 => samplesPerPx = values(eo)(0)
+            case 278 => rowsPerStrip = values(eo)(0)
             case 279 => stripCounts = values(eo)
             case 284 => planarConfig = values(eo)(0)
             case _ => () // other tags skipped
@@ -460,22 +462,44 @@ object Media {
         // single sample per pixel planar and chunky are byte-identical
         require(planarConfig == 1L || samplesPerPx == 1L,
           s"planar configuration $planarConfig unsupported for RGB")
-        require(bits.forall(_ == 8), "only 8-bit samples supported")
         require(samplesPerPx == 1 || samplesPerPx == 3,
           s"samples/pixel $samplesPerPx unsupported")
         require(photometric <= 2, s"photometric $photometric unsupported")
-        require(compression == 1 || compression == 32773,
-          s"compression $compression unsupported (none/PackBits only)")
+        require(compression == 1 || compression == 32773 || compression == 4,
+          s"compression $compression unsupported (none/PackBits/G4 only)")
+        if (compression == 4L) {
+          // CCITT G4 fax strips: bilevel, photometric 0, each strip an
+          // independent T.6 stream over rowsPerStrip rows
+          require(bits.forall(_ == 1) && samplesPerPx == 1 && photometric == 0,
+            "G4 TIFF must be 1-bit single-sample WhiteIsZero")
+        } else
+          require(bits.forall(_ == 8), "only 8-bit samples supported")
         require(stripOffsets != null && stripCounts != null &&
           stripOffsets.length == stripCounts.length, "missing strip tags")
         w = width0.toInt; h = height0.toInt
         val spp = samplesPerPx.toInt
         val expected = w.toLong * h * spp
+        val rps = (if (rowsPerStrip <= 0) height0 else rowsPerStrip).toInt
         val data = new java.io.ByteArrayOutputStream()
         stripOffsets.indices.foreach { i =>
           val at = checked(stripOffsets(i), stripCounts(i))
           val cnt = stripCounts(i).toInt
-          if (compression == 1L) data.write(p, at, cnt)
+          if (compression == 4L) {
+            val rows = math.min(rps, h - i * rps)
+            require(rows > 0, "more strips than rows")
+            val bitsPx = Ccitt.decodeG4(
+              java.util.Arrays.copyOfRange(p, at, at + cnt), w, rows)
+            // expand to 8-bit sample space: fax white (coding 0) = sample
+            // 0, black = 255 — the photometric-0 inversion below then
+            // renders white 255 / black 0
+            val g = new Array[Byte](bitsPx.length)
+            var k = 0
+            while (k < bitsPx.length) {
+              g(k) = if (bitsPx(k) == 1) 0xff.toByte else 0; k += 1
+            }
+            data.write(g)
+          }
+          else if (compression == 1L) data.write(p, at, cnt)
           else { // PackBits
             var o = at; val end = at + cnt
             while (o < end && data.size() < expected) {

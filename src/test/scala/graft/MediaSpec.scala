@@ -525,6 +525,38 @@ class MediaSpec extends AnyFunSuite {
     intercept[Exception](WebP.decode("RIFF1234WEBP".getBytes))
   }
 
+  test("tiff: G4 fax compression — single and multi-strip, JDK-readable") {
+    val (w, h) = (101, 46)
+    val px = Array.tabulate[Byte](w * h) { i =>
+      val (x, y) = (i % w, i / w)
+      if ((x / 5 + y / 7) % 2 == 0) 1 else 0
+    }
+    // decoded luminance: fax black -> 0, white -> 255
+    val want = px.map(b => if (b == 1) 0 else 255)
+    for (rps <- Seq(0, 10, 7)) {
+      val bytes = MediaGen.tiffG4(px, w, h, rowsPerStrip = rps)
+      val d = Media.decodeTiff(bytes)
+      assert(d.codec === "tiff" && d.width === w && d.height === h, s"rps=$rps")
+      assert(d.samples.toSeq === want.toSeq, s"rps=$rps pixel drift")
+      // the JDK's TIFF reader agrees on our G4 archive bytes
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      assert(img != null, s"rps=$rps: JDK rejected the TIFF")
+      val jdk = Array.tabulate(w * h)(i =>
+        if ((img.getRGB(i % w, i / w) & 0xffffff) == 0) 0 else 255)
+      assert(jdk.toSeq === want.toSeq, s"rps=$rps JDK pixel drift")
+    }
+    // bilevel G4 claims with wrong photometric are refused
+    val bad = MediaGen.tiffG4(px, w, h)
+    val ifdOff = (bad(4) & 0xff) | ((bad(5) & 0xff) << 8)
+    val n = (bad(ifdOff) & 0xff) | ((bad(ifdOff + 1) & 0xff) << 8)
+    (0 until n).foreach { e =>
+      val at = ifdOff + 2 + e * 12
+      if (((bad(at) & 0xff) | ((bad(at + 1) & 0xff) << 8)) == 262)
+        bad(at + 8) = 1 // PhotometricInterpretation -> BlackIsZero
+    }
+    intercept[Exception](Media.decodeTiff(bad))
+  }
+
   test("tiff: strips round-trip exactly across byte orders, PackBits and polarity") {
     val r = new scala.util.Random(47)
     for ((ch, pb, be) <- Seq((1, false, false), (1, true, true), (3, true, false), (3, false, true))) {
