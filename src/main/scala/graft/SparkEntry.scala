@@ -1671,6 +1671,28 @@ object SparkEntry {
       out.select(col("url"), length(col("extracted_text")).as("text_len"),
         col("total_chunks"), col("ok"))
     }),
+    // PDF OUTLINKS: /Annots URI link actions per page (Pdf.pageLinks) —
+    // PDFs cite the web exactly like HTML pages, so the crawl edge list
+    // reads both; links canonicalize through UrlNorm like pipe27's
+    "pipe75_pdf_links" -> ((s, _) => {
+      import s.implicits._
+      val docs = (0 until 20).map { i =>
+        val links = (0 until 1 + i % 4).map(k =>
+          s"HTTPS://Host${(i + k) % 7}.Example.com:443/cited/./$k/../doc-$k")
+        (s"https://src.example/d$i.pdf",
+          graft.kernel.PdfWriter.buildWithLinks(
+            Seq(Seq(s"citing doc $i")), Seq(links), compress = true))
+      }
+      docs.toDF("src", "pdf").as[(String, Array[Byte])]
+        .flatMap { case (src, pdf) =>
+          scala.util.Try(graft.kernel.Pdf.pageLinks(graft.kernel.Pdf.parseDoc(pdf)))
+            .getOrElse(Vector.empty)
+            .map { case (pg, uri) => (src, pg, graft.kernel.UrlNorm.normalize(uri)) }
+        }
+        .toDF("src", "page_idx", "dst")
+        .groupBy(col("dst")).agg(count(lit(1)).as("n_citing"))
+        .orderBy(asc("dst"))
+    }),
     // scanned-document PDFs: embedded image XObjects extracted per page
     // (Multimodal.pdfImages) — CCITT G4 fax scans decoded from scratch
     // (kernel/Ccitt, tables JDK-differential-validated), DCT photos

@@ -828,6 +828,57 @@ object Pdf {
     out.result()
   }
 
+  // ------------------------------------------------------------ outlinks
+  /** URI link annotations per page (`/Annots` → `/Subtype /Link` →
+    * `/A << /S /URI /URI (…) >>`) — the PDF side of the crawl's edge
+    * list: PDFs cite the web exactly like HTML pages do, and frontier
+    * discovery reads both. Internal GoTo destinations are skipped;
+    * malformed annotations contribute nothing.
+    */
+  def pageLinks(doc: PdfDoc): Vector[(Int, String)] = {
+    val out = Vector.newBuilder[(Int, String)]
+    val root = doc.dictOf(doc.trailer.m.getOrElse("Root", PNull))
+    var pageIdx = 0
+    def walk(o: PObj): Unit = doc.resolve(o) match {
+      case d: PDict =>
+        doc.resolve(d.m.getOrElse("Type", PNull)) match {
+          case PName("Pages") =>
+            doc.resolve(d.m.getOrElse("Kids", PNull)) match {
+              case PArr(kids) => kids.foreach(walk)
+              case _          =>
+            }
+          case PName("Page") =>
+            doc.resolve(d.m.getOrElse("Annots", PNull)) match {
+              case PArr(annots) => annots.foreach { ao =>
+                doc.resolve(ao) match {
+                  case ad: PDict
+                    if doc.resolve(ad.m.getOrElse("Subtype", PNull)) == PName("Link") =>
+                    doc.resolve(ad.m.getOrElse("A", PNull)) match {
+                      case act: PDict
+                        if doc.resolve(act.m.getOrElse("S", PNull)) == PName("URI") =>
+                        doc.resolve(act.m.getOrElse("URI", PNull)) match {
+                          case PStr(b) =>
+                            val uri = new String(b,
+                              java.nio.charset.StandardCharsets.ISO_8859_1).trim
+                            if (uri.nonEmpty) out += ((pageIdx, uri))
+                          case _ =>
+                        }
+                      case _ =>
+                    }
+                  case _ =>
+                }
+              }
+              case _ =>
+            }
+            pageIdx += 1
+          case _ =>
+        }
+      case _ =>
+    }
+    walk(root.m.getOrElse("Pages", PNull))
+    out.result()
+  }
+
   // ------------------------------------------------------ embedded images
   /** One image XObject: `codec` says what `data` holds —
     * `"gray"`: decoded 8-bit luminance samples (width*height bytes;

@@ -110,6 +110,72 @@ object PdfWriter {
     out.toByteArray
   }
 
+  /** [[build]] plus URI link annotations: page i carries `links(i)` as
+    * `/Annots` Link annotations with URI actions — the PDF-outlink
+    * fixture for [[Pdf.pageLinks]]. One page also gets a GoTo (internal)
+    * annotation that extraction must skip.
+    */
+  def buildWithLinks(pages: Seq[Seq[String]], links: Seq[Seq[String]],
+                     compress: Boolean): Array[Byte] = {
+    require(pages.nonEmpty && pages.size == links.size)
+    val n = pages.size
+    val out = new ByteArrayOutputStream(4096)
+    def w(s: String): Unit = out.write(s.getBytes(ISO_8859_1))
+    def esc(u: String): String =
+      u.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")
+    val firstAnnObj = 3 + 2 * n
+    val annObjOf: Seq[Seq[Int]] = {
+      var next = firstAnnObj
+      links.map(ls => ls.map { _ => val o = next; next = o + 1; o })
+    }
+    val gotoObj = firstAnnObj + links.map(_.size).sum // internal annot on page 0
+    val fontObj = gotoObj + 1
+    val total = fontObj + 1
+    val offsets = new Array[Long](total)
+    w("%PDF-1.4\n%âãÏÓ\n")
+    offsets(1) = out.size(); w("1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+    offsets(2) = out.size()
+    val kids = (0 until n).map(i => s"${3 + 2 * i} 0 R").mkString(" ")
+    w(s"2 0 obj\n<< /Type /Pages /Kids [ $kids ] /Count $n >>\nendobj\n")
+    (0 until n).foreach { i =>
+      val pageObj = 3 + 2 * i
+      val contObj = pageObj + 1
+      offsets(pageObj) = out.size()
+      val annRefs = annObjOf(i).map(o => s"$o 0 R") ++
+        (if (i == 0) Seq(s"$gotoObj 0 R") else Nil)
+      val annots =
+        if (annRefs.nonEmpty) s" /Annots [ ${annRefs.mkString(" ")} ]" else ""
+      w(s"$pageObj 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [ 0 0 612 792 ] " +
+        s"/Resources << /Font << /F1 $fontObj 0 R >> >>$annots /Contents $contObj 0 R >>\nendobj\n")
+      offsets(contObj) = out.size()
+      val raw = pageContent(pages(i))
+      val body = if (compress) deflate(raw) else raw
+      val filter = if (compress) " /Filter /FlateDecode" else ""
+      w(s"$contObj 0 obj\n<< /Length ${body.length}$filter >>\nstream\n")
+      out.write(body)
+      w("\nendstream\nendobj\n")
+    }
+    (0 until n).foreach { i =>
+      links(i).zip(annObjOf(i)).zipWithIndex.foreach { case ((uri, obj), k) =>
+        offsets(obj) = out.size()
+        w(s"$obj 0 obj\n<< /Type /Annot /Subtype /Link " +
+          s"/Rect [ 50 ${700 - 20 * k} 300 ${715 - 20 * k} ] " +
+          s"/A << /S /URI /URI (${esc(uri)}) >> >>\nendobj\n")
+      }
+    }
+    offsets(gotoObj) = out.size()
+    w(s"$gotoObj 0 obj\n<< /Type /Annot /Subtype /Link /Rect [ 50 50 100 60 ] " +
+      s"/A << /S /GoTo /D [ 3 0 R /Fit ] >> >>\nendobj\n")
+    offsets(fontObj) = out.size()
+    w(s"$fontObj 0 obj\n<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>\nendobj\n")
+    val xrefPos = out.size()
+    w(s"xref\n0 $total\n")
+    w("0000000000 65535 f \n")
+    (1 until total).foreach { i => w(f"${offsets(i)}%010d 00000 n \n") }
+    w(s"trailer\n<< /Size $total /Root 1 0 R >>\nstartxref\n$xrefPos\n%%EOF\n")
+    out.toByteArray
+  }
+
   /** One embedded image for [[buildWithImages]]: `codec` ∈
     * `"g4"` (data = 0/1 pixels, width*height — encoded via
     * [[Ccitt.encodeG4]] into a /CCITTFaxDecode stream),

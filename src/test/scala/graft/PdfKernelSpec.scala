@@ -464,6 +464,26 @@ class PdfKernelSpec extends AnyFunSuite {
     assert(e.getMessage.contains("G4"), e.getMessage)
   }
 
+  test("pageLinks: URI annotations extract per page; GoTo and junk skipped") {
+    import graft.kernel.PdfWriter
+    val bytes = PdfWriter.buildWithLinks(
+      pages = Seq(Seq("page one"), Seq("page two"), Seq("page three")),
+      links = Seq(
+        Seq("https://a.example/x", "https://b.example/y?q=(1)"),
+        Seq(),
+        Seq("https://c.example/z")),
+      compress = true)
+    val doc = Pdf.parseDoc(bytes)
+    assert(Pdf.pageLinks(doc) === Vector(
+      (0, "https://a.example/x"), (0, "https://b.example/y?q=(1)"),
+      (2, "https://c.example/z")),
+      "URI annotations must extract in page order; the GoTo annot must not")
+    // text unaffected
+    assert(Pdf.pageText(Pdf.pages(doc)(1).content) === "page two\n")
+    // documents with no annotations yield nothing
+    assert(Pdf.pageLinks(Pdf.parseDoc(PdfWriter.build(Seq(Seq("t")), compress = false))) === Vector())
+  }
+
   test("hash2B (R6 password hash): shape, determinism, input sensitivity") {
     import graft.kernel.PdfCrypt
     val salt = Array.tabulate(8)(_.toByte)
