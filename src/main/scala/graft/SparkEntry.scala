@@ -1792,7 +1792,26 @@ object SparkEntry {
           graft.ops.Multimodal.Media(g * 10L + 2, s"img$g", "image",
             graft.fixtures.MediaGen.jpeg(lum, w, h)),
           graft.ops.Multimodal.Media(g * 10L + 3, s"img$g", "image",
-            graft.fixtures.MediaGen.png(noisy.map(_.toByte), w, h, 1)))
+            graft.fixtures.MediaGen.png(noisy.map(_.toByte), w, h, 1)),
+          // the same photo shot sideways: stored rotated 90° CCW with
+          // EXIF orientation 6 — normalization must land it in the
+          // SAME cluster as the upright spellings
+          graft.ops.Multimodal.Media(g * 10L + 4, s"img$g", "image", {
+            // stored(x, y) = upright(x * w + (sh - 1 - y)): the inverse of
+            // orientation 6's display transform (ExifSpec pins this)
+            val sw = h; val sh = w
+            val st = new Array[Int](sw * sh)
+            var yy = 0
+            while (yy < sh) {
+              var xx = 0
+              while (xx < sw) {
+                st(yy * sw + xx) = lum(xx * w + (sh - 1 - yy))
+                xx += 1
+              }
+              yy += 1
+            }
+            graft.fixtures.MediaGen.jpeg(st, sw, sh, exifOrientation = 6)
+          }))
       }
       val clusters = graft.ops.Multimodal.imageDedup(
         s.createDataset(media), maxHamming = 8).cache()

@@ -312,13 +312,51 @@ object MediaGen {
     * tolerance.
     */
   def jpeg(luma: Array[Int], w: Int, h: Int, color: Boolean = false,
-           subsample: Int = 1, restartInterval: Int = 0): Array[Byte] = {
+           subsample: Int = 1, restartInterval: Int = 0,
+           exifOrientation: Int = 0, exifMake: String = "",
+           exifDateTime: String = ""): Array[Byte] = {
     require(luma.length == w * h && w > 0 && h > 0)
     require(subsample == 1 || subsample == 2)
     val out = new java.io.ByteArrayOutputStream()
     def word(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
     def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
     marker(0xd8) // SOI
+    if (exifOrientation > 0) {
+      // APP1 Exif: big-endian TIFF, IFD0 with Orientation (+ Make /
+      // Exif-sub-IFD DateTimeOriginal when given)
+      val tiff = new java.io.ByteArrayOutputStream()
+      def t16(v: Int): Unit = { tiff.write((v >> 8) & 0xff); tiff.write(v & 0xff) }
+      def t32(v: Int): Unit = { t16((v >>> 16) & 0xffff); t16(v & 0xffff) }
+      val makeB = (exifMake + "\u0000").getBytes("US-ASCII")
+      val dtB = (exifDateTime + "\u0000").getBytes("US-ASCII")
+      val nIfd0 = 1 + (if (exifMake.nonEmpty) 1 else 0) +
+        (if (exifDateTime.nonEmpty) 1 else 0)
+      val ifd0 = 8
+      val ifd0End = ifd0 + 2 + nIfd0 * 12 + 4
+      val exifIfdOff = if (exifDateTime.nonEmpty) ifd0End else 0
+      val exifIfdEnd = if (exifDateTime.nonEmpty) exifIfdOff + 2 + 12 + 4 else ifd0End
+      val makeOff = exifIfdEnd
+      val dtOff = makeOff + (if (exifMake.nonEmpty) makeB.length else 0)
+      tiff.write('M'); tiff.write('M'); t16(42); t32(ifd0)
+      t16(nIfd0)
+      t16(0x0112); t16(3); t32(1); t16(exifOrientation); t16(0)
+      if (exifMake.nonEmpty) {
+        t16(0x010f); t16(2); t32(makeB.length)
+        if (makeB.length <= 4) { tiff.write(makeB); (makeB.length until 4).foreach(_ => tiff.write(0)) }
+        else t32(makeOff)
+      }
+      if (exifDateTime.nonEmpty) { t16(0x8769); t16(4); t32(1); t32(exifIfdOff) }
+      t32(0) // next IFD
+      if (exifDateTime.nonEmpty) {
+        t16(1)
+        t16(0x9003); t16(2); t32(dtB.length); t32(dtOff)
+        t32(0)
+      }
+      if (exifMake.nonEmpty && makeB.length > 4) tiff.write(makeB)
+      if (exifDateTime.nonEmpty) tiff.write(dtB)
+      val payload = "Exif\u0000\u0000".getBytes("US-ASCII") ++ tiff.toByteArray
+      marker(0xe1); word(2 + payload.length); out.write(payload)
+    }
     // DQT: table 0, all ones (in zigzag order — all ones either way)
     marker(0xdb); word(2 + 65); out.write(0x00)
     (0 until 64).foreach(_ => out.write(1))

@@ -348,9 +348,16 @@ object Multimodal {
       else if (graft.kernel.Media.isAvi(p)) graft.kernel.Media.decodeAvi(p)
       else throw new IllegalArgumentException("no still-image decoder for payload")
     require(d.width > 0 && d.height > 0, s"no pixel plane in ${d.codec}")
-    ImageHashRow(m.media_id, d.codec, d.width, d.height,
-      graft.kernel.ImageHash.dHash64(d.samples, d.width, d.height),
-      graft.kernel.ImageHash.pHash64(d.samples, d.width, d.height),
+    // EXIF orientation normalization: a phone photo and its upright
+    // re-encode must hash IDENTICALLY — hash the display-space pixels
+    val (px, pw, ph) =
+      if (graft.kernel.Jpeg.isJpeg(p))
+        graft.kernel.Exif.upright(d.samples, d.width, d.height,
+          graft.kernel.Exif.fromJpeg(p).orientation)
+      else (d.samples, d.width, d.height)
+    ImageHashRow(m.media_id, d.codec, pw, ph,
+      graft.kernel.ImageHash.dHash64(px, pw, ph),
+      graft.kernel.ImageHash.pHash64(px, pw, ph),
       ok = true, error = "")
   } catch {
     case e: Exception =>
