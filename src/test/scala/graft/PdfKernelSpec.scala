@@ -484,6 +484,28 @@ class PdfKernelSpec extends AnyFunSuite {
     assert(Pdf.pageLinks(Pdf.parseDoc(PdfWriter.build(Seq(Seq("t")), compress = false))) === Vector())
   }
 
+  test("hash2B (R6 password hash): cross-validated golden vectors") {
+    import graft.kernel.PdfCrypt
+    // pinned against an INDEPENDENT Algorithm 2.B implementation
+    // (python `cryptography` + hashlib, written separately from the
+    // spec text) — a round-count off-by-one here would agree with our
+    // own writer but break on real-world R6 files, so the vectors are
+    // the guard self-consistency cannot be
+    def hex(b: Array[Byte]) = b.map(x => f"$x%02x").mkString
+    assert(hex(PdfCrypt.hash2B(Array.empty, Array.tabulate(8)(_.toByte),
+      Array.empty)) ===
+      "1403c04eb647d2e60452dfc4eb0a5e0cf322e8a83a759eabbd17d498a93ba041")
+    assert(hex(PdfCrypt.hash2B(Array.empty, Array.fill(8)(0xff.toByte),
+      Array.empty)) ===
+      "47d51b9c3d77a95f476d54a54f8300c6a044dbb7c694f0ce515507f9e90ac9cb")
+    assert(hex(PdfCrypt.hash2B("hunter2".getBytes,
+      Array[Byte](1, 2, 3, 4, 5, 6, 7, 8), Array.empty)) ===
+      "897cfbd0db11862913e5229b5371bdd76771680bf494a48e45cc2629ebc44399")
+    assert(hex(PdfCrypt.hash2B("owner".getBytes, Array.fill(8)(0x10.toByte),
+      Array.fill(48)('U'.toByte))) ===
+      "1b29c2bdf5340e59a6a1e6483c3f1aede5caf9ef888d78f0d3299a1e0e0ca654")
+  }
+
   test("hash2B (R6 password hash): shape, determinism, input sensitivity") {
     import graft.kernel.PdfCrypt
     val salt = Array.tabulate(8)(_.toByte)
