@@ -429,7 +429,9 @@ object SparkEntry {
       val e = t(s, dir, "orders")
         .where(col("o_orderkey") % 90 >= 3)
         .select(col("o_orderkey").as("src"), (col("o_orderkey") - 3).as("dst"))
-      graft.ops.CrawlPolicy.resolveRedirects(e, "src", "dst")
+      // chains here are <= 29 hops (src % 90 descends by 3): a 32-hop
+      // budget is one fewer doubling round than the default 64
+      graft.ops.CrawlPolicy.resolveRedirects(e, "src", "dst", maxHops = 32)
         .select(col("src"), col("final_url").as("final"), col("hops"),
           col("resolved"))
         .orderBy(asc("src"))
@@ -2325,7 +2327,7 @@ object SparkEntry {
       val edges = pages.flatMap { case (url, html) =>
           graft.kernel.Html.extractLinks(html, url).map(l => (url, l))
         }.toDF("src", "dst").distinct()
-      graft.ops.Graph.hits(edges, iters = 8)
+      graft.ops.Graph.hits(edges, iters = 4)
         .select(col("node"), round(col("hub"), 6).as("hub"),
           round(col("auth"), 6).as("auth"))
         .orderBy(col("auth").desc, col("hub").desc, col("node"))
