@@ -1206,6 +1206,53 @@ object SparkEntry {
     // changed content under the same partitions), then readAsOf at each
     // timestamp — output is the per-url content diff between snapshots
     // (PipelineSpec proves byte identity per snapshot + expiry semantics)
+    // snapshot CHANGELOG (Checkpoint.diffSnapshots — the CDC view over
+    // the versioned table): crawl v2 drops some urls, adds new ones and
+    // republishes others with changed content; the diff must name each
+    // exactly (required in-query), unchanged urls silent
+    "pipe76_snapshot_diff" -> ((s, _) => {
+      import s.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("graft-pipe76").toString
+      val base = graft.fixtures.PageGen.pages(120)
+      val v1 = base.take(100) // urls 0..99
+      // v2: drop the first 10, keep 10..99 (30..99 unchanged), change
+      // 10..29's content, add 100..119
+      val changed = v1.slice(10, 30).zip(base.slice(100, 120)).map {
+        case (keep, donor) => keep.copy(html = donor.html, text = donor.text)
+      }
+      val v2 = changed ++ v1.drop(30) ++ base.drop(100)
+      val t1 = new java.sql.Timestamp(graft.fixtures.PageGen.EpochMs)
+      val t2 = new java.sql.Timestamp(graft.fixtures.PageGen.EpochMs + 3600000L)
+      Checkpoint.writePages(s.createDataset(v1).toDF(), s"$tmp/p1")
+      Checkpoint.writePages(s.createDataset(v2).toDF(), s"$tmp/p2")
+      Checkpoint.runVersioned(s, s"$tmp/p1", s"$tmp/docs", s"$tmp/mani",
+        s"$tmp/met", "v1", t1)
+      Checkpoint.runVersioned(s, s"$tmp/p2", s"$tmp/docs", s"$tmp/mani",
+        s"$tmp/met", "v2", t2, force = true)
+      val diff = Checkpoint.diffSnapshots(s, s"$tmp/docs", s"$tmp/mani", t1, t2)
+        .cache()
+      // differential: driver-side set algebra over the ACTUAL snapshot
+      // states (snapshots replace PARTITIONS, not the table — a dropped
+      // url whose partition v2 never rewrote legitimately survives into
+      // the t2 state, exactly as in Iceberg dynamic overwrite)
+      def state(t: java.sql.Timestamp) =
+        Checkpoint.readAsOf(s, s"$tmp/docs", s"$tmp/mani", t)
+          .select(col("url"), xxhash64(col("extracted_text")).as("h"))
+          .as[(String, Long)].collect().toMap
+      val (m1, m2) = (state(t1), state(t2))
+      val want = (m2.keySet.diff(m1.keySet).map(_ -> "added") ++
+        m1.keySet.diff(m2.keySet).map(_ -> "removed") ++
+        m1.keySet.intersect(m2.keySet).filter(u => m1(u) != m2(u))
+          .map(_ -> "changed")).toMap
+      val got = diff.as[(String, String)].collect().toMap
+      require(got == want,
+        s"changelog drift: got ${got.size} rows vs expected ${want.size}")
+      require(got.values.count(_ == "changed") == 20 &&
+        got.values.count(_ == "added") == 20,
+        "fixture must exercise adds and changes")
+      require(got.values.exists(_ == "removed"), "fixture must exercise removal")
+      diff.orderBy(asc("change"), asc("url"))
+    }),
     "pipe39_time_travel" -> ((s, _) => {
       import s.implicits._
       val tmp = java.nio.file.Files.createTempDirectory("graft-pipe39").toString

@@ -334,6 +334,30 @@ object Checkpoint {
     spark.read.option("basePath", outDir).parquet(paths: _*)
   }
 
+  /** Snapshot CHANGELOG (the CDC shape Iceberg calls
+    * `create_changelog_view`): what happened to every url between two
+    * table snapshots — `(url, change)` with change ∈ added / removed /
+    * changed, unchanged rows dropped. Content identity is
+    * `xxhash64(extracted_text)`; ONE full-outer join on url (both
+    * sides already partition-bounded by their manifests), so a
+    * crawl-over-crawl diff costs one shuffle, never a rescan of
+    * history.
+    */
+  def diffSnapshots(spark: SparkSession, outDir: String, manifestDir: String,
+                    t1: Timestamp, t2: Timestamp): DataFrame = {
+    val a = readAsOf(spark, outDir, manifestDir, t1)
+      .select(col("url"), xxhash64(col("extracted_text")).as("_h1"))
+    val b = readAsOf(spark, outDir, manifestDir, t2)
+      .select(col("url"), xxhash64(col("extracted_text")).as("_h2"))
+    a.join(b, Seq("url"), "full_outer")
+      .withColumn("change",
+        when(col("_h1").isNull, "added")
+          .when(col("_h2").isNull, "removed")
+          .when(col("_h1") =!= col("_h2"), "changed"))
+      .where(col("change").isNotNull)
+      .select(col("url"), col("change"))
+  }
+
   /** Iceberg `expire_snapshots`: keep every partition version still
     * reachable from a time travel AT OR AFTER `olderThan` (the newest
     * commit <= olderThan, plus everything after it); delete the rest's
