@@ -1206,6 +1206,40 @@ object SparkEntry {
     // changed content under the same partitions), then readAsOf at each
     // timestamp — output is the per-url content diff between snapshots
     // (PipelineSpec proves byte identity per snapshot + expiry semantics)
+    // MIME sniffing census (kernel/Sniff): route-by-magic over a mixed
+    // payload column — every fixture family must land on its exact MIME
+    // (required in-query); Content-Type headers lie, the bytes don't
+    "pipe77_mime_census" -> ((s, _) => {
+      import s.implicits._
+      val media = graft.fixtures.MediaGen.media(200).map(m => (m.doc_url, m.payload))
+      val pages = graft.fixtures.PageGen.pages(100).map(p => (p.url, p.html))
+      val pdfs = (0 until 10).map(i => (s"https://x.example/d$i.pdf",
+        graft.kernel.PdfWriter.build(Seq(Seq(s"doc $i")), compress = true)))
+      val warc = Seq(("file://crawl-0.warc.gz",
+        graft.fixtures.MediaGen.warcGz(pages.take(5).map(p =>
+          (p._1, new java.sql.Timestamp(0L), p._2)))))
+      val rows = (media ++ pages ++ pdfs ++ warc).toDF("url", "payload")
+        .as[(String, Array[Byte])]
+        .map { case (url, p) => (url, graft.kernel.Sniff.mime(p)) }
+        .toDF("url", "mime").cache()
+      require(rows.where(col("url").endsWith(".pdf") &&
+        col("mime") =!= "application/pdf").count() == 0, "pdf sniff drift")
+      require(rows.where(col("url").contains(".warc.gz") &&
+        col("mime") =!= "application/gzip").count() == 0, "warc.gz sniff drift")
+      // the fixture's deliberate stub containers (AUD1/IMG1/VID1 — the
+      // codec-library boundary) are the ONLY payloads allowed to fall
+      // through to octet-stream, and all of them must
+      val stubCount = media.count { case (_, p) =>
+        p.length >= 4 && (new String(p.take(4), "ISO-8859-1") match {
+          case "AUD1" | "IMG1" | "VID1" => true
+          case _ => false
+        })
+      }
+      require(rows.where(col("mime") === "application/octet-stream")
+        .count() == stubCount,
+        "octet-stream fallthrough must be exactly the stub containers")
+      rows.groupBy(col("mime")).agg(count(lit(1)).as("n")).orderBy(asc("mime"))
+    }),
     // snapshot CHANGELOG (Checkpoint.diffSnapshots — the CDC view over
     // the versioned table): crawl v2 drops some urls, adds new ones and
     // republishes others with changed content; the diff must name each
