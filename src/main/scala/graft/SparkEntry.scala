@@ -345,6 +345,25 @@ object SparkEntry {
         tmp, buckets = 32)
       graft.ops.Search.bm25TopK(s, tmp, "stream window hash", k = 20, buckets = 32)
     }),
+    // sequential conversion funnel: how far each user progressed through
+    // view → click → purchase IN EVENT-TIME ORDER (first occurrences must
+    // ascend) — the MATCH_RECOGNIZE-ish pattern shape expressed as one
+    // conditional-min aggregation, no window, no self-join
+    "q88_funnel" -> ((s, dir) => {
+      val m = t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(
+          min(when(col("event_type") === "view", col("ts"))).as("tv"),
+          min(when(col("event_type") === "click", col("ts"))).as("tc"),
+          min(when(col("event_type") === "purchase", col("ts"))).as("tp"))
+      m.select(col("user_id"),
+        when(col("tv").isNull, 0)
+          .when(col("tc").isNull || col("tc") <= col("tv"), 1)
+          .when(col("tp").isNull || col("tp") <= col("tc"), 2)
+          .otherwise(3).as("stage"))
+        .groupBy(col("stage")).agg(count(lit(1)).as("users"))
+        .orderBy(asc("stage"))
+    }),
     // crawl-trap census: per (host, first-path-segment) distinct-URL
     // explosion — the calendar/session-id trap detector every frontier
     // runs before burning fetch budget (synthetic URLs from events, as
@@ -2711,6 +2730,18 @@ object SparkEntry {
       FROM tf JOIN q USING (token) JOIN dft USING (token)
         JOIN dl USING (doc_id) CROSS JOIN st
       GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20"""),
+    "q88_funnel" -> ("""WITH m AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'view' THEN ts END) AS tv,
+               min(CASE WHEN event_type = 'click' THEN ts END) AS tc,
+               min(CASE WHEN event_type = 'purchase' THEN ts END) AS tp
+        FROM events GROUP BY user_id)
+      SELECT CASE WHEN tv IS NULL THEN 0
+                  WHEN tc IS NULL OR tc <= tv THEN 1
+                  WHEN tp IS NULL OR tp <= tc THEN 2
+                  ELSE 3 END AS stage,
+             count(*) AS users
+      FROM m GROUP BY 1 ORDER BY 1"""),
     "q87_trap_census" -> ("""WITH u AS (
         SELECT 'h' || CAST(user_id % 20 AS VARCHAR) || '.example.com' AS host,
                event_type AS seg,
