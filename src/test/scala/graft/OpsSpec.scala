@@ -635,6 +635,33 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
     assert(got13 === got)
   }
 
+  test("plan shapes: weighted sample is take-ordered; paragraph dedup shuffles once") {
+    import graft.ops.{Sampling, Dedup}
+    val df = (0L until 2000L).map(i => (i, 1.0 + (i % 9))).toDF("id", "w")
+    // Efraimidis-Spirakis must compile to TakeOrderedAndProject — a
+    // per-partition heap + driver merge of k rows — NEVER a global sort
+    // exchange (10^12 rows through one range-partitioned sort would be
+    // the scale killer)
+    val planWs = Sampling.weightedSample(df, "id", "w", 25)
+      .queryExecution.executedPlan.toString
+    assert(planWs.contains("TakeOrderedAndProject"),
+      "weightedSample must be take-ordered:\n" + planWs.take(600))
+    assert(!planWs.contains("Exchange rangepartitioning"),
+      "weightedSample must not globally sort:\n" + planWs.take(600))
+    // paragraph Bloom dedup: the paragraph text rides ONE hash exchange
+    // (the _ph window) into the doc_id aggregation — no second shuffle of
+    // the text, and the Bloom probe is a stateless filter, not a join
+    val dir = java.nio.file.Files.createTempDirectory("graft-planpb").toString
+    val docs = (0L until 50L).map(i => (i, s"alpha $i\nbeta $i")).toDF("doc_id", "text")
+    val planPb = Dedup.paragraphBloomDedup(docs, "doc_id", "text", s"$dir/bloom")
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(planPb).size <= 2,
+      "paragraph dedup must shuffle at most twice (window + doc agg):\n" +
+        planPb.take(800))
+    assert(!planPb.contains("SortMergeJoin") && !planPb.contains("BroadcastHashJoin"),
+      "the Bloom probe must be a filter, never a join:\n" + planPb.take(800))
+  }
+
   test("salted asof join: equals the unsalted operator at every slice width") {
     import graft.ops.Relational
     val r = new scala.util.Random(64)
