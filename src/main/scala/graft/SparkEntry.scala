@@ -1773,6 +1773,34 @@ object SparkEntry {
       out.select(col("url"), length(col("extracted_text")).as("text_len"),
         col("total_chunks"), col("ok"))
     }),
+    // PDF OUTLINES: the /Outlines bookmark tree flattened to
+    // (depth, title) rows (Pdf.outlines) — the document's own table of
+    // contents, a structure signal for curation; UTF-16BE titles decode,
+    // cycles terminate; in-query requires pin the exact TOC per doc
+    "pipe78_pdf_outlines" -> ((s, _) => {
+      import s.implicits._
+      val docs = (0 until 12).map { i =>
+        val toc = (0 until 2 + i % 3).flatMap(c =>
+          Seq((0, s"Chapter $c of doc $i")) ++
+            (0 until i % 4).map(x => (1, s"Section $c.$x — détail $i")))
+        (s"doc$i", toc,
+          graft.kernel.PdfWriter.buildWithOutlines(
+            Seq(Seq(s"body $i")), toc, compress = true))
+      }
+      val rows = docs.map(d => (d._1, d._3)).toDF("doc_id", "pdf")
+        .as[(String, Array[Byte])]
+        .flatMap { case (id, pdf) =>
+          scala.util.Try(graft.kernel.Pdf.outlines(graft.kernel.Pdf.parseDoc(pdf)))
+            .getOrElse(Vector.empty)
+            .zipWithIndex.map { case ((d, t), ord) => (id, ord, d, t) }
+        }.toDF("doc_id", "ord", "depth", "title").cache()
+      val want = docs.flatMap { case (id, toc, _) =>
+        toc.zipWithIndex.map { case ((d, t), ord) => (id, ord, d, t) }
+      }.toSet
+      val got = rows.as[(String, Int, Int, String)].collect().toSet
+      require(got == want, s"TOC drift: got ${got.size} rows, want ${want.size}")
+      rows.orderBy(asc("doc_id"), asc("ord"))
+    }),
     // PDF OUTLINKS: /Annots URI link actions per page (Pdf.pageLinks) —
     // PDFs cite the web exactly like HTML pages, so the crawl edge list
     // reads both; links canonicalize through UrlNorm like pipe27's

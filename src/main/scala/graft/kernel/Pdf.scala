@@ -828,6 +828,49 @@ object Pdf {
     out.result()
   }
 
+  // ------------------------------------------------------------ outlines
+  /** Bookmarks (`/Outlines` tree, §12.3.3): `(depth, title)` in
+    * reading order — the document's own table of contents, the
+    * structure signal long PDFs carry. Titles are PDF TEXT STRINGS:
+    * UTF-16BE when they lead with the FE FF BOM, PDFDocEncoding
+    * (≈ Latin-1) otherwise. Cycles and malformed nodes terminate the
+    * walk instead of looping; a document without outlines yields
+    * nothing.
+    */
+  def outlines(doc: PdfDoc): Vector[(Int, String)] = {
+    val out = Vector.newBuilder[(Int, String)]
+    val seen = scala.collection.mutable.Set.empty[Int]
+    def textString(b: Array[Byte]): String =
+      if (b.length >= 2 && (b(0) & 0xff) == 0xfe && (b(1) & 0xff) == 0xff)
+        new String(b, 2, b.length - 2, java.nio.charset.StandardCharsets.UTF_16BE)
+      else new String(b, java.nio.charset.StandardCharsets.ISO_8859_1)
+    def walk(o: PObj, depth: Int): Unit = {
+      var cur = o
+      var guard = 0
+      while (cur != PNull && guard < 10000) {
+        guard += 1
+        val id = cur match { case PRef(n) => n; case _ => -1 }
+        if (id >= 0 && !seen.add(id)) return // cycle
+        doc.resolve(cur) match {
+          case d: PDict =>
+            doc.resolve(d.m.getOrElse("Title", PNull)) match {
+              case PStr(b) => out += ((depth, textString(b)))
+              case _ =>
+            }
+            d.m.get("First").foreach(f => walk(f, depth + 1))
+            cur = d.m.getOrElse("Next", PNull)
+          case _ => cur = PNull
+        }
+      }
+    }
+    val root = doc.dictOf(doc.trailer.m.getOrElse("Root", PNull))
+    doc.resolve(root.m.getOrElse("Outlines", PNull)) match {
+      case d: PDict => d.m.get("First").foreach(f => walk(f, 0))
+      case _ =>
+    }
+    out.result()
+  }
+
   // ------------------------------------------------------------ outlinks
   /** URI link annotations per page (`/Annots` → `/Subtype /Link` →
     * `/A << /S /URI /URI (…) >>`) — the PDF side of the crawl's edge

@@ -176,6 +176,97 @@ object PdfWriter {
     out.toByteArray
   }
 
+  /** [[build]] plus an `/Outlines` bookmark tree from a flat
+    * `(depth, title)` list (depth 0 = top level, increments of at most
+    * +1). Non-ASCII titles are emitted as UTF-16BE-with-BOM hex text
+    * strings (§7.9.2.2), ASCII ones as literal strings — both reader
+    * paths exercised.
+    */
+  def buildWithOutlines(pages: Seq[Seq[String]],
+                        outline: Seq[(Int, String)],
+                        compress: Boolean): Array[Byte] = {
+    require(pages.nonEmpty)
+    outline.headOption.foreach { case (d, _) => require(d == 0, "first item depth 0") }
+    val n = pages.size
+    val k = outline.length
+    val out = new ByteArrayOutputStream(4096)
+    def w(s: String): Unit = out.write(s.getBytes(ISO_8859_1))
+    val fontObj = 3 + 2 * n
+    val rootObj = fontObj + 1
+    val itemObj = (0 until k).map(i => rootObj + 1 + i)
+    val total = rootObj + 1 + k
+    val offsets = new Array[Long](total)
+    // tree relations from the flat list
+    val depth = outline.map(_._1).toArray
+    val parent = Array.fill(k)(-1)
+    val stack = scala.collection.mutable.Stack.empty[Int]
+    (0 until k).foreach { i =>
+      while (stack.nonEmpty && depth(stack.top) >= depth(i)) stack.pop()
+      require(stack.isEmpty && depth(i) == 0 ||
+        stack.nonEmpty && depth(i) == depth(stack.top) + 1,
+        s"outline depth jump at item $i")
+      parent(i) = if (stack.isEmpty) -1 else stack.top
+      stack.push(i)
+    }
+    def kidsOf(p: Int): Seq[Int] = (0 until k).filter(parent(_) == p)
+    def titleStr(t: String): String =
+      if (t.forall(c => c >= 0x20 && c < 0x7f))
+        "(" + t.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)") + ")"
+      else {
+        val b = Array[Byte](0xfe.toByte, 0xff.toByte) ++
+          t.getBytes(java.nio.charset.StandardCharsets.UTF_16BE)
+        hexStr(b)
+      }
+    w("%PDF-1.4\n%âãÏÓ\n")
+    offsets(1) = out.size()
+    w(s"1 0 obj\n<< /Type /Catalog /Pages 2 0 R /Outlines $rootObj 0 R >>\nendobj\n")
+    offsets(2) = out.size()
+    val kids = (0 until n).map(i => s"${3 + 2 * i} 0 R").mkString(" ")
+    w(s"2 0 obj\n<< /Type /Pages /Kids [ $kids ] /Count $n >>\nendobj\n")
+    (0 until n).foreach { i =>
+      val pageObj = 3 + 2 * i
+      val contObj = pageObj + 1
+      offsets(pageObj) = out.size()
+      w(s"$pageObj 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [ 0 0 612 792 ] " +
+        s"/Resources << /Font << /F1 $fontObj 0 R >> >> /Contents $contObj 0 R >>\nendobj\n")
+      offsets(contObj) = out.size()
+      val raw = pageContent(pages(i))
+      val body = if (compress) deflate(raw) else raw
+      val filter = if (compress) " /Filter /FlateDecode" else ""
+      w(s"$contObj 0 obj\n<< /Length ${body.length}$filter >>\nstream\n")
+      out.write(body)
+      w("\nendstream\nendobj\n")
+    }
+    offsets(fontObj) = out.size()
+    w(s"$fontObj 0 obj\n<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>\nendobj\n")
+    offsets(rootObj) = out.size()
+    val tops = kidsOf(-1)
+    val rootKids =
+      if (tops.isEmpty) ""
+      else s" /First ${itemObj(tops.head)} 0 R /Last ${itemObj(tops.last)} 0 R"
+    w(s"$rootObj 0 obj\n<< /Type /Outlines /Count $k$rootKids >>\nendobj\n")
+    (0 until k).foreach { i =>
+      offsets(itemObj(i)) = out.size()
+      val sibs = kidsOf(parent(i))
+      val at = sibs.indexOf(i)
+      val prev = if (at > 0) s" /Prev ${itemObj(sibs(at - 1))} 0 R" else ""
+      val next = if (at < sibs.length - 1) s" /Next ${itemObj(sibs(at + 1))} 0 R" else ""
+      val ch = kidsOf(i)
+      val fl =
+        if (ch.isEmpty) ""
+        else s" /First ${itemObj(ch.head)} 0 R /Last ${itemObj(ch.last)} 0 R"
+      val par = if (parent(i) < 0) rootObj else itemObj(parent(i))
+      w(s"${itemObj(i)} 0 obj\n<< /Title ${titleStr(outline(i)._2)} " +
+        s"/Parent $par 0 R$prev$next$fl >>\nendobj\n")
+    }
+    val xrefPos = out.size()
+    w(s"xref\n0 $total\n")
+    w("0000000000 65535 f \n")
+    (1 until total).foreach { i => w(f"${offsets(i)}%010d 00000 n \n") }
+    w(s"trailer\n<< /Size $total /Root 1 0 R >>\nstartxref\n$xrefPos\n%%EOF\n")
+    out.toByteArray
+  }
+
   /** One embedded image for [[buildWithImages]]: `codec` ∈
     * `"g4"` (data = 0/1 pixels, width*height — encoded via
     * [[Ccitt.encodeG4]] into a /CCITTFaxDecode stream),

@@ -464,6 +464,34 @@ class PdfKernelSpec extends AnyFunSuite {
     assert(e.getMessage.contains("G4"), e.getMessage)
   }
 
+  test("outlines: bookmark tree flattens in reading order; UTF-16 titles; cycles safe") {
+    import graft.kernel.PdfWriter
+    val toc = Seq(
+      (0, "Chapter 1"), (1, "Section 1.1"), (2, "Deep 1.1.1"),
+      (1, "Sección 1.2 — résumé"), // non-ASCII → UTF-16BE hex string
+      (0, "Chapter 2"), (1, "Section 2.1"))
+    val bytes = PdfWriter.buildWithOutlines(
+      Seq(Seq("page one"), Seq("page two")), toc, compress = true)
+    val doc = Pdf.parseDoc(bytes)
+    assert(Pdf.outlines(doc) === toc.toVector)
+    // text unaffected; no outlines -> empty
+    assert(Pdf.pageText(Pdf.pages(doc).head.content) === "page one\n")
+    assert(Pdf.outlines(Pdf.parseDoc(
+      PdfWriter.build(Seq(Seq("x")), compress = false))) === Vector())
+    // a crafted cycle (item's Next pointing at itself) terminates
+    val s = new String(bytes, ISO_8859_1)
+    // find the first outline item object number and wire Next -> itself
+    val m = "/Title \\(Chapter 1\\) /Parent (\\d+) 0 R /Next (\\d+) 0 R".r
+      .findFirstMatchIn(s)
+    assert(m.isDefined)
+    val selfRef = s.indexOf("/Next " + m.get.group(2))
+    val itemNum = m.get.group(2).toInt - 1 // Chapter 1 is the item before its Next sibling
+    val cycled = s.substring(0, selfRef) + s"/Next $itemNum 0 R" +
+      s.substring(selfRef + ("/Next " + m.get.group(2) + " 0 R").length)
+    val got = Pdf.outlines(Pdf.parseDoc(cycled.getBytes(ISO_8859_1)))
+    assert(got.nonEmpty && got.length <= toc.length, "cycle must terminate")
+  }
+
   test("pageLinks: URI annotations extract per page; GoTo and junk skipped") {
     import graft.kernel.PdfWriter
     val bytes = PdfWriter.buildWithLinks(
