@@ -751,30 +751,39 @@ object Dedup {
     while (!converged && it < maxIter) {
       val nbrMin = edges.join(labels, edges("dst") === labels("id"))
         .groupBy(col("src")).agg(min(col("cluster")).as("nbr"))
-      // hop: min label over the closed neighborhood
+      // hop: min label over the closed neighborhood. PERSISTED (lazy),
+      // not localCheckpoint'd (r06): hop is consumed twice by the
+      // doubling self-join below, the cache keeps that one physical
+      // computation, and the round's single eager materialization of
+      // `next` truncates lineage exactly as before — one action barrier
+      // per round instead of three. `_old` rides along so convergence is
+      // a filter over the materialized round result, not another join.
       val hop = labels.as("l")
         .join(nbrMin, labels("id") === nbrMin("src"), "left")
         .select(col("l.id").as("id"),
-          least(col("l.cluster"), coalesce(col("nbr"), col("l.cluster"))).as("cluster"))
-        .localCheckpoint(true)
+          least(col("l.cluster"), coalesce(col("nbr"), col("l.cluster"))).as("cluster"),
+          col("l.cluster").as("_old"))
+        .persist()
       // pointer doubling: cluster := label(cluster). Every label is a
       // node id of the same component, so the lookup stays in-component
       // and is monotone non-increasing; left join + coalesce keeps the
       // row when the label's own row hasn't updated yet this round.
-      val next = hop.as("h")
+      val nextFull = hop.as("h")
         .join(hop.as("p"), col("h.cluster") === col("p.id"), "left")
         .select(col("h.id").as("id"),
           least(col("h.cluster"),
-            coalesce(col("p.cluster"), col("h.cluster"))).as("cluster"))
+            coalesce(col("p.cluster"), col("h.cluster"))).as("cluster"),
+          col("h._old").as("_old"))
         .localCheckpoint(true)
-      val changed = next.as("n").join(labels.as("o"), Seq("id"))
-        .where(col("n.cluster") =!= col("o.cluster")).limit(1).count() > 0
+      val changed = nextFull
+        .where(col("cluster") =!= col("_old")).limit(1).count() > 0
+      val next = nextFull.drop("_old")
       // next is materialized (eager) and changed computed: the previous
       // round's blocks are dead weight now
-      ckptRdd(hop).foreach(_.unpersist(false))
+      hop.unpersist()
       labelsRdd.foreach(_.unpersist(false))
       labels = next
-      labelsRdd = ckptRdd(next)
+      labelsRdd = ckptRdd(nextFull)
       converged = !changed
       it += 1
     }

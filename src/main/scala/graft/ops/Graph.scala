@@ -63,6 +63,14 @@ object Graph {
       // to each dst; a dangling node (no outDeg row, no edge rows) keeps
       // one left-join row with null dst and banks its whole rank in the
       // null-keyed bucket.
+      //
+      // flow is PERSISTED (lazy), not localCheckpoint'd: it is consumed
+      // twice inside `next` (per-node in_mass + the dangling broadcast),
+      // the cache makes that one physical computation, and the round's
+      // single eager materialization below truncates lineage — one
+      // action barrier per round instead of two. (r06: the second
+      // barrier was pure scheduling overhead at every scale; plan depth
+      // stays bounded because `ranks` is a flat checkpointed scan.)
       val flow = ranks.as("r")
         .join(outDeg.as("o"), col("r.node") === col("o.src"), "left")
         .join(e.as("e"), col("r.node") === col("e.src"), "left")
@@ -70,8 +78,7 @@ object Graph {
           when(col("e.dst").isNull, col("r.rank"))
             .otherwise(col("r.rank") / col("o.deg")).as("c"))
         .groupBy(col("node")).agg(sum(col("c")).as("in_mass"))
-        .localCheckpoint(true)
-      val flowRdd = ckptRdd(flow)
+        .persist()
       // the dangling bucket as a 0-or-1-row broadcast frame (left join on
       // a constant key — empty when every node has out-edges), so the
       // redistribution term reaches every node without a driver action
@@ -91,7 +98,7 @@ object Graph {
           .head().getDouble(0)
         if (delta < tol) done = true
       }
-      flowRdd.foreach(_.unpersist(false))
+      flow.unpersist()
       ranksRdd.foreach(_.unpersist(false))
       ranks = next
       ranksRdd = ckptRdd(next)
@@ -142,27 +149,33 @@ object Graph {
     var scoresRdd = ckptRdd(scores)
     var it = 0
     while (it < iters) {
+      // One eager materialization per round (r06): the four intra-round
+      // frames are PERSISTED lazily — each is consumed twice (its own L2
+      // norm aggregate + the downstream join), so the cache keeps every
+      // frame at one physical computation — and only `next` is
+      // localCheckpoint'd, which truncates the round's lineage exactly as
+      // before. Plan depth stays bounded (scores is a flat scan); the two
+      // dropped checkpoints were pure per-round action barriers.
       // auth(v) = Σ hub(u) over edges u→v, then unit-L2
       val authRaw = nodes.as("n")
         .join(e.join(scores.select(col("node"), col("hub")),
           e("src") === col("node")).groupBy(col("dst")).agg(sum(col("hub")).as("_a")),
           col("n.node") === col("dst"), "left")
         .select(col("n.node").as("node"), coalesce(col("_a"), lit(0.0)).as("auth"))
-      val auth = l2normalize(authRaw, "auth").localCheckpoint(true)
-      val authRdd = ckptRdd(auth)
+        .persist()
+      val auth = l2normalize(authRaw, "auth").persist()
       // hub(u) = Σ auth(v) over edges u→v, then unit-L2
       val hubRaw = nodes.as("n")
         .join(e.join(auth.select(col("node"), col("auth")),
           e("dst") === col("node")).groupBy(col("src")).agg(sum(col("auth")).as("_h")),
           col("n.node") === col("src"), "left")
         .select(col("n.node").as("node"), coalesce(col("_h"), lit(0.0)).as("hub"))
-      val hub = l2normalize(hubRaw, "hub").localCheckpoint(true)
-      val hubRdd = ckptRdd(hub)
+        .persist()
+      val hub = l2normalize(hubRaw, "hub")
       val next = hub.join(auth, Seq("node"))
         .select(col("node"), col("hub"), col("auth"))
         .localCheckpoint(true)
-      authRdd.foreach(_.unpersist(false))
-      hubRdd.foreach(_.unpersist(false))
+      authRaw.unpersist(); auth.unpersist(); hubRaw.unpersist()
       scoresRdd.foreach(_.unpersist(false))
       scores = next
       scoresRdd = ckptRdd(next)

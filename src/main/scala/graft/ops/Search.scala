@@ -84,8 +84,12 @@ object Search {
     val probed = spark.read.parquet(s"$dir/postings")
       .where(col("bucket").isin(qBuckets.map(Integer.valueOf): _*))
       .where(col("token").isin(qTokens: _*))
-    val withDf = probed.join(
-      broadcast(probed.groupBy(col("token")).agg(count(lit(1)).as("df"))), "token")
+    // df folded into the same pass as the scoring (r06, VERDICT #3): each
+    // posting row is a distinct (token, doc), so a per-token window count
+    // IS df — ONE scan of the probed buckets instead of a second scan
+    // feeding a broadcast df join (SearchSpec asserts the single scan)
+    val withDf = probed.withColumn("df", count(lit(1)).over(
+      org.apache.spark.sql.expressions.Window.partitionBy(col("token"))))
     val idf = log(lit(1.0) +
       (lit(nDocs.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
     val tfNorm = (col("tf") * lit(k1 + 1.0)) /

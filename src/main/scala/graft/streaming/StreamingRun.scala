@@ -59,7 +59,15 @@ object StreamingRun {
         // other batch's output is untouched; the level doubles as commit
         // lineage. Re-crawled urls landing in later waves coexist as new
         // versions — collapsing them is the dedup/compaction layer's job.
+        // cluster rows by their target directory before the write (the
+        // Checkpoint.writePages discipline, salt included so one hot
+        // (ts_day, url_bucket) partition still spreads over a few tasks):
+        // without it every scan task writes a fragment into every
+        // directory it touches and the table accretes tasks × dirs tiny
+        // files batch over batch — the §6 small-file failure mode
         docs.drop("extract_ns").withColumn("batch_id", lit(batchId))
+          .repartition(col("ts_day"), col("url_bucket"),
+            pmod(hash(col("url"), lit(1)), lit(4)))
           .write.mode("overwrite").partitionBy("batch_id", "ts_day", "url_bucket")
           .option("partitionOverwriteMode", "dynamic") // scoped to this writer
           .parquet(outDir)
@@ -268,7 +276,8 @@ object StreamingRun {
               indexDir, threshold)
           else self).persist()
         val n = survivors.count()
-        survivors.withColumn("batch_id", lit(batchId))
+        survivors.coalesce(sinkPartitions(survivors))
+          .withColumn("batch_id", lit(batchId))
           .write.mode("overwrite").partitionBy("batch_id")
           .option("partitionOverwriteMode", "dynamic")
           .parquet(outDir)
@@ -382,6 +391,25 @@ object StreamingRun {
     commitNovel(spark, pages, outDir, checkpointDir)
   }
 
+  /** Output-file sizing for the micro-batch sinks (guide §6: files in
+    * the 128 MB–1 GB range; a batch inherits the STATE-STORE partition
+    * count — `spark.sql.shuffle.partitions` — so an unsized sink writes
+    * that many files per batch regardless of batch bytes, the classic
+    * small-file failure mode of long-running streams). Target file size
+    * comes from `spark.graft.sink.targetFileBytes` (default 128 MB);
+    * the byte estimate is the persisted batch's own stats (exact once
+    * the cache is materialized — callers persist+count first), and the
+    * result is capped at the current partition count so an uncachable
+    * estimate degrades to "no coalesce", never to over-merging.
+    */
+  private def sinkPartitions(batch: DataFrame): Int = {
+    val target = batch.sparkSession.conf
+      .get("spark.graft.sink.targetFileBytes", (128L << 20).toString).toLong
+    val bytes = batch.queryExecution.optimizedPlan.stats.sizeInBytes
+    val byBytes = ((bytes + target - 1) / target).max(1)
+    byBytes.min(BigInt(batch.rdd.getNumPartitions)).toInt
+  }
+
   private def commitNovel(spark: SparkSession, novel: DataFrame,
                           outDir: String, checkpointDir: String): Long = {
     var emitted = 0L
@@ -393,7 +421,8 @@ object StreamingRun {
         // partitionOverwriteMode scoped to THIS writer — a session-wide
         // conf.set would silently turn every later overwrite in the same
         // SparkSession dynamic (leaving stale partitions in place)
-        batch.withColumn("batch_id", lit(batchId))
+        batch.coalesce(sinkPartitions(batch))
+          .withColumn("batch_id", lit(batchId))
           .write.mode("overwrite").partitionBy("batch_id")
           .option("partitionOverwriteMode", "dynamic")
           .parquet(outDir)
