@@ -797,34 +797,52 @@ object Pdf {
         case _ => inherited
       }
 
-    def contentBytes(o: PObj): Array[Byte] = doc.resolve(o) match {
+    def contentBytes(o: PObj, depth: Int = 0): Array[Byte] = doc.resolve(o) match {
+      // depth-bounded: a Contents ARRAY whose elements are refs can be
+      // crafted to cycle (a → b → a), and recursion here would overflow
+      // the stack — a VirtualMachineError the C5 isolation cannot catch
+      case _ if depth > 32 => Array.emptyByteArray
       case st: PStream => decodeStream(doc, st)
       case PArr(items) =>
         val b = new ByteArrayOutputStream()
-        items.foreach { it => b.write(contentBytes(it)); b.write('\n') }
+        items.foreach { it => b.write(contentBytes(it, depth + 1)); b.write('\n') }
         b.toByteArray
       case _ => Array.emptyByteArray
     }
 
+    // Cycle/depth/budget guards (same posture as [[outlines]]): a crafted
+    // or corrupt Pages tree with a cyclic or deeply nested Kids chain
+    // must terminate the walk, not throw StackOverflowError past the C5
+    // per-row isolation (ADVICE r05). Visited PRef ids are walked once;
+    // depth is bounded (real page trees are < ~64 deep — Acrobat itself
+    // balances to ~50); the node budget caps inline-dict bombs.
+    val seenRefs = scala.collection.mutable.Set.empty[Int]
+    var nodeBudget = 1000000
     def walk(o: PObj, inherited: Option[(Double, Double)],
-             inhFonts: Map[String, FontInfo]): Unit = doc.resolve(o) match {
-      case d: PDict =>
-        val mb = mediaBox(d, inherited)
-        val fonts = fontsOf(doc, d, inhFonts)
-        doc.resolve(d.m.getOrElse("Type", PNull)) match {
-          case PName("Pages") =>
-            doc.resolve(d.m.getOrElse("Kids", PNull)) match {
-              case PArr(kids) => kids.foreach(walk(_, mb, fonts))
-              case _          =>
-            }
-          case PName("Page") =>
-            val (w, h) = mb.getOrElse((612.0, 792.0))
-            out += PdfPage(contentBytes(d.m.getOrElse("Contents", PNull)), w, h, fonts)
-          case _ =>
-        }
-      case _ =>
+             inhFonts: Map[String, FontInfo], depth: Int): Unit = {
+      val refId = o match { case PRef(n) => n; case _ => -1 }
+      if (depth > 256 || nodeBudget <= 0 || (refId >= 0 && !seenRefs.add(refId)))
+        return
+      nodeBudget -= 1
+      doc.resolve(o) match {
+        case d: PDict =>
+          val mb = mediaBox(d, inherited)
+          val fonts = fontsOf(doc, d, inhFonts)
+          doc.resolve(d.m.getOrElse("Type", PNull)) match {
+            case PName("Pages") =>
+              doc.resolve(d.m.getOrElse("Kids", PNull)) match {
+                case PArr(kids) => kids.foreach(walk(_, mb, fonts, depth + 1))
+                case _          =>
+              }
+            case PName("Page") =>
+              val (w, h) = mb.getOrElse((612.0, 792.0))
+              out += PdfPage(contentBytes(d.m.getOrElse("Contents", PNull)), w, h, fonts)
+            case _ =>
+          }
+        case _ =>
+      }
     }
-    walk(pagesRoot, None, Map.empty)
+    walk(pagesRoot, None, Map.empty, 0)
     out.result()
   }
 
@@ -845,6 +863,9 @@ object Pdf {
         new String(b, 2, b.length - 2, java.nio.charset.StandardCharsets.UTF_16BE)
       else new String(b, java.nio.charset.StandardCharsets.ISO_8859_1)
     def walk(o: PObj, depth: Int): Unit = {
+      // the seen-set stops cycles, but a crafted linear First chain can
+      // still recurse arbitrarily deep — bound it like the page walks
+      if (depth > 256) return
       var cur = o
       var guard = 0
       while (cur != PNull && guard < 10000) {
@@ -882,12 +903,20 @@ object Pdf {
     val out = Vector.newBuilder[(Int, String)]
     val root = doc.dictOf(doc.trailer.m.getOrElse("Root", PNull))
     var pageIdx = 0
-    def walk(o: PObj): Unit = doc.resolve(o) match {
+    // cycle/depth/budget guard — same contract as [[pages]] (ADVICE r05)
+    val seenRefs = scala.collection.mutable.Set.empty[Int]
+    var nodeBudget = 1000000
+    def walk(o: PObj, depth: Int = 0): Unit = {
+      val refId = o match { case PRef(n) => n; case _ => -1 }
+      if (depth > 256 || nodeBudget <= 0 || (refId >= 0 && !seenRefs.add(refId)))
+        return
+      nodeBudget -= 1
+      doc.resolve(o) match {
       case d: PDict =>
         doc.resolve(d.m.getOrElse("Type", PNull)) match {
           case PName("Pages") =>
             doc.resolve(d.m.getOrElse("Kids", PNull)) match {
-              case PArr(kids) => kids.foreach(walk)
+              case PArr(kids) => kids.foreach(walk(_, depth + 1))
               case _          =>
             }
           case PName("Page") =>
@@ -917,6 +946,7 @@ object Pdf {
           case _ =>
         }
       case _ =>
+      }
     }
     walk(root.m.getOrElse("Pages", PNull))
     out.result()
@@ -949,12 +979,20 @@ object Pdf {
     val out = Vector.newBuilder[PdfImage]
     val root = doc.dictOf(doc.trailer.m.getOrElse("Root", PNull))
     var pageIdx = 0
-    def walk(o: PObj): Unit = doc.resolve(o) match {
+    // cycle/depth/budget guard — same contract as [[pages]] (ADVICE r05)
+    val seenRefs = scala.collection.mutable.Set.empty[Int]
+    var nodeBudget = 1000000
+    def walk(o: PObj, depth: Int = 0): Unit = {
+      val refId = o match { case PRef(n) => n; case _ => -1 }
+      if (depth > 256 || nodeBudget <= 0 || (refId >= 0 && !seenRefs.add(refId)))
+        return
+      nodeBudget -= 1
+      doc.resolve(o) match {
       case d: PDict =>
         doc.resolve(d.m.getOrElse("Type", PNull)) match {
           case PName("Pages") =>
             doc.resolve(d.m.getOrElse("Kids", PNull)) match {
-              case PArr(kids) => kids.foreach(walk)
+              case PArr(kids) => kids.foreach(walk(_, depth + 1))
               case _          =>
             }
           case PName("Page") =>
@@ -979,6 +1017,7 @@ object Pdf {
           case _ =>
         }
       case _ =>
+      }
     }
     walk(root.m.getOrElse("Pages", PNull))
     out.result()

@@ -128,6 +128,23 @@ object Dedup {
     val batchFilter = paras.select(col("_ph")).distinct()
       .stat.bloomFilter("_ph", expectedInsertions, fpp)
     prior.foreach(batchFilter.mergeInPlace)
+    // Saturation guard (ADVICE r05): the merged filter keeps the FIRST
+    // run's bit-array size while insertions accumulate run over run, so
+    // `expectedInsertions` must be sized for the LIFETIME corpus, not
+    // one batch. Past that budget the false-positive rate climbs toward
+    // 1 and novel paragraphs are silently over-removed — fail loudly at
+    // the point of no return and warn well before it.
+    val fppNow = batchFilter.expectedFpp()
+    require(fppNow <= 0.5,
+      f"paragraph Bloom filter under $bloomDir is saturated " +
+        f"(expectedFpp=$fppNow%.3f): cumulative distinct paragraphs exceed " +
+        f"expectedInsertions=$expectedInsertions - rebuild the filter with a " +
+        f"lifetime-corpus-sized budget before deduping further batches")
+    if (fppNow > math.min(0.5, fpp * 10))
+      System.err.println(
+        f"[paragraphBloomDedup] WARNING: filter at $bloomDir nearing " +
+          f"saturation (expectedFpp=$fppNow%.4f vs configured $fpp%.4f); " +
+          f"size expectedInsertions for the lifetime corpus")
     fs.mkdirs(dirPath)
     val tmp = new org.apache.hadoop.fs.Path(dirPath, s".bloom.${System.nanoTime()}.tmp")
     val out = fs.create(tmp, true)
@@ -159,8 +176,18 @@ object Dedup {
   def wordJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                        threshold: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // The tokenized frame feeds the frequency census, the prefix window
+    // AND both verify joins; left as a plain plan every reference
+    // re-derives scan → lower/split → distinct (12 parquet scans of the
+    // corpus in the executed plan at r06 measurement). A LAZY local
+    // checkpoint shares ONE materialization among all consumers — built
+    // fresh per invocation (RDD-scoped, nothing survives the query), no
+    // eager job at call time. Non-fault-tolerant storage is fine here:
+    // this operator is the exact small-scale truth baseline, not the
+    // 100 TB path ([[minhashNearDupPairs]] is).
     val sets = df.select(col(idCol).as("id"), wordSet(col(textCol)).as("ws"))
       .withColumn("nw", size(col("ws")))
+      .localCheckpoint(false)
     val tok = sets.select(col("id"), col("nw"), explode(col("ws")).as("w"))
     val freq = tok.groupBy(col("w")).agg(count(lit(1)).as("f"))
     // prefix length = |d| − ⌈t·|d|⌉ + 1 (smallest-shared-element lemma).
@@ -169,11 +196,15 @@ object Dedup {
     // and losing qualifying pairs. The 1e-9 slack can only lengthen the
     // prefix (extra candidates are re-verified, never emitted wrongly).
     val prefixLen = col("nw") - ceil(lit(threshold) * col("nw") - lit(1e-9)) + 1
+    // prefix is self-joined for candidates — one more lazy shared
+    // materialization so the freq join + ranking window run once, not
+    // twice (same rationale as `sets` above)
     val prefix = tok.join(freq, Seq("w"))
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("id")).orderBy(col("f"), col("w"))))
       .where(col("rk") <= prefixLen)
       .select(col("id"), col("w"))
+      .localCheckpoint(false)
     val cand = prefix.as("a").join(prefix.as("b"),
         col("a.w") === col("b.w") && col("a.id") < col("b.id"))
       .select(col("a.id").as("a_id"), col("b.id").as("b_id"))

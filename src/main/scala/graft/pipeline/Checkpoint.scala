@@ -419,23 +419,45 @@ object Checkpoint {
     require(fs.exists(root), s"no table at $outDir")
     // leaf partition dirs: ts_day=*/url_bucket=*
     val parts = fs.globStatus(new org.apache.hadoop.fs.Path(outDir, "ts_day=*/url_bucket=*"))
-    var rewritten = 0L
-    parts.foreach { st =>
-      val dir = st.getPath
-      val files = fs.listStatus(dir).filter(f =>
-        f.isFile && f.getPath.getName.endsWith(".parquet"))
-      if (files.length > maxFilesPerPartition) {
-        val bytes = files.map(_.getLen).sum
-        val nOut = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
-        val df = spark.read.parquet(dir.toString)
-        val tmp = new org.apache.hadoop.fs.Path(dir.getParent, dir.getName + ".compact")
-        df.coalesce(nOut).write.mode("overwrite").parquet(tmp.toString)
-        require(fs.delete(dir, true), s"could not remove $dir")
-        require(fs.rename(tmp, dir), s"swap failed for $dir")
-        rewritten += 1
+    // Each rewrite is an independent tiny job (read one partition's
+    // files, write them back coalesced); run a few IN FLIGHT from a
+    // driver thread pool (guide §2.6: overlap independent jobs so the
+    // next rewrite's tasks back-fill the tail of the current one —
+    // serially, every rewrite left the cluster idle during its commit).
+    // 4 in flight is plenty; partition swaps touch disjoint dirs so the
+    // temp+rename protocol is unchanged. Rewrites are per-partition
+    // atomic exactly as before — a crash mid-sweep leaves every
+    // partition either old or fully swapped.
+    val parallelism = math.min(4, math.max(1, parts.length))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(parallelism)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    val rewritten = new java.util.concurrent.atomic.AtomicLong(0L)
+    val futures = parts.toSeq.map { st =>
+      scala.concurrent.Future {
+        val dir = st.getPath
+        val files = fs.listStatus(dir).filter(f =>
+          f.isFile && f.getPath.getName.endsWith(".parquet"))
+        if (files.length > maxFilesPerPartition) {
+          val bytes = files.map(_.getLen).sum
+          val nOut = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+          spark.sparkContext.setJobDescription(s"compact $dir")
+          val df = spark.read.parquet(dir.toString)
+          val tmp = new org.apache.hadoop.fs.Path(dir.getParent, dir.getName + ".compact")
+          df.coalesce(nOut).write.mode("overwrite").parquet(tmp.toString)
+          require(fs.delete(dir, true), s"could not remove $dir")
+          require(fs.rename(tmp, dir), s"swap failed for $dir")
+          rewritten.incrementAndGet()
+          ()
+        }
       }
     }
-    rewritten
+    try
+      scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(futures),
+        scala.concurrent.duration.Duration.Inf)
+    finally pool.shutdown()
+    rewritten.get()
   }
 
   def invalidate(spark: SparkSession, cacheDir: String,

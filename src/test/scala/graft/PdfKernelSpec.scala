@@ -492,6 +492,41 @@ class PdfKernelSpec extends AnyFunSuite {
     assert(got.nonEmpty && got.length <= toc.length, "cycle must terminate")
   }
 
+  test("page-tree walks terminate on a cyclic Kids chain (no stack overflow)") {
+    import graft.kernel.PdfWriter
+    // PdfWriter emits the page tree as `2 0 obj << /Type /Pages /Kids
+    // [ 3 0 R ] ... >>`; pointing Kids back at the Pages node itself is
+    // the crafted cycle the r05 ADVICE names — every tree walk must
+    // return (seen-set) instead of recursing to StackOverflowError,
+    // which would escape the C5 per-row isolation.
+    val bytes = PdfWriter.build(Seq(Seq("page one")), compress = false)
+    val s = new String(bytes, ISO_8859_1)
+    val cycled = s.replaceFirst("/Kids \\[ 3 0 R \\]", "/Kids [ 2 0 R ]")
+    assert(cycled != s, "fixture must contain the expected Kids array")
+    val doc = Pdf.parseDoc(cycled.getBytes(ISO_8859_1))
+    assert(Pdf.pages(doc) === Vector(), "cyclic page tree yields no pages")
+    assert(Pdf.pageLinks(doc) === Vector())
+    assert(Pdf.pageImages(doc) === Vector())
+    // a deep-but-acyclic Pages chain is bounded by the depth guard, not
+    // the stack: 5000 nested Pages nodes, each a fresh object id
+    val n = 5000
+    val sb = new StringBuilder("%PDF-1.4\n")
+    val offs = Array.newBuilder[Int]
+    def obj(num: Int, body: String): Unit = {
+      offs += sb.length
+      sb.append(s"$num 0 obj\n$body\nendobj\n"); ()
+    }
+    obj(1, "<< /Type /Catalog /Pages 2 0 R >>")
+    (2 to n).foreach(i => obj(i, s"<< /Type /Pages /Kids [ ${i + 1} 0 R ] /Count 1 >>"))
+    obj(n + 1, "<< /Type /Pages /Kids [ ] /Count 0 >>")
+    val xrefAt = sb.length
+    sb.append(s"xref\n0 ${n + 2}\n0000000000 65535 f \n")
+    offs.result().foreach(o => sb.append(f"$o%010d 00000 n \n"))
+    sb.append(s"trailer\n<< /Size ${n + 2} /Root 1 0 R >>\nstartxref\n$xrefAt\n%%EOF\n")
+    val deep = Pdf.parseDoc(sb.toString.getBytes(ISO_8859_1))
+    assert(Pdf.pages(deep) === Vector(), "deep chain terminates via depth bound")
+  }
+
   test("pageLinks: URI annotations extract per page; GoTo and junk skipped") {
     import graft.kernel.PdfWriter
     val bytes = PdfWriter.buildWithLinks(
