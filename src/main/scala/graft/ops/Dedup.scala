@@ -764,8 +764,8 @@ object Dedup {
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
-      .persist()
-    edges.count()
+      .persist() // lazily: the labels init below materializes the cache
+      // (an explicit count() here was one more driver barrier per call)
     // a localCheckpoint'd frame pins its materialized rows in the block
     // manager until GC'd; an iterative loop must release superseded
     // rounds EXPLICITLY or N rounds pin 2N+1 copies of the label table

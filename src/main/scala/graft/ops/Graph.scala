@@ -51,8 +51,9 @@ object Graph {
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct().persist()
     val n = nodes.count()
+    // persisted lazily: round 1's flow join materializes the cache (an
+    // explicit count() here was one more driver barrier per call)
     val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg")).persist()
-    outDeg.count()
     var ranks = nodes.withColumn("rank", lit(1.0 / n)).localCheckpoint(true)
     var ranksRdd = ckptRdd(ranks)
     var it = 0
@@ -132,7 +133,7 @@ object Graph {
       .distinct().persist()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct().persist()
-    nodes.count()
+    // (no forcing count: the scores init below materializes the cache)
     // normalize a raw score column to unit L2 via a broadcast 1-row frame
     def l2normalize(df: DataFrame, valueCol: String): DataFrame = {
       val norm = df.agg(sqrt(sum(col(valueCol) * col(valueCol))).as("_n"))

@@ -195,8 +195,17 @@ object Checkpoint {
       val docs = extractParted(todo)
         .persist() // consumed twice: partitioned write + metrics rollup
       // dynamic overwrite scoped to THIS writer (a session-wide conf.set
-      // would silently change every later overwrite's semantics)
+      // would silently change every later overwrite's semantics).
+      // Cluster rows by target directory first (the writePages
+      // discipline, salt bounds files/dir): without it every scan task
+      // writes a fragment into every directory it touches and the table
+      // accretes tasks x dirs tiny files run over run (r06: the e2e
+      // bench output was 204 files of ~360 KB for a 74 MB table). The
+      // shuffle moves the EXTRACTED text (already persisted), not the
+      // raw payloads.
       docs.drop("extract_ns")
+        .repartition(col("ts_day"), col("url_bucket"),
+          pmod(hash(col("url"), lit(1)), lit(4)))
         .write.mode("overwrite").partitionBy("ts_day", "url_bucket")
         .option("partitionOverwriteMode", "dynamic")
         .parquet(outDir)
@@ -299,6 +308,8 @@ object Checkpoint {
       val runOut = s"$outDir/run_id=$runId"
       val docs = extractParted(todo).persist()
       docs.drop("extract_ns")
+        .repartition(col("ts_day"), col("url_bucket"),
+          pmod(hash(col("url"), lit(1)), lit(4))) // dir-clustered, see run()
         .write.mode("errorifexists").partitionBy("ts_day", "url_bucket")
         .parquet(runOut) // append-only: a reused runId must fail, not clobber
       metricsParted(todo, docs, runId).write.mode("append").parquet(metricsDir)
