@@ -23,7 +23,8 @@ object JobLogProbe {
     s.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit = {
         val site = Option(j.properties)
-          .flatMap(p => Option(p.getProperty("callSite.short"))).getOrElse("?")
+          .flatMap(p => Option(p.getProperty("spark.job.description"))
+            .orElse(Option(p.getProperty("callSite.short")))).getOrElse("?")
         starts.put(j.jobId, (System.nanoTime(), site))
         ()
       }

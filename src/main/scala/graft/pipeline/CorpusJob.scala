@@ -91,48 +91,52 @@ object CorpusJob {
               shingleK: Int = 3, numHashes: Int = 32, numBands: Int = 8,
               threshold: Double = 0.8, maxBucket: Int = 4096): DataFrame = {
     import spark.implicits._
+    def label[T](stage: String)(body: => T): T = {
+      spark.sparkContext.setJobDescription(s"funnel: $stage")
+      try body finally spark.sparkContext.setJobDescription(null)
+    }
     val docs = Extraction.extractAll(pages)
       .join(pages.select(col("url"), col("warc_ts")), Seq("url"))
       .withColumn("host", callUDF("parse_url", col("url"), lit("HOST")))
       .persist()
-    val nIn = docs.count()
+    val nIn = label("extract")(docs.count())
 
     val unblocked = graft.ops.CrawlPolicy.blockByDomainSuffix(
       docs, "host", blocklist).persist()
-    val nUnblocked = unblocked.count()
+    val nUnblocked = label("blocklist")(unblocked.count())
 
     val quality = unblocked.where(col("ok"))
       .withColumn("_keep",
         graft.ops.TextOps.gopherQuality(col("extracted_text")).last)
       .where(col("_keep")).drop("_keep")
       .persist()
-    val nQuality = quality.count()
+    val nQuality = label("quality")(quality.count())
 
     val eval2 = evalDocs.toDF("url", "extracted_text")
     val clean = graft.ops.Decontaminate.removeContaminated(
       quality, eval2, "url", "extracted_text", contaminationN).persist()
-    val nClean = clean.count()
+    val nClean = label("decontaminate")(clean.count())
 
     val exact = graft.ops.Dedup.exactFilter(clean, "url", "extracted_text")
       .persist()
-    val nExact = exact.count()
+    val nExact = label("exact_dedup")(exact.count())
 
-    val deduped = graft.ops.Dedup.nearDupFilter(
+    val deduped = label("near_dedup")(graft.ops.Dedup.nearDupFilter(
         exact, "url", "extracted_text",
         shingleK, numHashes, numBands, threshold, maxBucket)
-      .persist()
-    val nDeduped = deduped.count()
+      .persist())
+    val nDeduped = label("near_dedup")(deduped.count())
 
     val redacted = graft.ops.Pii.redact(deduped, "url", "extracted_text")
       .persist()
-    val nPii = redacted.where(col("pii_found")).count()
+    val nPii = label("pii")(redacted.where(col("pii_found")).count())
 
     val capped = graft.ops.Sampling.capPerKey(
       redacted, "host", "url", domainCap).persist()
-    val nCapped = capped.count()
+    val nCapped = label("cap")(capped.count())
 
-    val written = graft.sources.Warc.writeConversions(
-      capped.select(col("url"), col("warc_ts"), col("extracted_text")), wetDir)
+    val written = label("wet_write")(graft.sources.Warc.writeConversions(
+      capped.select(col("url"), col("warc_ts"), col("extracted_text")), wetDir))
 
     docs.unpersist(); unblocked.unpersist(); quality.unpersist()
     clean.unpersist(); exact.unpersist(); deduped.unpersist()
