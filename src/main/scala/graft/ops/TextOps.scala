@@ -166,14 +166,18 @@ object TextOps {
       out += ((null, np))
       out.iterator
     }.toDF("token", "cnt").persist()
-    val total = summary.where($"token".isNull)
-      .agg(coalesce(sum($"cnt"), lit(0L))).as[Long].head()
+    // ONE aggregation job over the cached summary yields both N (the
+    // null-marker mass) and the candidate cardinality — running them as
+    // two actions cost an extra driver barrier per call (r06)
+    val (total, nCand) = summary.agg(
+        coalesce(sum(when($"token".isNull, $"cnt")), lit(0L)),
+        count_distinct(when($"token".isNotNull, $"token")))
+      .as[(Long, Long)].head()
     val cand = summary.where($"token".isNotNull).select($"token").distinct()
     // candidate cardinality is bounded by capacity × numPartitions — at
     // thousands of tasks that exceeds broadcast/driver budgets, so the
     // broadcast is GATED on the actual distinct count (cheap: `summary`
     // is persisted) and falls back to a shuffle semi-join above the cap
-    val nCand = cand.count()
     val candSide =
       if (nCand <= MaxBroadcastCandidates) broadcast(cand) else cand
     // pass 2: exact counts of candidates only

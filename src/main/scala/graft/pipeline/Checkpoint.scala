@@ -244,10 +244,14 @@ object Checkpoint {
   def sweepExpired(spark: SparkSession, cacheDir: String,
                    asOf: Timestamp): Long = {
     val cache = spark.read.parquet(cacheDir)
-    val live = cache.where(
-      col("committed_ts") + expr("INTERVAL 24 HOURS") > lit(asOf))
-    val total = cache.count()
-    val keep = live.count()
+    val liveCond = col("committed_ts") + expr("INTERVAL 24 HOURS") > lit(asOf)
+    val live = cache.where(liveCond)
+    // one census scan for both counts (two count() actions scanned the
+    // table twice, r06); the rewrite below re-reads only when compacting
+    val counts = cache.agg(
+      count(lit(1)).as("total"),
+      count(when(liveCond, lit(1))).as("keep")).head()
+    val (total, keep) = (counts.getLong(0), counts.getLong(1))
     if (keep < total) {
       val tmp = cacheDir + ".compact"
       live.write.mode("overwrite").parquet(tmp)
@@ -478,10 +482,14 @@ object Checkpoint {
     // NULL-hash rows (however they got there) are NOT targeted by any
     // invalidation: a bare !isin() evaluates to NULL for them and would
     // silently delete them with every call (three-valued logic)
-    val keepRows = cache.where(
-      col("content_hash").isNull || !col("content_hash").isin(hashes: _*))
-    val total = cache.count()
-    val keep = keepRows.count()
+    val keepCond =
+      col("content_hash").isNull || !col("content_hash").isin(hashes: _*)
+    val keepRows = cache.where(keepCond)
+    // one census scan for both counts (see sweepExpired)
+    val counts = cache.agg(
+      count(lit(1)).as("total"),
+      count(when(keepCond, lit(1))).as("keep")).head()
+    val (total, keep) = (counts.getLong(0), counts.getLong(1))
     if (keep < total) {
       val tmp = cacheDir + ".invalidate"
       keepRows.write.mode("overwrite").parquet(tmp)
